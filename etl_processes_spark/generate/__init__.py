@@ -1,0 +1,114 @@
+"""generate(spark, profiles, n, seed) → DataFrame — all columns generated as
+expressions over ONE ``spark.range(n)`` seed frame (no zip/join;
+SURVEY.md §2.6 ``column_zip``)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_processes_spark.generate.generators import (
+    _MAX_INLINE,
+    bootstrap_resample,
+    gen_boolean,
+    gen_categorical,
+    gen_categorical_join,
+    gen_datetime,
+    gen_email_fallback,
+    gen_numeric,
+    gen_phone_fallback,
+    gen_unknown,
+)
+from etl_processes_spark.profile.types import (
+    BOOLEAN,
+    CATEGORICAL,
+    DATETIME,
+    EMAIL,
+    FLOAT,
+    INTEGER,
+    PHONE,
+    TEXT,
+    ColumnProfile,
+)
+
+DEFAULT_GEN_SEED = 2025
+
+
+def generate(
+    spark: SparkSession,
+    profiles: dict[str, ColumnProfile],
+    n_samples: int,
+    seed: int = DEFAULT_GEN_SEED,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """One generation job: spark.range(n) + one expression per column.
+    Per-column seeds are offset deterministically, so the whole table is
+    reproducible for a given (profiles, n, seed). Text columns without an
+    embedding model fall back to bootstrap resampling of retained entries
+    (the reference's email/phone strategy, Latanova_v1.py:306-309); the MVN
+    embedding path lives in etl_processes_spark.text."""
+    frame = (
+        spark.range(0, n_samples, 1, num_partitions)
+        if num_partitions
+        else spark.range(n_samples)
+    )
+    # Materialize one uniform column per categorical target FIRST: a raw
+    # F.rand() inside a when-chain re-draws per branch (see gen_categorical).
+    rand_cols: dict[str, str] = {}
+    for i, (name, prof) in enumerate(profiles.items()):
+        if prof.logical_type == CATEGORICAL:
+            rc = f"__r_{i}"
+            frame = frame.withColumn(rc, F.rand(seed + 7919 * i))
+            rand_cols[name] = rc
+
+    join_cols: list[tuple[str, ColumnProfile, int]] = []
+    exprs = []
+    for i, (name, prof) in enumerate(profiles.items()):
+        col_seed = seed + 7919 * i  # stable per-column offset
+        t = prof.logical_type
+        s = prof.stats
+        if t in (INTEGER, FLOAT):
+            exprs.append(gen_numeric(s, t == INTEGER, col_seed).alias(name))
+        elif t == BOOLEAN:
+            exprs.append(gen_boolean(s, prof.format, col_seed).alias(name))
+        elif t == CATEGORICAL:
+            if s.get("categories") and len(s["categories"]) > _MAX_INLINE:
+                join_cols.append((name, prof, col_seed))
+            else:
+                exprs.append(gen_categorical(s, F.col(rand_cols[name])).alias(name))
+        elif t == DATETIME:
+            exprs.append(gen_datetime(s, prof.format, col_seed).alias(name))
+        elif t in (EMAIL, PHONE):
+            entries = s.get("raw_entries") or []
+            if entries:
+                exprs.append(bootstrap_resample(entries, col_seed).alias(name))
+            elif t == EMAIL:
+                exprs.append(gen_email_fallback(col_seed).alias(name))
+            else:
+                exprs.append(gen_phone_fallback(col_seed).alias(name))
+        elif t == TEXT:
+            if "mean_vector" in s:
+                # Embedding-backed MVN path — attached by
+                # etl_processes_spark.text.gen_text_column post-hoc.
+                join_cols.append((name, prof, col_seed))
+            else:
+                entries = s.get("raw_entries") or []
+                if entries:
+                    exprs.append(bootstrap_resample(entries, col_seed).alias(name))
+                else:
+                    exprs.append(gen_unknown().alias(name))
+        else:
+            exprs.append(gen_unknown().alias(name))
+
+    out = frame.select(*exprs) if exprs else frame
+    for name, prof, col_seed in join_cols:
+        if prof.logical_type == CATEGORICAL:
+            out = gen_categorical_join(spark, out, name, prof.stats, col_seed)
+        else:
+            from etl_processes_spark.text import gen_text_column
+
+            out = gen_text_column(spark, out, name, prof, col_seed)
+    return out
+
+
+__all__ = ["generate", "DEFAULT_GEN_SEED"]

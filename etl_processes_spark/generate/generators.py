@@ -1,0 +1,142 @@
+"""Seeded synthetic-data generators — EP3 of the reference lifecycle
+(Latanova_v1.py:300-423), Spark-shaped.
+
+Every generator is a pure Column expression over a shared ``spark.range(n)``
+seed frame, so a whole table generates in ONE embarrassingly-parallel job with
+no join/zip (the reference recombines per-column python lists positionally,
+Latanova_v1.py:704 — here each column is an expression over the same frame).
+Generation scales linearly: spark.range partitions split the row space and
+each partition evaluates its expressions independently.
+
+Semantic parity (SURVEY.md §2.11):
+ - np.round is HALF-TO-EVEN → Spark ``bround`` (Q3).
+ - Generation clips to the observed [min, max] (Q9) → least/greatest.
+ - The reference uses the unseeded global numpy RNG; this engine seeds every
+   generator (Q12) — rand(seed)/randn(seed) per column with a stable offset.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_processes_spark.profile.types import DATE_FORMATS, ColumnProfile
+
+# Max categories / bootstrap entries inlined as a literal expression before we
+# switch to a broadcast lookup-table join (plan size vs. shuffle trade-off).
+_MAX_INLINE = 256
+
+
+def gen_numeric(stats: dict, is_integer: bool, seed: int) -> Column:
+    """normal(mean,std) → clip[min,max] → bround (Latanova_v1.py:346-364)."""
+    if stats is None:
+        return F.lit(0.0) if not is_integer else F.lit(0).cast("long")
+    x = F.randn(seed) * F.lit(float(stats["std"])) + F.lit(float(stats["mean"]))
+    x = F.least(F.greatest(x, F.lit(float(stats["min"]))), F.lit(float(stats["max"])))
+    if is_integer:
+        return F.bround(x, 0).cast("long")
+    return F.bround(x, 2)
+
+
+def gen_boolean(stats: dict | None, bool_format: str | None, seed: int) -> Column:
+    """Bernoulli(true_prob) rendered in the detected spelling
+    (Latanova_v1.py:366-389); default spelling 'True'/'False' strings."""
+    p = 0.5 if stats is None else float(stats["true_probability"])
+    b = F.rand(seed) < F.lit(p)
+    spellings = {
+        "true_false": ("True", "False"),
+        "yes_no": ("Yes", "No"),
+        "one_zero": ("1", "0"),
+        "yn": ("Y", "N"),
+        "tf": ("T", "F"),
+    }
+    if bool_format == "bool":
+        return b
+    t, f = spellings.get(bool_format or "true_false", ("True", "False"))
+    return F.when(b, F.lit(t)).otherwise(F.lit(f))
+
+
+def gen_categorical(stats: dict | None, r: Column) -> Column:
+    """Weighted choice via inverse-CDF over ``r`` (Latanova_v1.py:391-402).
+    ``r`` MUST be a MATERIALIZED uniform column (projected in a prior select),
+    never a raw F.rand() expression: nondeterministic expressions are
+    re-evaluated per ``when`` branch, which silently skews the distribution
+    (measured: p=[.5,.3,.2] came out [.5,.4,.1]). Small domains inline as a
+    when-chain (whole-stage codegen, no join); large domains use
+    gen_categorical_join."""
+    if not stats or not stats.get("categories"):
+        return F.lit("")
+    cats = stats["categories"]
+    probs = stats["probabilities"]
+    expr = None
+    cum = 0.0
+    for cat, p in zip(cats[:-1], probs[:-1]):
+        cum += float(p)
+        expr = F.when(r < cum, F.lit(cat)) if expr is None else expr.when(r < cum, F.lit(cat))
+    last = F.lit(cats[-1])
+    return last if expr is None else expr.otherwise(last)
+
+
+def gen_categorical_join(
+    spark: SparkSession, frame: DataFrame, out_col: str, stats: dict, seed: int
+) -> DataFrame:
+    """Inverse-CDF via a broadcast range-join against a cumulative lookup —
+    the scale path for domains too large to inline (BroadcastNestedLoopJoin
+    over a tiny CDF table; no shuffle of the big side)."""
+    cats, probs = stats["categories"], stats["probabilities"]
+    rows, lo = [], 0.0
+    for cat, p in zip(cats, probs):
+        hi = lo + float(p)
+        rows.append((lo, hi, cat))
+        lo = hi
+    rows[-1] = (rows[-1][0], 1.0 + 1e-9, rows[-1][2])
+    cdf = spark.createDataFrame(rows, ["__lo", "__hi", out_col])
+    r = F.rand(seed)
+    joined = frame.withColumn("__r", r).join(  # __r materialized: see gen_categorical note
+        F.broadcast(cdf), (F.col("__r") >= F.col("__lo")) & (F.col("__r") < F.col("__hi")), "left"
+    )
+    return joined.drop("__lo", "__hi", "__r")
+
+
+def gen_datetime(stats: dict | None, date_format: str | None, seed: int) -> Column:
+    """normal over epoch seconds (std fallback 30 days) → clip → render
+    (Latanova_v1.py:404-423)."""
+    if stats is None:
+        return F.lit("")
+    std = float(stats["std"]) if float(stats["std"]) > 0 else 86400.0 * 30
+    x = F.randn(seed) * F.lit(std) + F.lit(float(stats["mean"]))
+    x = F.least(F.greatest(x, F.lit(float(stats["min"]))), F.lit(float(stats["max"])))
+    ts = F.timestamp_seconds(x)
+    pattern = DATE_FORMATS.get(date_format or "YYYY-MM-DD", "yyyy-MM-dd")
+    return F.date_format(ts, pattern)
+
+
+def gen_unknown() -> Column:
+    """Unknown-type columns → empty strings (Latanova_v1.py:698-699)."""
+    return F.lit("")
+
+
+def bootstrap_resample(entries: list[str], seed: int) -> Column:
+    """Sample retained raw entries with replacement (Latanova_v1.py:309).
+    NOTE: leaks source values by design (reference semantics, SURVEY Q10).
+    Entries are profile-sample-bounded, so the inline array is bounded too."""
+    arr = F.array(*[F.lit(e) for e in entries])
+    idx = (F.floor(F.rand(seed) * F.lit(len(entries))) + 1).cast("int")
+    return F.element_at(arr, idx)
+
+
+def gen_email_fallback(seed: int) -> Column:
+    """user{1000..9998}@example.com (Latanova_v1.py:312; randint high-excl)."""
+    num = (F.floor(F.rand(seed) * 8999) + 1000).cast("int")
+    return F.concat(F.lit("user"), num.cast("string"), F.lit("@example.com"))
+
+
+def gen_phone_fallback(seed: int) -> Column:
+    """+7 XXX XXX-XX-XX (Latanova_v1.py:314-316; randint high-exclusive)."""
+    def r(lo: int, hi_excl: int, s: int) -> Column:
+        return (F.floor(F.rand(s) * (hi_excl - lo)) + lo).cast("int").cast("string")
+
+    return F.concat(
+        F.lit("+7 "), r(100, 999, seed), F.lit(" "), r(100, 999, seed + 1),
+        F.lit("-"), r(10, 99, seed + 2), F.lit("-"), r(10, 99, seed + 3),
+    )

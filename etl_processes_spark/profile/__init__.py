@@ -1,0 +1,198 @@
+"""profile(df) → dict[str, ColumnProfile] — EP2 of the reference lifecycle
+(Latanova_v1.py:630-677), Spark-shaped:
+
+  Stage 1 (one scan): ALL type-inference predicates for ALL columns in a
+    single agg() — Catalyst collapses the conditional aggregates into one
+    whole-stage-codegen pass with map-side partial aggregation.
+  Stage 2 (driver): the reference's decision tree per column.
+  Stage 3 (one scan): numeric + datetime + boolean stats for ALL typed
+    columns in a second single agg(); categorical columns add one tiny
+    groupBy each (bounded: <50 categories by definition).
+  Stage 4: email/phone/text columns retain their (sample-bounded) raw
+    entries for bootstrap generation / embedding modeling — bounded by
+    ``sample_rows``, never the full table.
+
+Scale policy: like the reference (SAMPLE_SIZE = min(1000, n), seed 42,
+Latanova_v1.py:632-633), profiling runs on a seeded sample, so cost is
+O(sample) regardless of input size. Set ``sample_rows=None`` to profile the
+full frame (all aggregates have partial forms; still one scan per stage).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from etl_processes_spark.profile.infer import (
+    datetime_parse,
+    decide_type,
+    infer_types,
+    inference_metrics,
+)
+from etl_processes_spark.profile.profilers import (
+    bool_format_from_counts,
+    bool_profile,
+    bool_profile_exprs,
+    cat_profile,
+    cat_profile_df,
+    datetime_profile,
+    datetime_profile_df,
+    detect_date_format,
+    numeric_profile,
+    numeric_profile_df,
+    numeric_profile_exprs,
+    round_floats,
+    ts_expr,
+)
+from etl_processes_spark.profile.types import (
+    BOOL_FORMATS,
+    BOOLEAN,
+    CATEGORICAL,
+    DATETIME,
+    EMAIL,
+    FLOAT,
+    INTEGER,
+    PHONE,
+    TEXT,
+    UNKNOWN,
+    ColumnProfile,
+)
+
+DEFAULT_SAMPLE_ROWS = 1000  # Latanova_v1.py:632
+DEFAULT_SEED = 42           # Latanova_v1.py:633
+
+
+def sample_frame(df: DataFrame, sample_rows: int | None, seed: int = DEFAULT_SEED) -> DataFrame:
+    """Seeded uniform sample of ~``sample_rows`` rows (reference df.sample).
+    Oversample by 20% then limit for an exact cap; one scan, no shuffle."""
+    if sample_rows is None:
+        return df
+    n = df.count()
+    if n <= sample_rows:
+        return df
+    fraction = min(1.0, sample_rows * 1.2 / n)
+    return df.sample(withReplacement=False, fraction=fraction, seed=seed).limit(sample_rows)
+
+
+def profile(
+    df: DataFrame,
+    sample_rows: int | None = DEFAULT_SAMPLE_ROWS,
+    seed: int = DEFAULT_SEED,
+    drop_null_rows: bool = True,
+    max_retained_entries: int = 10000,
+) -> dict[str, ColumnProfile]:
+    if drop_null_rows:
+        df = df.na.drop("any")  # Latanova_v1.py:14
+    frame = sample_frame(df, sample_rows, seed)
+    frame = frame.persist()
+    try:
+        types = infer_types(frame)
+        schema = {f.name: f.dataType for f in frame.schema.fields}
+
+        # Stage 3: one wide agg for every numeric/datetime/boolean column.
+        exprs = []
+        for c, t in types.items():
+            p = f"{c}__"
+            if t in (INTEGER, FLOAT):
+                exprs.extend(numeric_profile_exprs(F.col(c), prefix=p))
+            elif t == DATETIME:
+                ts = ts_expr(frame, c)
+                exprs.extend(
+                    numeric_profile_exprs(
+                        F.floor(ts.cast("double")).cast("long").cast("double"),
+                        prefix=p,
+                    )
+                )
+                exprs.append(
+                    F.date_format(F.min(ts), "yyyy-MM-dd HH:mm:ss").alias(f"{p}min_date")
+                )
+                exprs.append(
+                    F.date_format(F.max(ts), "yyyy-MM-dd HH:mm:ss").alias(f"{p}max_date")
+                )
+            elif t == BOOLEAN:
+                exprs.extend(
+                    bool_profile_exprs(
+                        c, isinstance(schema[c], T.BooleanType), prefix=p
+                    )
+                )
+        wide = frame.agg(*exprs).collect()[0].asDict() if exprs else {}
+
+        profiles: dict[str, ColumnProfile] = {}
+        for c, t in types.items():
+            p = f"{c}__"
+            if t in (INTEGER, FLOAT):
+                stats = {
+                    "mean": wide[f"{p}mean"], "std": wide[f"{p}std"],
+                    "median": wide[f"{p}median"], "min": wide[f"{p}min_val"],
+                    "max": wide[f"{p}max_val"], "skew": wide[f"{p}skew"],
+                    "kurtosis": wide[f"{p}kurt"], "q1": wide[f"{p}q1"],
+                    "q3": wide[f"{p}q3"], "n_samples": wide[f"{p}n_samples"],
+                }
+                profiles[c] = ColumnProfile(c, t, None, stats)
+            elif t == DATETIME:
+                stats = {
+                    "mean": wide[f"{p}mean"], "std": wide[f"{p}std"],
+                    "median": wide[f"{p}median"], "min": wide[f"{p}min_val"],
+                    "max": wide[f"{p}max_val"], "skew": wide[f"{p}skew"],
+                    "kurtosis": wide[f"{p}kurt"], "q1": wide[f"{p}q1"],
+                    "q3": wide[f"{p}q3"], "n_samples": wide[f"{p}n_samples"],
+                    "min_date": wide[f"{p}min_date"], "max_date": wide[f"{p}max_date"],
+                }
+                fmt = detect_date_format(frame, c)
+                stats["date_format"] = fmt
+                profiles[c] = ColumnProfile(c, t, fmt, stats)
+            elif t == BOOLEAN:
+                counts = {f: wide[f"{p}cnt_{f}"] for f in BOOL_FORMATS}
+                fmt = bool_format_from_counts(counts)
+                stats = {
+                    "true_probability": float(wide[f"{p}true_probability"] or 0.0),
+                    "true_count": int(wide[f"{p}true_count"] or 0),
+                    "false_count": int(wide[f"{p}false_count"] or 0),
+                    "n_samples": int(wide[f"{p}n_samples"] or 0),
+                    "format": fmt,
+                }
+                profiles[c] = ColumnProfile(c, t, fmt, stats)
+            elif t == CATEGORICAL:
+                stats = cat_profile(frame, c)
+                profiles[c] = ColumnProfile(c, t, None, stats or {})
+            elif t in (EMAIL, PHONE, TEXT):
+                # Retain sample-bounded raw entries: bootstrap source for
+                # email/phone (Latanova_v1.py:307-309) and embedding-model
+                # input for text (:640-641). Bounded — never the full column.
+                entries = [
+                    r[0]
+                    for r in frame.select(F.col(c).cast("string"))
+                    .filter(F.col(c).isNotNull())
+                    .limit(max_retained_entries)
+                    .collect()
+                ]
+                stats = {"raw_entries": entries, "n_samples": len(entries)}
+                profiles[c] = ColumnProfile(c, t, t if t in (EMAIL, PHONE) else None, stats)
+            else:
+                profiles[c] = ColumnProfile(c, UNKNOWN, None, {})
+        return profiles
+    finally:
+        frame.unpersist()
+
+
+__all__ = [
+    "ColumnProfile",
+    "profile",
+    "infer_types",
+    "inference_metrics",
+    "decide_type",
+    "sample_frame",
+    "numeric_profile",
+    "numeric_profile_df",
+    "numeric_profile_exprs",
+    "bool_profile",
+    "bool_profile_exprs",
+    "bool_format_from_counts",
+    "cat_profile",
+    "cat_profile_df",
+    "datetime_profile",
+    "datetime_profile_df",
+    "detect_date_format",
+    "round_floats",
+]

@@ -1,0 +1,296 @@
+"""Per-type column profilers — the reference's profiling core, Spark-first.
+
+Reference: calculate_numeric_statistics (Latanova_v1.py:173-191),
+calculate_boolean_statistics (:228-252), calculate_categorical_statistics
+(:255-271), calculate_datetime_statistics (:273-298),
+detect_boolean_format (:89-121).
+
+Semantic parity decisions (SURVEY.md §2.11):
+ - np.std is POPULATION std (ddof=0) → ``stddev_pop``, never ``stddev``.
+ - np.median / np.percentile are exact linear-interpolated → exact
+   ``percentile`` / ``median`` (sort-based agg; fine at profile-sample scale,
+   swap to percentile_approx via ``approx_percentiles=True`` at 100 TB).
+ - scipy.stats.skew/kurtosis defaults (bias=True, fisher=True) equal Spark's
+   ``skewness``/``kurtosis`` (population g1 / excess g2) — pinned by tests.
+ - Values matching neither boolean vocab set are EXCLUDED from boolean stats
+   (not coerced to false), Latanova_v1.py:235-241.
+ - Categorical tie-break: pandas value_counts order among equal counts is not
+   contractual; this engine defines (count desc, value asc).
+
+Every profiler has two forms: ``*_profile_exprs`` (aggregate Columns, so many
+columns profile in ONE scan) and ``*_profile`` (collected dict, the reference's
+stats_dict shape). All scans are single-pass with partial aggregation —
+map-side combine means the shuffle is one row per partition at any scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from etl_processes_spark.profile.types import (
+    BOOL_FALSE,
+    BOOL_FORMATS,
+    BOOL_TRUE,
+)
+from etl_processes_spark.profile.infer import bool_lower, datetime_parse
+
+# ---------------------------------------------------------------------------
+# numeric
+# ---------------------------------------------------------------------------
+
+
+def numeric_profile_exprs(c: str | Column, prefix: str = "") -> list[Column]:
+    """mean/std(pop)/median/min/max/skew/kurtosis/q1/q3/count
+    (Latanova_v1.py:179-189). ``skew``/``kurt`` are 0 for degenerate inputs
+    (n<=2 / n<=3), matching the reference's explicit guards (:185-186)."""
+    x = (F.col(c) if isinstance(c, str) else c).cast("double")
+    n = F.count(x)
+    p = prefix
+    return [
+        F.avg(x).alias(f"{p}mean"),
+        F.coalesce(F.stddev_pop(x), F.lit(0.0)).alias(f"{p}std"),
+        F.median(x).alias(f"{p}median"),
+        F.min(x).alias(f"{p}min_val"),
+        F.max(x).alias(f"{p}max_val"),
+        F.when(n > 2, F.coalesce(F.skewness(x), F.lit(0.0))).otherwise(0.0).alias(f"{p}skew"),
+        F.when(n > 3, F.coalesce(F.kurtosis(x), F.lit(0.0))).otherwise(0.0).alias(f"{p}kurt"),
+        F.percentile(x, F.lit(0.25)).alias(f"{p}q1"),
+        F.percentile(x, F.lit(0.75)).alias(f"{p}q3"),
+        n.alias(f"{p}n_samples"),
+    ]
+
+
+def numeric_profile_df(df: DataFrame, c: str, ndigits: int | None = None) -> DataFrame:
+    out = df.filter(F.col(c).isNotNull()).agg(*numeric_profile_exprs(c))
+    if ndigits is not None:
+        out = round_floats(out, ndigits)
+    return out
+
+
+def numeric_profile(df: DataFrame, c: str) -> dict | None:
+    """Reference stats_dict keys (Latanova_v1.py:179-190)."""
+    row = numeric_profile_df(df, c).collect()[0]
+    if row["n_samples"] == 0:
+        return None
+    return {
+        "mean": row["mean"], "std": row["std"], "median": row["median"],
+        "min": row["min_val"], "max": row["max_val"], "skew": row["skew"],
+        "kurtosis": row["kurt"], "q1": row["q1"], "q3": row["q3"],
+        "n_samples": row["n_samples"],
+    }
+
+
+# ---------------------------------------------------------------------------
+# boolean
+# ---------------------------------------------------------------------------
+
+
+def _bool_parse(c: str | Column) -> Column:
+    """Truthy→1, falsy→0, anything else → NULL (excluded; :235-241)."""
+    lower = bool_lower(c)
+    return (
+        F.when(lower.isin(*BOOL_TRUE), F.lit(1))
+        .when(lower.isin(*BOOL_FALSE), F.lit(0))
+        .otherwise(F.lit(None).cast("int"))
+    )
+
+
+# Spelling buckets for detect_boolean_format (Latanova_v1.py:96-117).
+# 'bool' (a native python bool) is detected from the Spark column type instead
+# of `val is True` — same semantics, type-driven.
+_BOOL_SPELLINGS: dict[str, tuple[str, ...]] = {
+    "true_false": ("true", "false"),
+    "yes_no": ("yes", "no"),
+    "one_zero": ("1", "0"),
+    "yn": ("y", "n"),
+    "tf": ("t", "f"),
+}
+
+
+def bool_profile_exprs(c: str | Column, is_native_bool: bool = False, prefix: str = "") -> list[Column]:
+    b = _bool_parse(c)
+    lower = bool_lower(c)
+    p = prefix
+    exprs = [
+        F.avg(b).alias(f"{p}true_probability"),
+        F.sum(b).alias(f"{p}true_count"),
+        (F.count(b) - F.sum(b)).alias(f"{p}false_count"),
+        F.count(b).alias(f"{p}n_samples"),
+    ]
+    for fmt, vocab in _BOOL_SPELLINGS.items():
+        cnt = (
+            F.lit(0).cast("long")
+            if is_native_bool
+            else F.sum(F.when(lower.isin(*vocab), 1).otherwise(0))
+        )
+        exprs.append(cnt.alias(f"{p}cnt_{fmt}"))
+    col = F.col(c) if isinstance(c, str) else c
+    exprs.append(
+        (F.count(col) if is_native_bool else F.lit(0).cast("long")).alias(f"{p}cnt_bool")
+    )
+    return exprs
+
+
+def bool_format_from_counts(counts: dict[str, int]) -> str | None:
+    """argmax over spelling counters; ties → earliest dict key; all-zero →
+    None (Latanova_v1.py:118-121)."""
+    best = max(BOOL_FORMATS, key=lambda f: counts.get(f, 0))
+    return best if counts.get(best, 0) > 0 else None
+
+
+def bool_profile_df(df: DataFrame, c: str, ndigits: int | None = None) -> DataFrame:
+    is_native = isinstance(df.schema[c].dataType, T.BooleanType)
+    out = df.filter(F.col(c).isNotNull()).agg(*bool_profile_exprs(c, is_native))
+    if ndigits is not None:
+        out = round_floats(out, ndigits)
+    return out
+
+
+def bool_profile(df: DataFrame, c: str) -> dict | None:
+    row = bool_profile_df(df, c).collect()[0].asDict()
+    if not row["n_samples"]:
+        return None
+    counts = {f: row[f"cnt_{f}"] for f in BOOL_FORMATS}
+    return {
+        "true_probability": float(row["true_probability"]),
+        "true_count": int(row["true_count"]),
+        "false_count": int(row["false_count"]),
+        "n_samples": int(row["n_samples"]),
+        "format": bool_format_from_counts(counts),
+    }
+
+
+# ---------------------------------------------------------------------------
+# categorical
+# ---------------------------------------------------------------------------
+
+
+def cat_profile_df(df: DataFrame, c: str, ndigits: int | None = None) -> DataFrame:
+    """value_counts(normalize=True) (Latanova_v1.py:262) as a DataFrame:
+    (category, cnt, probability), ordered count desc then value asc (defined
+    tie-break). One shuffle on the category key; partial agg bounds it."""
+    col = F.col(c)
+    counted = (
+        df.filter(col.isNotNull())
+        .groupBy(col.cast("string").alias("category"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    # Total via broadcast of a 1-row agg, NOT a global window (a
+    # partitionBy()-less window funnels everything to one task at scale).
+    total = counted.agg(F.sum("cnt").alias("__total"))
+    out = (
+        counted.crossJoin(F.broadcast(total))
+        .withColumn("probability", F.col("cnt") / F.col("__total"))
+        .drop("__total")
+        .orderBy(F.desc("cnt"), F.asc("category"))
+    )
+    if ndigits is not None:
+        out = round_floats(out, ndigits)
+    return out
+
+
+def cat_profile(df: DataFrame, c: str) -> dict | None:
+    rows = cat_profile_df(df, c).collect()
+    if not rows:
+        return None
+    cats = [r["category"] for r in rows]
+    probs = [r["probability"] for r in rows]
+    return {
+        "n_categories": len(rows),
+        "categories": cats,
+        "probabilities": probs,
+        "most_common": cats[0],
+        "most_common_prob": probs[0],
+        "n_samples": int(sum(r["cnt"] for r in rows)),
+    }
+
+
+# ---------------------------------------------------------------------------
+# datetime
+# ---------------------------------------------------------------------------
+
+
+def epoch_seconds(c: str | Column) -> Column:
+    """Epoch seconds, floored — pandas `.astype(int64) // 10**9`
+    (Latanova_v1.py:281). Timestamp→double is micros/1e6 in Spark; floor
+    matches pandas' integer floor-division for pre-1970 values too."""
+    return F.floor(datetime_parse(c).cast("double")).cast("long")
+
+
+def ts_expr(df: DataFrame, c: str) -> Column:
+    """Native timestamp/date columns pass through untouched (the string
+    round-trip in datetime_parse would drop sub-second precision)."""
+    if isinstance(df.schema[c].dataType, (T.TimestampType, T.TimestampNTZType, T.DateType)):
+        return F.col(c).cast("timestamp")
+    return datetime_parse(c)
+
+
+def datetime_profile_df(df: DataFrame, c: str, ndigits: int | None = None) -> DataFrame:
+    """numeric_profile over epoch seconds + min/max date strings
+    (Latanova_v1.py:273-298)."""
+    ts = ts_expr(df, c)
+    secs = F.floor(ts.cast("double")).cast("long").alias("__epoch")
+    base = df.select(ts.alias("__ts"), secs).filter(F.col("__ts").isNotNull())
+    exprs = numeric_profile_exprs("__epoch")
+    exprs += [
+        F.date_format(F.min("__ts"), "yyyy-MM-dd HH:mm:ss").alias("min_date"),
+        F.date_format(F.max("__ts"), "yyyy-MM-dd HH:mm:ss").alias("max_date"),
+    ]
+    out = base.agg(*exprs)
+    if ndigits is not None:
+        out = round_floats(out, ndigits)
+    return out
+
+
+def detect_date_format(df: DataFrame, c: str) -> str | None:
+    """Regex-match a representative value against the 3 supported patterns
+    (Latanova_v1.py:284-291). The reference uses iloc[0]; Spark has no row
+    order, so we probe min(value) — deterministic (documented divergence)."""
+    import re
+
+    if isinstance(df.schema[c].dataType, (T.TimestampType, T.TimestampNTZType, T.DateType)):
+        return "YYYY-MM-DD"
+    sample = df.filter(F.col(c).isNotNull()).agg(F.min(F.col(c).cast("string"))).collect()[0][0]
+    if sample is None:
+        return None
+    s = str(sample)
+    if re.match(r"\d{4}-\d{2}-\d{2}", s):
+        return "YYYY-MM-DD"
+    if re.match(r"\d{2}/\d{2}/\d{4}", s):
+        return "MM/DD/YYYY"
+    if re.match(r"\d{2}-\d{2}-\d{4}", s):
+        return "DD-MM-YYYY"
+    return None
+
+
+def datetime_profile(df: DataFrame, c: str) -> dict | None:
+    row = datetime_profile_df(df, c).collect()[0]
+    if row["n_samples"] == 0:
+        return None
+    return {
+        "mean": row["mean"], "std": row["std"], "median": row["median"],
+        "min": float(row["min_val"]), "max": float(row["max_val"]),
+        "skew": row["skew"], "kurtosis": row["kurt"],
+        "q1": row["q1"], "q3": row["q3"], "n_samples": row["n_samples"],
+        "date_format": detect_date_format(df, c),
+        "min_date": row["min_date"], "max_date": row["max_date"],
+    }
+
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+
+def round_floats(df: DataFrame, ndigits: int) -> DataFrame:
+    """Round every floating column — used by oracle-checked queries so the
+    driver's value-hash is stable across Spark/DuckDB float summation order."""
+    cols = []
+    for f in df.schema.fields:
+        if isinstance(f.dataType, (T.DoubleType, T.FloatType)):
+            cols.append(F.round(F.col(f.name).cast("double"), ndigits).alias(f.name))
+        else:
+            cols.append(F.col(f.name))
+    return df.select(*cols)

@@ -1,0 +1,43 @@
+"""SparkSession factory with scale-aware defaults.
+
+Local testing runs on local[N]; the configs below are chosen so the same plans
+hold on a multi-executor cluster at 100 TB: AQE re-plans shuffles at runtime
+(coalescing + skew-join splitting), Arrow keeps the pandas-UDF path batched,
+and broadcast thresholds let Catalyst pick broadcast-hash joins for dims.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "etl_processes_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    master = master or f"local[{cpus}]"
+    shuffle_partitions = shuffle_partitions or int(cpus)
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        # AQE: runtime shuffle coalescing, skew-join splitting, join re-plan.
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Size shuffles for the local harness; on a real cluster this is set
+        # per-job (AQE coalesces down from a high initial count).
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # Arrow for pandas_udf / mapInPandas (the embedding + decode path).
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Reference semantics rely on best-effort casts (null on failure); we
+        # use try_cast explicitly, but keep ANSI off to match non-strict
+        # arithmetic (e.g. overflow-free unix_timestamp math).
+        .config("spark.sql.ansi.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    return builder.getOrCreate()

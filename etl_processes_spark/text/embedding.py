@@ -1,0 +1,283 @@
+"""Text/embedding pipeline — reference Latanova_v1.py:19-62 (tokenize +
+vectorise), :194-226 (text stats), :300-344 (MVN generation + k-NN decode).
+
+The reference loads a pretrained FastText model that is ABSENT from the
+snapshot (Latanova_v1.py:19; the script is non-runnable as shipped). This
+engine replaces it with a DETERMINISTIC hash-seeded token embedding: every
+token's vector is ``randn(V)`` drawn from a numpy RNG seeded by a stable hash
+of the token. This simultaneously fixes the reference's unseeded-OOV
+nondeterminism (SURVEY.md §2.11 Q5) — in-vocabulary and OOV tokens are the
+same deterministic function; the "vocabulary" (for k-NN decode) is the
+distinct token set of the profiled entries.
+
+Scale design: vectorisation is an Arrow-batched pandas_udf (no per-row Python
+dispatch); per-dimension moments use posexplode + groupBy(dim) (shuffles d
+small rows per input partition thanks to partial agg); covariance is a
+distributed Gramian (Σ x·xᵀ tree-aggregated as a d²-length array column), so
+raw n×d vectors are NEVER collected (unlike Latanova_v1.py:223-224 which
+retains the full matrix in the stats dict). Generation draws z ~ N(0, I) with
+a per-row-id-seeded RNG inside mapInPandas (deterministic under any
+partitioning) and applies the driver-computed Cholesky factor.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from etl_processes_spark.profile.types import ColumnProfile
+
+MAX_TOKENS_PER_ENTRY = 32  # Latanova_v1.py:21
+VECTOR_SIZE = 8  # engine knob; reference model dim is unknowable (model absent)
+
+# gensim simple_preprocess parity (Latanova_v1.py:29,48): unicode alphabetic
+# runs (no digits), lowercased, 2 <= len <= 15.
+_TOKEN_RE = re.compile(r"(?:(?!\d)\w)+", re.UNICODE)
+MIN_TOKEN_LEN, MAX_TOKEN_LEN = 2, 15
+
+
+def tokenize(text: str) -> list[str]:
+    if text is None:
+        return []
+    return [
+        t
+        for t in _TOKEN_RE.findall(str(text).lower())
+        if MIN_TOKEN_LEN <= len(t) <= MAX_TOKEN_LEN
+    ]
+
+
+def tokenize_expr(c: str | Column) -> Column:
+    """Column-expression twin of tokenize() — JVM-side, for native pipelines."""
+    col = F.col(c) if isinstance(c, str) else c
+    toks = F.split(F.lower(col.cast("string")), r"[^\p{L}_]+")
+    return F.filter(
+        toks,
+        lambda t: (F.length(t) >= MIN_TOKEN_LEN) & (F.length(t) <= MAX_TOKEN_LEN),
+    )
+
+
+def token_vector(token: str, vector_size: int = VECTOR_SIZE) -> np.ndarray:
+    """Deterministic hash-seeded embedding: randn(V) keyed by md5(token)."""
+    seed = int.from_bytes(hashlib.md5(token.encode("utf-8")).digest()[:4], "little")
+    return np.random.RandomState(seed).randn(vector_size)
+
+
+def vectorise_entry(entry: str, vector_size: int = VECTOR_SIZE) -> np.ndarray:
+    """Token vectors, truncated/zero-padded to MAX_TOKENS_PER_ENTRY, then
+    concatenated to a fixed 32·V vector (Latanova_v1.py:45-62)."""
+    toks = tokenize(entry)[:MAX_TOKENS_PER_ENTRY]
+    out = np.zeros(MAX_TOKENS_PER_ENTRY * vector_size)
+    for i, t in enumerate(toks):
+        out[i * vector_size : (i + 1) * vector_size] = token_vector(t, vector_size)
+    return out
+
+
+def vectorise_udf(vector_size: int = VECTOR_SIZE):
+    """Arrow-batched pandas_udf: string → array<double> (the 32·V entry vec)."""
+
+    @F.pandas_udf(T.ArrayType(T.DoubleType()))
+    def _vec(s: pd.Series) -> pd.Series:
+        return s.map(lambda e: vectorise_entry(e, vector_size).tolist())
+
+    return _vec
+
+
+def embed_entries(df: DataFrame, c: str, vector_size: int = VECTOR_SIZE) -> DataFrame:
+    """df + ``__vec`` column of 32·V doubles."""
+    return df.withColumn("__vec", vectorise_udf(vector_size)(F.col(c).cast("string")))
+
+
+# ---------------------------------------------------------------------------
+# distributed moments + covariance (never collects raw vectors)
+# ---------------------------------------------------------------------------
+
+
+def _per_dim_moments(vec_df: DataFrame) -> np.ndarray:
+    """(d, 5) array of per-dimension mean/std_pop/median/skew/kurt via
+    posexplode + groupBy(dim) — one shuffle of d·partitions tiny rows."""
+    exploded = vec_df.select(F.posexplode("__vec").alias("dim", "x"))
+    agg = (
+        exploded.groupBy("dim")
+        .agg(
+            F.avg("x").alias("mean"),
+            F.coalesce(F.stddev_pop("x"), F.lit(0.0)).alias("std"),
+            F.median("x").alias("median"),
+            F.coalesce(F.skewness("x"), F.lit(0.0)).alias("skew"),
+            F.coalesce(F.kurtosis("x"), F.lit(0.0)).alias("kurt"),
+        )
+        .orderBy("dim")
+        .collect()
+    )
+    return np.array([[r["mean"], r["std"], r["median"], r["skew"], r["kurt"]] for r in agg])
+
+
+def _covariance(vec_df: DataFrame, d: int) -> tuple[np.ndarray, np.ndarray, int]:
+    """Sample covariance (np.cov ddof=1 parity, Latanova_v1.py:206) via a
+    distributed Gramian: per-partition Σ x·xᵀ and Σ x as flat arrays, reduced
+    with a treeAggregate-style RDD fold; only the d² result reaches the
+    driver."""
+
+    def seq(acc, row):
+        x = np.asarray(row[0])
+        acc[0] += np.outer(x, x).ravel()
+        acc[1] += x
+        acc[2] += 1
+        return acc
+
+    def comb(a, b):
+        a[0] += b[0]
+        a[1] += b[1]
+        a[2] += b[2]
+        return a
+
+    zero = [np.zeros(d * d), np.zeros(d), 0]
+    gram, s, n = vec_df.select("__vec").rdd.treeAggregate(zero, seq, comb)
+    mean = s / n
+    cov = (gram.reshape(d, d) - n * np.outer(mean, mean)) / (n - 1) if n > 1 else np.zeros((d, d))
+    return cov, mean, n
+
+
+def text_profile(
+    df: DataFrame, c: str, vector_size: int = VECTOR_SIZE, build_vocab_limit: int = 100000
+) -> dict | None:
+    """calculate_text_statistics (Latanova_v1.py:194-226) — same stats_dict
+    keys, but vectorised_data/raw_entries are NOT retained (scale; the
+    bootstrap/knn paths keep only the bounded vocabulary)."""
+    base = df.filter(F.col(c).isNotNull())
+    vec_df = embed_entries(base, c, vector_size).persist()
+    try:
+        d = MAX_TOKENS_PER_ENTRY * vector_size
+        moments = _per_dim_moments(vec_df)
+        if moments.size == 0:
+            return None
+        cov, mean_vec, n = _covariance(vec_df, d)
+        # Vocabulary for k-NN decode: distinct tokens of the profiled text.
+        vocab_rows = (
+            base.select(F.explode(tokenize_expr(c)).alias("token"))
+            .groupBy("token")
+            .count()
+            .orderBy(F.desc("count"), F.asc("token"))
+            .limit(build_vocab_limit)
+            .collect()
+        )
+        vocab = [r["token"] for r in vocab_rows]
+        mean_per_dim, std_per_dim = moments[:, 0], moments[:, 1]
+        return {
+            "overall_mean": float(np.mean(mean_per_dim)),
+            "overall_std": float(np.mean(std_per_dim)),
+            "std_of_means": float(np.std(mean_per_dim)),
+            "mean_of_medians": float(np.mean(moments[:, 2])),
+            "asymmetry_avg": float(np.mean(moments[:, 3])),
+            "excess_avg": float(np.mean(moments[:, 4])),
+            "vector_dim": d,
+            "mean_vector": mean_vec,
+            "cov_matrix": cov,
+            "cov_diagonal": np.diag(cov),
+            "cov_trace": float(np.trace(cov)),
+            "cov_det": float(np.linalg.det(cov + np.eye(d) * 1e-6)),
+            "n_samples": int(n),
+            "vocab": vocab,
+            "vector_size": vector_size,
+        }
+    finally:
+        vec_df.unpersist()
+
+
+# ---------------------------------------------------------------------------
+# k-NN decode + MVN generation
+# ---------------------------------------------------------------------------
+
+
+def _vocab_matrix(vocab: list[str], vector_size: int) -> np.ndarray:
+    return np.stack([token_vector(t, vector_size) for t in vocab]) if vocab else np.zeros((0, vector_size))
+
+
+def knn_decode(
+    vectors: np.ndarray, vocab: list[str], vocab_mat: np.ndarray, topn: int = 3
+) -> list[str]:
+    """similar_by_vector(topn=3) then first alphanumeric word
+    (Latanova_v1.py:338-342): cosine similarity against the vocabulary."""
+    if len(vocab) == 0:
+        return ["" for _ in range(len(vectors))]
+    norms = np.linalg.norm(vocab_mat, axis=1)
+    norms[norms == 0] = 1.0
+    out = []
+    vnorm = np.linalg.norm(vectors, axis=1)
+    vnorm[vnorm == 0] = 1.0
+    sims = (vectors @ vocab_mat.T) / (vnorm[:, None] * norms[None, :])
+    k = min(topn, len(vocab))
+    for row in sims:
+        idx = np.argpartition(-row, k - 1)[:k]
+        idx = idx[np.argsort(-row[idx])]
+        word = ""
+        for j in idx:
+            if vocab[j].isalnum():
+                word = vocab[j]
+                break
+        out.append(word)
+    return out
+
+
+def gen_text_column(
+    spark: SparkSession,
+    frame: DataFrame,
+    out_col: str,
+    prof: ColumnProfile,
+    seed: int,
+) -> DataFrame:
+    """generate_synthetic_text (Latanova_v1.py:300-344): sample
+    x ~ N(mu, C + 1e-6·I) per row, decode each of the 32 token slots to its
+    nearest alphanumeric vocabulary word, space-join.
+
+    Spark shape: Cholesky L of the d×d covariance is computed ONCE on the
+    driver and broadcast with the vocabulary matrix; each executor draws
+    z ~ N(0, I) from an RNG seeded by (seed, row id) — deterministic under
+    any partitioning — and decodes with a vectorised cosine k-NN. Falls back
+    to iid N(overall_mean, overall_std) when Cholesky fails (:327-332)."""
+    s = prof.stats
+    d = int(s["vector_dim"])
+    vector_size = int(s.get("vector_size", VECTOR_SIZE))
+    vocab = list(s.get("vocab") or [])
+    mu = np.asarray(s["mean_vector"], dtype=float)
+    cov = np.asarray(s["cov_matrix"], dtype=float) + np.eye(d) * 1e-6
+    try:
+        chol = np.linalg.cholesky(cov)
+        fallback = None
+    except np.linalg.LinAlgError:
+        chol = None
+        fallback = (float(s["overall_mean"]), float(s["overall_std"]))
+    vocab_mat = _vocab_matrix(vocab, vector_size)
+    sc = spark.sparkContext
+    b = sc.broadcast((chol, fallback, mu, vocab, vocab_mat))
+
+    if "id" not in frame.columns:
+        raise ValueError("gen_text_column expects the spark.range seed frame with an 'id' column")
+    out_schema = T.StructType(
+        [f for f in frame.schema.fields] + [T.StructField(out_col, T.StringType())]
+    )
+
+    def gen(batches):
+        chol_, fb, mu_, vocab_, vmat = b.value
+        for pdf in batches:
+            ids = pdf["id"].to_numpy()
+            texts = []
+            for rid in ids:
+                rng = np.random.RandomState((seed * 1_000_003 + int(rid)) % (2**32))
+                if chol_ is not None:
+                    x = mu_ + chol_ @ rng.randn(len(mu_))
+                else:
+                    x = rng.normal(fb[0], fb[1], size=len(mu_))
+                slots = x.reshape(MAX_TOKENS_PER_ENTRY, vector_size)
+                words = knn_decode(slots, vocab_, vmat, topn=3)
+                texts.append(" ".join(w for w in words if w).strip())
+            pdf = pdf.copy()
+            pdf[out_col] = texts
+            yield pdf
+
+    return frame.mapInPandas(gen, schema=out_schema)
