@@ -1,10 +1,13 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` maps every implemented operator ID from SURVEY.md §2 (plus the
+driver-mandated extensions) to a (spark, sf_dir) -> DataFrame callable;
+``oracle_sql()`` gives the DuckDB-equivalent SQL for every SQL-expressible
+one. Column names/aliases match pairwise; float outputs are rounded (or
+decimal-exact) on BOTH sides so the driver's value-hash is stable.
+
+Non-SQL-expressible ops (seeded generators, MinHash/SimHash/winnowing which
+use Spark's xxhash64, LSH ANN) appear in queries() only → rows-only check.
 """
 
 from __future__ import annotations
@@ -12,27 +15,814 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+ND = 6  # float rounding for hash-stable comparisons
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        return _load_events(spark, sf_dir)
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet stores ts as TIMESTAMP(NANOS), which Spark's vectorized
+    reader rejects. Read nanos as long (legacy flag) and convert to a real
+    timestamp via integer division (never through double: nanos ~1.7e18
+    exceed 2^53). Falls back to an Arrow-side conversion if the flag is
+    static in the driver's session."""
+    path = f"{sf_dir}/events.parquet"
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass
+    try:
+        df = spark.read.parquet(path)
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df
+    except Exception:
+        import pyarrow.parquet as pq
+
+        pdf = pq.read_table(path).to_pandas()
+        pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+        return spark.createDataFrame(pdf)
+
+
+# ---------------------------------------------------------------------------
+# flagship
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full numeric profile of lineitem.l_extendedprice at sf0.001
+    (SURVEY.md §7 phase 0)."""
+    from etl_processes_spark.profile import numeric_profile_df
+
+    lineitem = _t(spark, "/root/testdata/sf0.001", "lineitem")
+    return numeric_profile_df(lineitem, "l_extendedprice", ndigits=ND)
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from etl_processes_spark.generate import generate
+    from etl_processes_spark.generate.generators import bootstrap_resample
+    from etl_processes_spark.ops.dedup import (
+        content_hash_expr,
+        dedup_exact_keep_min,
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+        simhash_fingerprints,
+    )
+    from etl_processes_spark.ops.relational import (
+        part_type_stats,
+        pricing_summary,
+        revenue_by_nation,
+        top_unshipped_orders,
+    )
+    from etl_processes_spark.ops.similarity import ann_cosine_lsh, cosine_topk
+    from etl_processes_spark.ops.textstats import (
+        fingerprint,
+        lang_id,
+        quality_features,
+        token_count,
+        winnowing_fingerprints,
+    )
+    from etl_processes_spark.profile import (
+        ColumnProfile,
+        bool_profile_df,
+        cat_profile_df,
+        datetime_profile_df,
+        infer_types,
+        numeric_profile_df,
+        profile,
+    )
+    from etl_processes_spark.profile.infer import (
+        datetime_parse,
+        email_pred,
+        integral_pred,
+        numeric_pred,
+        phone_pred,
+    )
+    from etl_processes_spark.streaming.windows import (
+        hourly_event_rollup,
+        sessionize,
+        user_running_totals,
+    )
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    # -- profiling core ------------------------------------------------------
+
+    from etl_processes_spark.profile.profilers import numeric_profile_exact_df
+
+    def q_numeric_profile(spark, sf):
+        # cents-scaled exact power sums (hash-stable; see numeric_profile_exact_df)
+        li = _t(spark, sf, "lineitem").filter(F.col("l_extendedprice").isNotNull())
+        return numeric_profile_exact_df(
+            li, F.round(F.col("l_extendedprice") * 100, 0), out_mult=0.01
+        )
+
+    def q_numeric_profile_quantity(spark, sf):
+        li = _t(spark, sf, "lineitem").filter(F.col("l_quantity").isNotNull())
+        return numeric_profile_exact_df(li, F.col("l_quantity"), out_mult=1.0)
+
+    def q_datetime_profile(spark, sf):
+        # integer days since epoch (orderdate is date-level), rescaled to secs
+        o = _t(spark, sf, "orders").filter(F.col("o_orderdate").isNotNull())
+        days = F.col("o_orderdate").cast("timestamp").cast("double") / 86400
+        out = numeric_profile_exact_df(o, days, out_mult=86400.0)
+        return out.withColumn(
+            "min_date",
+            F.date_format(F.timestamp_seconds(F.col("min_val")), "yyyy-MM-dd HH:mm:ss"),
+        ).withColumn(
+            "max_date",
+            F.date_format(F.timestamp_seconds(F.col("max_val")), "yyyy-MM-dd HH:mm:ss"),
+        )
+
+    def q_bool_profile(spark, sf):
+        df = _t(spark, sf, "lineitem").select(
+            F.when(F.col("l_discount") > 0.05, F.lit("yes")).otherwise(F.lit("no")).alias("flag")
+        )
+        return bool_profile_df(df, "flag", ndigits=ND)
+
+    def q_cat_profile(spark, sf):
+        return cat_profile_df(_t(spark, sf, "orders"), "o_orderpriority", ndigits=ND)
+
+    def q_topk_categories(spark, sf):
+        return cat_profile_df(_t(spark, sf, "part"), "p_brand", ndigits=ND).limit(10)
+
+    def q_infer_predicates(spark, sf):
+        c = _t(spark, sf, "customer")
+        return c.agg(
+            F.round(F.avg(F.when(email_pred("c_name"), 1.0).otherwise(0.0)), ND).alias("email_ratio"),
+            F.round(F.avg(F.when(phone_pred("c_name"), 1.0).otherwise(0.0)), ND).alias("phone_ratio"),
+            F.round(F.avg(F.when(numeric_pred("c_name"), 1.0).otherwise(0.0)), ND).alias("numeric_ratio"),
+            F.round(
+                F.avg(F.when(numeric_pred("c_acctbal"), F.when(integral_pred("c_acctbal"), 1.0).otherwise(0.0))),
+                ND,
+            ).alias("int_ratio_acctbal"),
+            F.round(
+                F.avg(F.when(datetime_parse("c_name").isNotNull(), 1.0).otherwise(0.0)), ND
+            ).alias("datetime_ratio"),
+            F.round(
+                F.count_distinct(F.trim(F.col("c_mktsegment"))) / F.count(F.col("c_mktsegment")), ND
+            ).alias("unique_ratio_mktsegment"),
+        )
+
+    def q_bool_vocab_pred(spark, sf):
+        df = _t(spark, sf, "lineitem").select(
+            (F.col("l_linenumber") % 2).cast("string").alias("b")
+        )
+        lower = F.lower(F.trim(F.col("b")))
+        vocab = ("true", "false", "1", "0", "yes", "no", "y", "n", "t", "f")
+        return df.agg(
+            F.count_distinct(lower).alias("n_distinct_lower"),
+            F.max(F.when(~lower.isin(*vocab), 1).otherwise(0)).alias("outside_bool_vocab"),
+        )
+
+    def q_date_format_detect(spark, sf):
+        s = F.min(F.date_format(F.col("o_orderdate"), "yyyy-MM-dd HH:mm:ss"))
+        return _t(spark, sf, "orders").agg(
+            F.when(s.rlike(r"^\d{4}-\d{2}-\d{2}"), F.lit("YYYY-MM-DD"))
+            .when(s.rlike(r"^\d{2}/\d{2}/\d{4}"), F.lit("MM/DD/YYYY"))
+            .when(s.rlike(r"^\d{2}-\d{2}-\d{4}"), F.lit("DD-MM-YYYY"))
+            .otherwise(F.lit(None).cast("string"))
+            .alias("date_format")
+        )
+
+    def q_drop_null_rows(spark, sf):
+        o = _t(spark, sf, "orders")
+        return o.na.drop("any").agg(F.count(F.lit(1)).alias("n_rows"))
+
+    # -- row ops (rows-only) ---------------------------------------------------
+
+    def q_sample_n(spark, sf):
+        o = _t(spark, sf, "orders")
+        from etl_processes_spark.profile import sample_frame
+
+        return sample_frame(o, 1000, seed=42)
+
+    # -- generators (rows-only: seeded, non-SQL) -------------------------------
+
+    def q_gen_numeric(spark, sf):
+        li = _t(spark, sf, "lineitem")
+        from etl_processes_spark.profile import numeric_profile
+        from etl_processes_spark.generate.generators import gen_numeric
+
+        stats = numeric_profile(li, "l_extendedprice")
+        return spark.range(1000).select(gen_numeric(stats, False, 11).alias("value"))
+
+    def q_gen_boolean(spark, sf):
+        from etl_processes_spark.generate.generators import gen_boolean
+
+        stats = {"true_probability": 0.25}
+        return spark.range(1000).select(gen_boolean(stats, "yes_no", 13).alias("flag"))
+
+    def q_gen_categorical(spark, sf):
+        from etl_processes_spark.profile import cat_profile
+        from etl_processes_spark.generate.generators import gen_categorical
+
+        stats = cat_profile(_t(spark, sf, "orders"), "o_orderpriority")
+        return (
+            spark.range(1000)
+            .withColumn("__r", F.rand(17))
+            .select(gen_categorical(stats, F.col("__r")).alias("priority"))
+        )
+
+    def q_gen_datetime(spark, sf):
+        from etl_processes_spark.profile import datetime_profile
+        from etl_processes_spark.generate.generators import gen_datetime
+
+        stats = datetime_profile(_t(spark, sf, "orders"), "o_orderdate")
+        return spark.range(1000).select(gen_datetime(stats, "YYYY-MM-DD", 19).alias("orderdate"))
+
+    def q_bootstrap_resample(spark, sf):
+        docs = _t(spark, sf, "documents")
+        entries = [r[0] for r in docs.select("text").limit(200).collect()]
+        return spark.range(1000).select(bootstrap_resample(entries, 23).alias("text"))
+
+    def q_synthesize_orders(spark, sf):
+        profs = profile(_t(spark, sf, "orders"))
+        return generate(spark, profs, 500, seed=29)
+
+    def q_infer_types_customer(spark, sf):
+        types = infer_types(_t(spark, sf, "customer"))
+        return spark.createDataFrame(
+            sorted(types.items()), ["column_name", "logical_type"]
+        )
+
+    # -- §2.1 sources/sinks + remaining row ops --------------------------------
+
+    def q_select_all(spark, sf):
+        return _t(spark, sf, "documents").select("*")
+
+    def q_drop_null_col(spark, sf):
+        c = _t(spark, sf, "customer")
+        return c.filter(F.col("c_acctbal").isNotNull()).agg(
+            F.count(F.lit(1)).alias("n_nonnull")
+        )
+
+    def q_csv_roundtrip(spark, sf):
+        import tempfile
+
+        out = tempfile.mkdtemp(prefix="csv_sink_", dir="/tmp")
+        docs = _t(spark, sf, "documents").select("doc_id", "lang", "source", "n_chars")
+        docs.coalesce(1).write.mode("overwrite").csv(out, header=True)
+        back = spark.read.csv(out, header=True, inferSchema=True)
+        return back.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+
+    def q_histogram_bins(spark, sf):
+        from etl_processes_spark.profile.profilers import histogram_df
+
+        return histogram_df(_t(spark, sf, "lineitem"), "l_extendedprice", bins=50)
+
+    # -- text/embedding pipeline (rows-only: hash-embedding model) -------------
+
+    def q_text_profile_stats(spark, sf):
+        from etl_processes_spark.text import text_profile
+
+        prof = text_profile(_t(spark, sf, "documents"), "text", vector_size=4)
+        row = {
+            k: float(prof[k])
+            for k in (
+                "overall_mean", "overall_std", "std_of_means", "mean_of_medians",
+                "asymmetry_avg", "excess_avg", "cov_trace",
+            )
+        }
+        row["vector_dim"] = prof["vector_dim"]
+        row["n_samples"] = prof["n_samples"]
+        row["vocab_size"] = len(prof["vocab"])
+        return spark.createDataFrame([row])
+
+    def q_gen_text_mvn(spark, sf):
+        from etl_processes_spark.profile.types import ColumnProfile
+        from etl_processes_spark.text import gen_text_column, text_profile
+
+        prof = text_profile(_t(spark, sf, "documents"), "text", vector_size=4)
+        cp = ColumnProfile("text", "text", None, prof)
+        return gen_text_column(spark, spark.range(50), "text", cp, seed=37).select("text")
+
+    def q_pca_2d(spark, sf):
+        from pyspark.ml.feature import PCA
+        from pyspark.ml.functions import array_to_vector, vector_to_array
+
+        e = _t(spark, sf, "embeddings").select(
+            "vec_id", array_to_vector(F.col("embedding").cast("array<double>")).alias("v")
+        )
+        model = PCA(k=2, inputCol="v", outputCol="pc").fit(e)
+        return (
+            model.transform(e)
+            .select("vec_id", vector_to_array(F.col("pc")).alias("pc"))
+            .select(
+                "vec_id",
+                F.round(F.col("pc")[0], 6).alias("pc1"),
+                F.round(F.col("pc")[1], 6).alias("pc2"),
+            )
+        )
+
+    def q_gen_unknown(spark, sf):
+        from etl_processes_spark.generate.generators import gen_unknown
+
+        return spark.range(100).select(gen_unknown().alias("v"))
+
+    def q_validate_roundtrip(spark, sf):
+        from etl_processes_spark.validate import validate
+
+        o = _t(spark, sf, "orders")
+        profs = profile(o)
+        synth = generate(spark, profs, 500, seed=29)
+        report = validate(profs, synth)
+        rows = []
+        for col, res in report.items():
+            for metric, val in res.items():
+                rows.append((col, metric, float(val) if isinstance(val, (int, float, bool)) else None))
+        return spark.createDataFrame(rows, ["column_name", "metric", "value"])
+
+    # -- multimodal (rows-only: media table built in-session) ------------------
+
+    def q_multimodal_features(spark, sf):
+        from etl_processes_spark.ops.multimodal import extract_features, make_fake_media_df
+
+        return extract_features(make_fake_media_df(spark, n=64))
+
+    def q_multimodal_frame_plan(spark, sf):
+        from etl_processes_spark.ops.multimodal import frame_sample_plan, make_fake_media_df
+
+        return frame_sample_plan(make_fake_media_df(spark, n=64), every_ms=1000)
+
+    def q_media_stats(spark, sf):
+        from etl_processes_spark.ops.multimodal import make_fake_media_df, media_stats
+
+        return media_stats(make_fake_media_df(spark, n=64))
+
+    # -- dedup ------------------------------------------------------------------
+
+    def q_dedup_exact(spark, sf):
+        d = _t(spark, sf, "documents")
+        return dedup_exact_keep_min(d, "doc_id", F.col("text")).select(
+            F.col("doc_id"), F.col("__key").alias("text")
+        )
+
+    def q_dedup_exact_hash(spark, sf):
+        d = _t(spark, sf, "documents")
+        return (
+            d.select(F.col("doc_id"), content_hash_expr("text").alias("content_sha"))
+            .groupBy("content_sha")
+            .agg(F.min("doc_id").alias("doc_id"))
+            .select("doc_id", "content_sha")
+        )
+
+    def q_ngram_jaccard_pairs(spark, sf):
+        d = _t(spark, sf, "documents")
+        return ngram_jaccard_pairs(d, "doc_id", "text", k=3, threshold=0.06, ndigits=ND)
+
+    def q_minhash_lsh_pairs(spark, sf):
+        d = _t(spark, sf, "documents")
+        return minhash_lsh_pairs(d, "doc_id", "text", num_hashes=64, bands=16, k=3, threshold=0.06)
+
+    def q_simhash_fingerprints(spark, sf):
+        return simhash_fingerprints(_t(spark, sf, "documents"), "doc_id", "text")
+
+    # -- similarity ---------------------------------------------------------------
+
+    def q_cosine_topk(spark, sf):
+        e = _t(spark, sf, "embeddings")
+        return cosine_topk(e, e.filter(F.col("vec_id") < 20), "vec_id", "embedding", k=5, ndigits=ND)
+
+    def q_ann_cosine_lsh(spark, sf):
+        e = _t(spark, sf, "embeddings")
+        return ann_cosine_lsh(
+            e, e.filter(F.col("vec_id") < 20), "vec_id", "embedding", k=5, num_planes=16, bands=4
+        )
+
+    # -- text analysis -------------------------------------------------------------
+
+    def q_token_count(spark, sf):
+        return token_count(_t(spark, sf, "documents"), "doc_id", "text")
+
+    def q_lang_id(spark, sf):
+        return lang_id(_t(spark, sf, "documents"), "doc_id", "text")
+
+    def q_quality_score(spark, sf):
+        return quality_features(_t(spark, sf, "documents"), "doc_id", "text", ndigits=ND)
+
+    def q_fingerprint(spark, sf):
+        return fingerprint(_t(spark, sf, "documents"), "doc_id", "text")
+
+    def q_winnowing(spark, sf):
+        return winnowing_fingerprints(_t(spark, sf, "documents"), "doc_id", "text")
+
+    # -- events / windows ------------------------------------------------------------
+
+    def q_hourly_event_rollup(spark, sf):
+        return hourly_event_rollup(_t(spark, sf, "events"), ndigits=ND)
+
+    def q_sessionize(spark, sf):
+        return sessionize(_t(spark, sf, "events"), gap_minutes=30)
+
+    def q_user_running_totals(spark, sf):
+        return user_running_totals(_t(spark, sf, "events"), ndigits=ND)
+
+    # -- relational ---------------------------------------------------------------------
+
+    def q_pricing_summary(spark, sf):
+        return pricing_summary(_t(spark, sf, "lineitem"), ndigits=4)
+
+    def q_top_unshipped_orders(spark, sf):
+        return top_unshipped_orders(
+            _t(spark, sf, "customer"), _t(spark, sf, "orders"), _t(spark, sf, "lineitem"), k=10
+        )
+
+    def q_revenue_by_nation(spark, sf):
+        return revenue_by_nation(
+            _t(spark, sf, "region"),
+            _t(spark, sf, "nation"),
+            _t(spark, sf, "customer"),
+            _t(spark, sf, "orders"),
+            _t(spark, sf, "lineitem"),
+        )
+
+    def q_part_type_stats(spark, sf):
+        return part_type_stats(_t(spark, sf, "part"), _t(spark, sf, "lineitem"), ndigits=4)
+
+    return {
+        "select_all": q_select_all,
+        "drop_null_col": q_drop_null_col,
+        "csv_roundtrip": q_csv_roundtrip,
+        "histogram_bins": q_histogram_bins,
+        "text_profile_stats": q_text_profile_stats,
+        "gen_text_mvn": q_gen_text_mvn,
+        "pca_2d": q_pca_2d,
+        "gen_unknown": q_gen_unknown,
+        "validate_roundtrip": q_validate_roundtrip,
+        "multimodal_features": q_multimodal_features,
+        "multimodal_frame_plan": q_multimodal_frame_plan,
+        "media_stats": q_media_stats,
+        "numeric_profile": q_numeric_profile,
+        "numeric_profile_quantity": q_numeric_profile_quantity,
+        "datetime_profile": q_datetime_profile,
+        "bool_profile": q_bool_profile,
+        "cat_profile": q_cat_profile,
+        "topk_categories": q_topk_categories,
+        "infer_predicates": q_infer_predicates,
+        "bool_vocab_pred": q_bool_vocab_pred,
+        "date_format_detect": q_date_format_detect,
+        "drop_null_rows": q_drop_null_rows,
+        "sample_n": q_sample_n,
+        "gen_numeric": q_gen_numeric,
+        "gen_boolean": q_gen_boolean,
+        "gen_categorical": q_gen_categorical,
+        "gen_datetime": q_gen_datetime,
+        "bootstrap_resample": q_bootstrap_resample,
+        "synthesize_orders": q_synthesize_orders,
+        "infer_types_customer": q_infer_types_customer,
+        "dedup_exact": q_dedup_exact,
+        "dedup_exact_hash": q_dedup_exact_hash,
+        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "simhash_fingerprints": q_simhash_fingerprints,
+        "cosine_topk": q_cosine_topk,
+        "ann_cosine_lsh": q_ann_cosine_lsh,
+        "token_count": q_token_count,
+        "lang_id": q_lang_id,
+        "quality_score": q_quality_score,
+        "fingerprint": q_fingerprint,
+        "winnowing_fingerprints": q_winnowing,
+        "hourly_event_rollup": q_hourly_event_rollup,
+        "sessionize": q_sessionize,
+        "user_running_totals": q_user_running_totals,
+        "pricing_summary": q_pricing_summary,
+        "top_unshipped_orders": q_top_unshipped_orders,
+        "revenue_by_nation": q_revenue_by_nation,
+        "part_type_stats": q_part_type_stats,
+    }
+
+
+# ---------------------------------------------------------------------------
+# oracles
+# ---------------------------------------------------------------------------
+
+_TOKS = "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')"
+# coalesce: duckdb array_to_string([]) is NULL, Spark array_join([]) is ''
+_NORM_TEXT = f"coalesce(array_to_string({_TOKS}, ' '), '')"
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from etl_processes_spark.profile.profilers import NUMERIC_PROFILE_EXACT_SQL
+
+    sql: dict[str, str] = {}
+
+    sql["numeric_profile"] = NUMERIC_PROFILE_EXACT_SQL.format(
+        y="round(l_extendedprice * 100)",
+        tbl="lineitem",
+        notnull="l_extendedprice",
+        mult="CAST(0.01 AS DOUBLE)",
+    )
+    sql["numeric_profile_quantity"] = NUMERIC_PROFILE_EXACT_SQL.format(
+        y="l_quantity", tbl="lineitem", notnull="l_quantity", mult="CAST(1 AS DOUBLE)"
+    )
+
+    sql["datetime_profile"] = (
+        "SELECT p.*, "
+        "strftime(to_timestamp(min_val), '%Y-%m-%d %H:%M:%S') AS min_date, "
+        "strftime(to_timestamp(max_val), '%Y-%m-%d %H:%M:%S') AS max_date FROM ("
+        + NUMERIC_PROFILE_EXACT_SQL.format(
+            y="epoch(o_orderdate) / 86400",
+            tbl="orders",
+            notnull="o_orderdate",
+            mult="CAST(86400 AS DOUBLE)",
+        )
+        + ") p"
+    )
+
+    sql["bool_profile"] = """
+WITH v AS (SELECT CASE WHEN l_discount > 0.05 THEN 'yes' ELSE 'no' END AS b FROM lineitem),
+p AS (SELECT b, lower(trim(b)) AS lb,
+             CASE WHEN lower(trim(b)) IN ('true','yes','1','y','t') THEN 1
+                  WHEN lower(trim(b)) IN ('false','no','0','n','f') THEN 0 END AS t
+      FROM v)
+SELECT round(avg(t), 6) AS true_probability,
+       CAST(sum(t) AS BIGINT) AS true_count,
+       CAST(count(t) - sum(t) AS BIGINT) AS false_count,
+       CAST(count(t) AS BIGINT) AS n_samples,
+       CAST(sum(CASE WHEN lb IN ('true','false') THEN 1 ELSE 0 END) AS BIGINT) AS cnt_true_false,
+       CAST(sum(CASE WHEN lb IN ('yes','no') THEN 1 ELSE 0 END) AS BIGINT) AS cnt_yes_no,
+       CAST(sum(CASE WHEN lb IN ('1','0') THEN 1 ELSE 0 END) AS BIGINT) AS cnt_one_zero,
+       CAST(sum(CASE WHEN lb IN ('y','n') THEN 1 ELSE 0 END) AS BIGINT) AS cnt_yn,
+       CAST(sum(CASE WHEN lb IN ('t','f') THEN 1 ELSE 0 END) AS BIGINT) AS cnt_tf,
+       CAST(0 AS BIGINT) AS cnt_bool
+FROM p
+"""
+
+    _CAT_SQL = """
+WITH c AS (SELECT CAST({col} AS VARCHAR) AS category, CAST(count(*) AS BIGINT) AS cnt
+           FROM {tbl} WHERE {col} IS NOT NULL GROUP BY 1)
+SELECT category, cnt,
+       round(CAST(cnt AS DOUBLE) / (SELECT CAST(sum(cnt) AS DOUBLE) FROM c), 6) AS probability
+FROM c ORDER BY cnt DESC, category ASC{limit}
+"""
+    sql["cat_profile"] = _CAT_SQL.format(col="o_orderpriority", tbl="orders", limit="")
+    sql["topk_categories"] = _CAT_SQL.format(col="p_brand", tbl="part", limit=" LIMIT 10")
+
+    sql["infer_predicates"] = """
+SELECT
+  round(avg(CASE WHEN contains(trim(CAST(c_name AS VARCHAR)), '@')
+                  AND contains((string_split(trim(CAST(c_name AS VARCHAR)), '@'))[-1], '.')
+            THEN 1.0 ELSE 0.0 END), 6) AS email_ratio,
+  round(avg(CASE WHEN length(regexp_replace(trim(CAST(c_name AS VARCHAR)), '\\D', '', 'g')) BETWEEN 7 AND 15
+            THEN 1.0 ELSE 0.0 END), 6) AS phone_ratio,
+  round(avg(CASE WHEN try_cast(trim(CAST(c_name AS VARCHAR)) AS DOUBLE) IS NOT NULL
+            THEN 1.0 ELSE 0.0 END), 6) AS numeric_ratio,
+  round(avg(CASE WHEN try_cast(trim(CAST(c_acctbal AS VARCHAR)) AS DOUBLE) IS NOT NULL
+            THEN (CASE WHEN floor(try_cast(trim(CAST(c_acctbal AS VARCHAR)) AS DOUBLE))
+                            = try_cast(trim(CAST(c_acctbal AS VARCHAR)) AS DOUBLE)
+                  THEN 1.0 ELSE 0.0 END) END), 6) AS int_ratio_acctbal,
+  round(avg(CASE WHEN coalesce(try_cast(trim(CAST(c_name AS VARCHAR)) AS TIMESTAMP),
+                               try_strptime(trim(CAST(c_name AS VARCHAR)), '%m/%d/%Y'),
+                               try_strptime(trim(CAST(c_name AS VARCHAR)), '%d-%m-%Y')) IS NOT NULL
+            THEN 1.0 ELSE 0.0 END), 6) AS datetime_ratio,
+  round(CAST(count(DISTINCT trim(c_mktsegment)) AS DOUBLE) / count(c_mktsegment), 6) AS unique_ratio_mktsegment
+FROM customer
+"""
+
+    sql["bool_vocab_pred"] = """
+WITH v AS (SELECT lower(trim(CAST(l_linenumber % 2 AS VARCHAR))) AS lb FROM lineitem)
+SELECT CAST(count(DISTINCT lb) AS BIGINT) AS n_distinct_lower,
+       max(CASE WHEN lb NOT IN ('true','false','1','0','yes','no','y','n','t','f') THEN 1 ELSE 0 END) AS outside_bool_vocab
+FROM v
+"""
+
+    sql["date_format_detect"] = """
+WITH s AS (SELECT min(strftime(o_orderdate, '%Y-%m-%d %H:%M:%S')) AS v FROM orders)
+SELECT CASE WHEN regexp_matches(v, '^\\d{4}-\\d{2}-\\d{2}') THEN 'YYYY-MM-DD'
+            WHEN regexp_matches(v, '^\\d{2}/\\d{2}/\\d{4}') THEN 'MM/DD/YYYY'
+            WHEN regexp_matches(v, '^\\d{2}-\\d{2}-\\d{4}') THEN 'DD-MM-YYYY'
+       END AS date_format
+FROM s
+"""
+
+    sql["drop_null_rows"] = """
+SELECT CAST(count(*) AS BIGINT) AS n_rows FROM orders
+WHERE o_orderkey IS NOT NULL AND o_custkey IS NOT NULL AND o_orderstatus IS NOT NULL
+  AND o_totalprice IS NOT NULL AND o_orderdate IS NOT NULL AND o_orderpriority IS NOT NULL
+"""
+
+    sql["select_all"] = "SELECT * FROM documents"
+
+    sql["drop_null_col"] = (
+        "SELECT CAST(count(*) AS BIGINT) AS n_nonnull FROM customer WHERE c_acctbal IS NOT NULL"
+    )
+
+    sql["csv_roundtrip"] = (
+        "SELECT CAST(count(*) AS BIGINT) AS n_rows, CAST(sum(n_chars) AS BIGINT) AS sum_chars FROM documents"
+    )
+
+    from etl_processes_spark.profile.profilers import HISTOGRAM_SQL
+
+    sql["histogram_bins"] = HISTOGRAM_SQL.format(
+        col="l_extendedprice", tbl="lineitem", binsf="CAST(50 AS DOUBLE)", binsm1="49"
+    )
+
+    # -- dedup ----------------------------------------------------------------
+
+    sql["dedup_exact"] = """
+SELECT CAST(min(doc_id) AS BIGINT) AS doc_id, text FROM documents GROUP BY text
+"""
+
+    sql["dedup_exact_hash"] = f"""
+WITH h AS (SELECT doc_id, sha256({_NORM_TEXT}) AS content_sha FROM documents)
+SELECT CAST(min(doc_id) AS BIGINT) AS doc_id, content_sha FROM h GROUP BY content_sha
+"""
+
+    sql["ngram_jaccard_pairs"] = f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+sh0 AS (SELECT doc_id,
+               CASE WHEN len(t) >= 3
+                    THEN list_transform(range(1, len(t) - 3 + 2), i -> array_to_string(t[i:i+2], ' '))
+                    ELSE [array_to_string(t, ' ')] END AS shs
+        FROM toks),
+sh AS (SELECT DISTINCT doc_id, unnest(shs) AS shingle FROM sh0),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+common AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+           FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+           GROUP BY 1, 2)
+SELECT id_a, id_b,
+       round(CAST(c AS DOUBLE) / (sa.sz + sb.sz - c), 6) AS jaccard
+FROM common
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE round(CAST(c AS DOUBLE) / (sa.sz + sb.sz - c), 6) >= 0.06
+"""
+
+    # -- similarity --------------------------------------------------------------
+
+    sql["cosine_topk"] = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+q AS (SELECT * FROM e WHERE vec_id < 20),
+sims AS (SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+                round(list_cosine_similarity(q.v, e.v), 6) AS cosine_sim
+         FROM q, e WHERE q.vec_id <> e.vec_id),
+r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id) AS rk
+      FROM sims)
+SELECT query_id, neighbor_id, cosine_sim, CAST(rk AS INTEGER) AS rank FROM r WHERE rk <= 5
+"""
+
+    # -- text analysis -------------------------------------------------------------
+
+    sql["token_count"] = f"""
+SELECT doc_id,
+       CAST(len({_TOKS}) AS INTEGER) AS n_tokens,
+       CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS INTEGER) AS n_tokens_bpe,
+       CAST(length(text) AS INTEGER) AS n_chars_measured
+FROM documents
+"""
+
+    _MARKERS = {
+        "en": "('the','a','of','and','to','in','is')",
+        "de": "('der','die','das','und','ist','nicht','ein')",
+        "es": "('el','la','los','las','es','una','que')",
+        "fr": "('le','les','des','est','une','dans','qui')",
+    }
+    _scores = ", ".join(
+        f"len(list_filter({_TOKS}, t -> t IN {m})) AS s_{l}" for l, m in _MARKERS.items()
+    )
+    sql["lang_id"] = f"""
+WITH s AS (SELECT doc_id, {_scores} FROM documents),
+g AS (SELECT *, greatest(s_en, s_de, s_es, s_fr) AS best FROM s)
+SELECT doc_id,
+       CASE WHEN best = 0 THEN 'und'
+            WHEN s_en = best THEN 'en'
+            WHEN s_de = best THEN 'de'
+            WHEN s_es = best THEN 'es'
+            WHEN s_fr = best THEN 'fr' END AS pred_lang,
+       CAST(best AS BIGINT) AS lang_score
+FROM g
+"""
+
+    _STOP = "('the','a','an','of','and','or','to','in','is','it','on','for','with','as','at','by','be')"
+    sql["quality_score"] = f"""
+WITH b AS (
+  SELECT doc_id,
+         {_TOKS} AS toks,
+         CAST(length(text) AS DOUBLE) AS n_chars,
+         CAST(length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')) AS DOUBLE) AS alpha_chars
+  FROM documents),
+f AS (
+  SELECT doc_id,
+         CAST(len(toks) AS DOUBLE) AS n_tok,
+         CAST(len(list_filter(toks, t -> t IN {_STOP})) AS DOUBLE) AS stop_hits,
+         CASE WHEN len(toks) > 0
+              THEN CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE) / len(toks)
+              ELSE 0.0 END AS mean_tok_len,
+         n_chars, alpha_chars
+  FROM b)
+SELECT doc_id,
+       round(least(n_tok / 100.0, 1.0), 6) AS len_score,
+       round(CASE WHEN n_chars > 0 THEN alpha_chars / n_chars ELSE 0.0 END, 6) AS alpha_ratio,
+       round(CASE WHEN n_tok > 0 THEN stop_hits / n_tok ELSE 0.0 END, 6) AS stopword_ratio,
+       round(mean_tok_len, 6) AS mean_token_len,
+       round(0.4 * least(n_tok / 100.0, 1.0)
+             + 0.3 * (CASE WHEN n_chars > 0 THEN alpha_chars / n_chars ELSE 0.0 END)
+             + 0.3 * least((CASE WHEN n_tok > 0 THEN stop_hits / n_tok ELSE 0.0 END) * 5, 1.0), 6) AS quality_score
+FROM f
+"""
+
+    sql["fingerprint"] = f"""
+SELECT doc_id, md5({_NORM_TEXT}) AS fingerprint FROM documents
+"""
+
+    # -- events ----------------------------------------------------------------------
+
+    sql["hourly_event_rollup"] = """
+SELECT date_trunc('hour', ts) AS hour, event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 6) AS sum_value,
+       round(avg(value), 6) AS avg_value,
+       round(min(value), 6) AS min_value,
+       round(max(value), 6) AS max_value,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events GROUP BY 1, 2
+"""
+
+    sql["sessionize"] = """
+WITH e AS (SELECT *, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM events),
+s AS (SELECT *,
+             sum(CASE WHEN prev IS NULL OR epoch(ts) - epoch(prev) > 1800.0 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM e)
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 6) AS sum_value
+FROM s GROUP BY user_id, session_id
+"""
+
+    sql["user_running_totals"] = """
+SELECT event_id, user_id,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str,
+       round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING), 6) AS running_value
+FROM events
+"""
+
+    # -- relational ---------------------------------------------------------------------
+
+    sql["pricing_summary"] = """
+SELECT l_returnflag, l_linestatus,
+       sum(l_quantity) AS sum_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) * (CAST(1 AS DECIMAL(18,2)) + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
+       round(sum(l_quantity) / count(*), 4) AS avg_qty,
+       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*), 4) AS avg_price,
+       round(CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(*), 4) AS avg_disc,
+       CAST(count(*) AS BIGINT) AS count_order
+FROM lineitem
+WHERE l_shipdate < TIMESTAMP '1998-09-01'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+    sql["top_unshipped_orders"] = """
+WITH rev AS (
+  SELECT l_orderkey,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+  FROM lineitem GROUP BY l_orderkey)
+SELECT o.o_orderkey, rev.revenue,
+       strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,
+       o.o_orderpriority
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey AND c.c_mktsegment = 'BUILDING'
+JOIN rev ON o.o_orderkey = rev.l_orderkey
+ORDER BY rev.revenue DESC, o.o_orderkey ASC
+LIMIT 10
+"""
+
+    sql["revenue_by_nation"] = """
+SELECT r.r_name, n.n_name,
+       CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name, n.n_name
+"""
+
+    sql["part_type_stats"] = """
+SELECT p.p_type,
+       CAST(count(*) AS BIGINT) AS n_items,
+       sum(l.l_quantity) AS sum_qty,
+       round(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*), 4) AS avg_price
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+GROUP BY p.p_type
+"""
+
+    return sql

@@ -1,0 +1,82 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+Query set = the engine's representative workload: profiling core, synthetic
+generation, dedup (exact + MinHash LSH), similarity top-k, text analysis,
+event windowing, and the relational showcase. Each timed to completion
+(count() or collect of small results) after a shared warm-up.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def main() -> None:
+    from etl_processes_spark.session import get_spark
+
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    bench_queries = [
+        "numeric_profile",
+        "datetime_profile",
+        "cat_profile",
+        "infer_predicates",
+        "synthesize_orders",
+        "dedup_exact_hash",
+        "ngram_jaccard_pairs",
+        "minhash_lsh_pairs",
+        "cosine_topk",
+        "token_count",
+        "quality_score",
+        "hourly_event_rollup",
+        "sessionize",
+        "pricing_summary",
+        "revenue_by_nation",
+    ]
+
+    # Warm-up: JVM/codegen on a trivial action so q1 isn't charged for it.
+    spark.range(1000).selectExpr("sum(id)").collect()
+    spark.read.parquet(f"{SF_DIR}/lineitem.parquet").limit(1).collect()
+
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name in bench_queries:
+        fn = qs[name]
+        t0 = time.time()
+        df = fn(spark, SF_DIR)
+        n = df.count()
+        el = round(time.time() - t0, 3)
+        timings[name] = el
+        total += el
+        print(f"# {name}: {el:.2f}s ({n} rows)", file=sys.stderr, flush=True)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        ),
+        flush=True,
+    )
+
+
+if __name__ == "__main__":
+    main()

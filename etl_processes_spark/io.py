@@ -1,0 +1,83 @@
+"""Sources and sinks (SURVEY.md §2.1).
+
+csv_scan / csv_sink mirror the reference's pd.read_csv / to_csv
+(Latanova_v1.py:12, :705); report_sink mirrors the per-column console report
+(:706-738); profile_sink/profile_source persist the ColumnProfile artifact
+(the engine's "catalog") as JSON.
+
+Scale notes: csv_sink's ``single_file`` coalesces to one partition — only for
+small result exports (the reference's semantic); bulk output stays
+partitioned parquet via ``parquet_sink``.
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import DataFrame, SparkSession
+
+from etl_processes_spark.profile.types import ColumnProfile
+
+
+def csv_scan(
+    spark: SparkSession, path: str, header: bool = True, infer_schema: bool = True
+) -> DataFrame:
+    """spark.read.csv with pandas-like inference (Latanova_v1.py:12)."""
+    return spark.read.csv(path, header=header, inferSchema=infer_schema)
+
+
+def parquet_scan(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def csv_sink(df: DataFrame, path: str, single_file: bool = True) -> None:
+    """to_csv(index=False) equivalent (Latanova_v1.py:705)."""
+    out = df.coalesce(1) if single_file else df
+    out.write.mode("overwrite").csv(path, header=True)
+
+
+def parquet_sink(df: DataFrame, path: str, partition_by: list[str] | None = None) -> None:
+    w = df.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
+
+
+def profile_sink(profiles: dict[str, ColumnProfile], path: str) -> None:
+    """Persist the profile artifact as one JSON document."""
+    with open(path, "w") as f:
+        json.dump({name: json.loads(p.to_json()) for name, p in profiles.items()}, f, indent=1)
+
+
+def profile_source(path: str) -> dict[str, ColumnProfile]:
+    with open(path) as f:
+        raw = json.load(f)
+    return {
+        name: ColumnProfile(d["name"], d["logical_type"], d.get("format"), d.get("stats", {}))
+        for name, d in raw.items()
+    }
+
+
+def report_sink(
+    profiles: dict[str, ColumnProfile], validation: dict[str, dict] | None = None
+) -> str:
+    """The reference's console report (Latanova_v1.py:706-738): per-column
+    type/format/stat summary + type histogram. Returns the text (print it or
+    log it); driver-side only — everything here is already aggregated."""
+    lines = ["=== column profiles ==="]
+    type_summary: dict[str, list[str]] = {}
+    for name, p in profiles.items():
+        type_summary.setdefault(p.logical_type, []).append(name)
+        stat_bits = []
+        for key in ("mean", "std", "true_probability", "n_categories", "n_samples"):
+            if key in p.stats and not isinstance(p.stats[key], (list, dict)):
+                v = p.stats[key]
+                stat_bits.append(f"{key}={v:.4f}" if isinstance(v, float) else f"{key}={v}")
+        fmt = f" format={p.format}" if p.format else ""
+        lines.append(f"{name}: {p.logical_type}{fmt} | " + ", ".join(stat_bits))
+        if validation and name in validation:
+            lines.append(f"  validation: {validation[name]}")
+    lines.append("=== type summary ===")
+    for t, cols in sorted(type_summary.items()):
+        lines.append(f"{t}: {len(cols)} column(s), e.g. {cols[0]}")
+    return "\n".join(lines)

@@ -1,0 +1,262 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+No reference counterpart (the reference is a single-table profiler); these are
+the driver-mandated extensions (BASELINE.json north star), designed for the
+100 TB case:
+
+ - exact dedup: hash-groupBy keyed on content (or its sha2) — one shuffle on
+   the content key, partial-agg'd; never a global sort.
+ - n-gram Jaccard near-dup: inverted-index self-join on shingles (explode →
+   join on shingle → count common) — the join key is the shingle, so hot
+   shingles are the skew risk; a document-frequency cap (``max_df``) drops
+   ubiquitous shingles, which both fixes skew and removes noise.
+ - MinHash + LSH: per-doc signature via min-over-shingles of seeded xxhash64
+   (one explode + one groupBy), banded into buckets; candidate pairs only
+   join within a bucket (no quadratic blow-up), then exact-Jaccard verified.
+ - SimHash: 64-bit sign-sum fingerprint via 64 conditional aggregates over
+   exploded token hashes; near-dups = equal fingerprints (or banded Hamming).
+
+All tokenization/shingling is pure Column expressions (JVM-side, codegen).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# normalization / shingling (shared, expression-only)
+# ---------------------------------------------------------------------------
+
+
+def tokens_expr(c: str | Column) -> Column:
+    """lower → split on non-alphanumeric runs → drop empties. Mirrors the
+    DuckDB oracle: list_filter(string_split_regex(lower(x),'[^a-z0-9]+'))."""
+    col = F.col(c) if isinstance(c, str) else c
+    toks = F.split(F.lower(col.cast("string")), "[^a-z0-9]+")
+    return F.filter(toks, lambda t: t != "")
+
+
+def normalized_text_expr(c: str | Column) -> Column:
+    """Canonical text: tokens re-joined with single spaces."""
+    return F.array_join(tokens_expr(c), " ")
+
+
+def shingles_expr(c: str | Column, k: int = 3) -> Column:
+    """Distinct k-word shingles (space-joined). Docs shorter than k tokens
+    contribute their full token string as a single shingle."""
+    toks = tokens_expr(c)
+    n = F.size(toks)
+    sh = F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(1), n - k + 1),
+            lambda i: F.array_join(F.slice(toks, i, k), " "),
+        ),
+    ).otherwise(F.array(F.array_join(toks, " ")))
+    return F.array_distinct(sh)
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def dedup_exact(df: DataFrame, subset: list[str] | None = None) -> DataFrame:
+    """Exact duplicate removal — hash-groupBy under the hood (one shuffle)."""
+    return df.dropDuplicates(subset)
+
+
+def dedup_exact_keep_min(df: DataFrame, id_col: str, key: Column | str) -> DataFrame:
+    """Keep the row with the smallest id per content key — deterministic
+    survivor choice (dropDuplicates keeps an arbitrary row). Returns
+    (id_col, __key). One shuffle on the key."""
+    key_col = F.col(key) if isinstance(key, str) else key
+    return (
+        df.select(F.col(id_col), key_col.alias("__key"))
+        .groupBy("__key")
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col, "__key")
+    )
+
+
+def content_hash_expr(c: str | Column, normalize: bool = True) -> Column:
+    """sha2-256 content fingerprint; optionally over normalized text."""
+    col = normalized_text_expr(c) if normalize else (F.col(c) if isinstance(c, str) else c)
+    return F.sha2(col.cast("string"), 256)
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard near-dup (exact, inverted-index join)
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    threshold: float = 0.5,
+    max_df: int | None = None,
+    ndigits: int = 6,
+) -> DataFrame:
+    """All pairs (id_a < id_b) with Jaccard(shingleset_a, shingleset_b) >=
+    threshold. Exact; the self-join is on the shingle key (inverted index),
+    so cost is Σ df(shingle)² — cap with ``max_df`` at scale."""
+    sh = (
+        df.select(F.col(id_col).alias("id"), F.explode(shingles_expr(text_col, k)).alias("shingle"))
+        .distinct()
+    )
+    if max_df is not None:
+        freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
+        sh = sh.join(freq.filter(F.col("__df") <= max_df).select("shingle"), "shingle")
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    out = (
+        common.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("common") / (F.col("sz_a") + F.col("sz_b") - F.col("common")), ndigits
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH near-dup
+# ---------------------------------------------------------------------------
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, num_hashes: int = 64, k: int = 5
+) -> DataFrame:
+    """(id, sig array<long>) — sig[i] = min over shingles of xxhash64(i, sh).
+    One explode + one groupBy(id) with num_hashes min-aggregates (all
+    partial-agg'd map-side; the shuffle carries one row per doc)."""
+    sh = df.select(
+        F.col(id_col).alias("id"), F.explode(shingles_expr(text_col, k)).alias("shingle")
+    )
+    aggs = [
+        F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    sig = sh.groupBy("id").agg(*aggs)
+    return sig.select("id", F.array(*[f"h{i}" for i in range(num_hashes)]).alias("sig"))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 64,
+    bands: int = 16,
+    k: int = 5,
+    threshold: float = 0.5,
+    verify: bool = True,
+) -> DataFrame:
+    """LSH-banded candidate generation + (optional) exact-Jaccard verify.
+    rows-per-band = num_hashes // bands; two docs are candidates if any band
+    of their signatures collides. The bucket join is an equi-join on
+    (band, band_hash) — no quadratic candidate explosion."""
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(df, id_col, text_col, num_hashes, k)
+    band_cols = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band"),
+                F.xxhash64(*[F.col("sig")[i * rows_per_band + j] for j in range(rows_per_band)]).alias("bh"),
+            )
+            for i in range(bands)
+        ]
+    )
+    buckets = sig.select("id", F.explode(band_cols).alias("b")).select(
+        "id", F.col("b.band").alias("band"), F.col("b.bh").alias("bh")
+    )
+    a, b = buckets.alias("a"), buckets.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    if not verify:
+        return cand
+    pairs = ngram_jaccard_pairs(df, id_col, text_col, k=k, threshold=threshold)
+    return cand.join(pairs, ["id_a", "id_b"]).select("id_a", "id_b", "jaccard")
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash_fingerprints(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFrame:
+    """(id, simhash long): sign of the tf-weighted sum of each bit of each
+    token's xxhash64. 64 conditional sums over the exploded token stream —
+    partial aggregation keeps the shuffle at one row per doc."""
+    tok = df.select(
+        F.col(id_col).alias("id"), F.explode(tokens_expr(text_col)).alias("token")
+    ).groupBy("id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    h = F.xxhash64("token")
+    aggs = [
+        F.sum(
+            F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, F.col("tf")).otherwise(-F.col("tf"))
+        ).alias(f"b{i}")
+        for i in range(bits)
+    ]
+    sums = tok.groupBy("id").agg(*aggs)
+    fp = None
+    for i in range(bits):
+        bit = F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = bit * F.lit(2 ** i).cast("long") if i < 63 else F.when(bit == 1, F.lit(-(2 ** 63)).cast("long")).otherwise(F.lit(0).cast("long"))
+        fp = term if fp is None else fp + term
+    return sums.select("id", fp.alias("simhash"))
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame, id_col: str, text_col: str, band_bits: int = 16
+) -> DataFrame:
+    """Candidate near-dup pairs whose simhash matches on at least one of the
+    64/band_bits bands (Hamming-distance blocking)."""
+    fp = simhash_fingerprints(df, id_col, text_col)
+    nb = 64 // band_bits
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band"),
+                F.shiftrightunsigned(F.col("simhash"), i * band_bits)
+                .bitwiseAND(F.lit((1 << band_bits) - 1))
+                .alias("bh"),
+            )
+            for i in range(nb)
+        ]
+    )
+    buckets = fp.select("id", F.explode(bands).alias("b")).select(
+        "id", F.col("b.band").alias("band"), F.col("b.bh").alias("bh")
+    )
+    a, b = buckets.alias("a"), buckets.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )

@@ -1,0 +1,142 @@
+"""Multimodal column plumbing: image/audio/video as opaque ``binary`` columns
+with typed metadata, processed via Arrow-batched mapInPandas.
+
+Driver-mandated extension (no reference counterpart). The decode kernels
+themselves are STUBBED — PIL/ffmpeg are not in this container — behind
+``_decode_image_real`` (raises NotImplementedError) with a deterministic fake
+(``fake_decode=True``, the default) so the Spark-side plumbing — schema,
+partitioning, UDF signature, Arrow batch shape — is real and tested. Swap the
+kernel for a real codec on a cluster with the libs installed; nothing else
+changes.
+
+Scale notes: media bytes stay in executor memory one Arrow batch at a time
+(tune spark.sql.execution.arrow.maxRecordsPerBatch for large blobs); feature
+outputs are small fixed-width vectors, so the shuffle after extraction
+carries features, never raw media. Repartition by size-bucket before decode
+to even out skew from mixed blob sizes.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),       # image|audio|video
+        T.StructField("mime", T.StringType(), True),
+        T.StructField("width", T.IntegerType(), True),       # images/video
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("duration_ms", T.LongType(), True),    # audio/video
+        T.StructField("content", T.BinaryType(), True),      # opaque payload
+    ]
+)
+
+
+def make_fake_media_df(spark, n: int = 64, seed: int = 42) -> DataFrame:
+    """Deterministic synthetic media table for tests: payload bytes derived
+    from md5(media_id), metadata derived from the id."""
+    rows = []
+    for i in range(n):
+        h = hashlib.md5(f"{seed}:{i}".encode()).digest()
+        kind = ("image", "audio", "video")[i % 3]
+        payload = (h * ((64 + i % 17) // len(h) + 1))[: 64 + i % 17]
+        rows.append(
+            (
+                i,
+                kind,
+                {"image": "image/png", "audio": "audio/wav", "video": "video/mp4"}[kind],
+                32 + (i % 8) * 16 if kind != "audio" else None,
+                32 + (i % 5) * 16 if kind != "audio" else None,
+                1000 * (i % 30 + 1) if kind != "image" else None,
+                bytearray(payload),
+            )
+        )
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def _decode_image_real(content: bytes) -> np.ndarray:
+    raise NotImplementedError(
+        "real image decode requires PIL/opencv (not in this container); "
+        "install and replace this kernel"
+    )
+
+
+def _fake_features(content: bytes, dim: int) -> np.ndarray:
+    """Deterministic stand-in for decode→feature-extract: hash-seeded
+    pseudo-features of the payload bytes. Same signature/shape as a real
+    embedding kernel."""
+    if content is None:
+        return np.zeros(dim)
+    seed = struct.unpack("<I", hashlib.md5(bytes(content)).digest()[:4])[0]
+    return np.random.RandomState(seed).randn(dim)
+
+
+FEATURE_DIM = 16
+
+_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("n_bytes", T.IntegerType()),
+        T.StructField("features", T.ArrayType(T.DoubleType())),
+    ]
+)
+
+
+def extract_features(
+    media: DataFrame, dim: int = FEATURE_DIM, fake_decode: bool = True
+) -> DataFrame:
+    """media table → (media_id, kind, n_bytes, features[dim]) via
+    mapInPandas. The batch iterator shape is exactly what a real decoder
+    needs; only the kernel is swapped."""
+
+    def run(batches):
+        for pdf in batches:
+            feats = [
+                (_fake_features(c, dim) if fake_decode else _decode_image_real(c)).tolist()
+                for c in pdf["content"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "n_bytes": [len(c) if c is not None else 0 for c in pdf["content"]],
+                    "features": feats,
+                }
+            )
+
+    return media.mapInPandas(run, schema=_FEATURE_SCHEMA)
+
+
+def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Video frame-sampling PLAN: one output row per (media_id, frame_ts_ms)
+    — pure Spark (sequence + explode), no decode needed to build the work
+    list. A real pipeline joins this plan back to content and decodes only
+    the sampled frames."""
+    vids = media.filter(F.col("kind") == "video")
+    return vids.select(
+        "media_id",
+        F.explode(
+            F.sequence(F.lit(0), F.col("duration_ms") - 1, F.lit(every_ms))
+        ).alias("frame_ts_ms"),
+    )
+
+
+def media_stats(media: DataFrame) -> DataFrame:
+    """Per-kind payload stats — metadata-only, never touches content bytes
+    beyond length (column pruning keeps the binary column unread when the
+    source format supports it)."""
+    return media.groupBy("kind").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(F.length("content")).alias("total_bytes"),
+        F.avg(F.length("content")).alias("avg_bytes"),
+        F.avg("duration_ms").alias("avg_duration_ms"),
+    )

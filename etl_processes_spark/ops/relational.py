@@ -1,0 +1,148 @@
+"""Relational showcase queries over the TPC-H-ish testdata — the engine's
+join/aggregate surface (the reference is single-table, SURVEY.md §2.6; these
+demonstrate the Spark-native relational capabilities the rebuilt engine adds).
+
+Scale notes baked into each query:
+ - dimension tables (region/nation/supplier/part at these ratios) are
+   broadcast — no shuffle of the fact table for those joins;
+ - fact-fact joins (orders ⋈ lineitem) shuffle on the join key once, with
+   AQE free to re-plan/coalesce;
+ - aggregates are expressed post-filter so predicate pushdown reaches the
+   parquet scan (verify with .explain: PushedFilters on l_shipdate etc.).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Money arithmetic runs in DECIMAL, not DOUBLE: a double sum over 10^5+ rows
+# carries ~1e-10 relative error that DIFFERS between engines/partitionings,
+# so an oracle hash on round(sum_double, 4) is a coin flip. Prices/discounts
+# are 2-dp quantities — decimal sums are exact, deterministic, and identical
+# in Spark and DuckDB; the final cast to double is then bit-stable too.
+
+
+def _money(c: str) -> Column:
+    return F.col(c).cast("decimal(18,2)")
+
+
+def _one_minus(c: str) -> Column:
+    return F.lit(1).cast("decimal(18,2)") - _money(c)
+
+
+def _one_plus(c: str) -> Column:
+    return F.lit(1).cast("decimal(18,2)") + _money(c)
+
+
+def pricing_summary(lineitem: DataFrame, ship_before: str = "1998-09-01", ndigits: int = 4) -> DataFrame:
+    """TPC-H Q1-style pricing summary over lineitem (decimal-exact sums)."""
+    cnt = F.count(F.lit(1))
+    return (
+        lineitem.filter(F.col("l_shipdate") < F.lit(ship_before).cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.sum(_money("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(_money("l_extendedprice") * _one_minus("l_discount"))
+            .cast("double")
+            .alias("sum_disc_price"),
+            F.sum(
+                _money("l_extendedprice") * _one_minus("l_discount") * _one_plus("l_tax")
+            )
+            .cast("double")
+            .alias("sum_charge"),
+            F.round(F.sum("l_quantity") / cnt, ndigits).alias("avg_qty"),
+            F.round(F.sum(_money("l_extendedprice")).cast("double") / cnt, ndigits).alias("avg_price"),
+            F.round(F.sum(_money("l_discount")).cast("double") / cnt, ndigits).alias("avg_disc"),
+            cnt.alias("count_order"),
+        )
+    )
+
+
+def top_unshipped_orders(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    segment: str = "BUILDING",
+    k: int = 10,
+    ndigits: int = 4,
+) -> DataFrame:
+    """TPC-H Q3-style: top-k orders by revenue for one market segment.
+    customer is broadcast (dim); orders ⋈ lineitem shuffles on o_orderkey."""
+    cust = customer.filter(F.col("c_mktsegment") == segment).select("c_custkey")
+    revenue = (
+        lineitem.groupBy("l_orderkey")
+        .agg(
+            F.sum(_money("l_extendedprice") * _one_minus("l_discount"))
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(revenue, orders.o_orderkey == revenue.l_orderkey)
+        .select(
+            F.col("o_orderkey"),
+            F.col("revenue"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            F.col("o_orderpriority"),
+        )
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(k)
+    )
+
+
+def revenue_by_nation(
+    region: DataFrame,
+    nation: DataFrame,
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    ndigits: int = 4,
+) -> DataFrame:
+    """TPC-H Q5-style: revenue per nation (customer side). All dims broadcast;
+    the only big shuffles are orders⋈lineitem and the final groupBy."""
+    return (
+        lineitem.join(
+            orders.select("o_orderkey", "o_custkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
+            F.broadcast(customer.select("c_custkey", "c_nationkey")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_name", "n_regionkey")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(region.select("r_regionkey", "r_name")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.sum(_money("l_extendedprice") * _one_minus("l_discount"))
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+def part_type_stats(part: DataFrame, lineitem: DataFrame, ndigits: int = 4) -> DataFrame:
+    """Broadcast part dim into lineitem; per p_type quantity/price stats."""
+    return (
+        lineitem.join(
+            F.broadcast(part.select("p_partkey", "p_type")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .groupBy("p_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum("l_quantity").alias("sum_qty"),
+            F.round(
+                F.sum(_money("l_extendedprice")).cast("double") / F.count(F.lit(1)), ndigits
+            ).alias("avg_price"),
+        )
+    )

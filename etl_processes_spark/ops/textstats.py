@@ -1,0 +1,164 @@
+"""Text-analysis operators for training-data pipelines: token counting,
+language-ID heuristic, quality scoring, document fingerprinting.
+
+No reference counterpart (driver-mandated extensions). Everything here is a
+pure Column expression — JVM-side, whole-stage-codegen, no Python in the hot
+path — and each has a literal DuckDB-SQL twin in __spark_entry__.oracle_sql
+(the formulas are written to be expressible identically in both engines).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from etl_processes_spark.ops.dedup import normalized_text_expr, tokens_expr
+
+# ---------------------------------------------------------------------------
+# token counting
+# ---------------------------------------------------------------------------
+
+
+def token_count_expr(c: str | Column) -> Column:
+    """Whitespace-ish token count (non-alnum-run split, empties dropped)."""
+    return F.size(tokens_expr(c))
+
+
+def bpe_ish_token_count_expr(c: str | Column) -> Column:
+    """A BPE-ish upper bound: words + digit runs + punctuation marks each
+    count as a token (regexp_count is available in both Spark and DuckDB)."""
+    col = (F.col(c) if isinstance(c, str) else c).cast("string")
+    return F.regexp_count(F.lower(col), F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]"))
+
+
+def token_count(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    return df.select(
+        F.col(id_col),
+        token_count_expr(text_col).alias("n_tokens"),
+        bpe_ish_token_count_expr(text_col).alias("n_tokens_bpe"),
+        F.length(F.col(text_col).cast("string")).alias("n_chars_measured"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# language identification (marker-token heuristic)
+# ---------------------------------------------------------------------------
+
+# Tiny high-frequency marker sets. Scoring = count of marker-token hits per
+# language; argmax with fixed priority order (en first) for ties; 'und' when
+# no marker hits at all.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to", "in", "is"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein"),
+    "es": ("el", "la", "los", "las", "es", "una", "que"),
+    "fr": ("le", "les", "des", "est", "une", "dans", "qui"),
+}
+LANG_ORDER = ("en", "de", "es", "fr")
+
+
+def _marker_hits(toks: Column, markers: tuple[str, ...]) -> Column:
+    return F.size(F.filter(toks, lambda t: t.isin(*markers)))
+
+
+def lang_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, pred_lang, lang_score): argmax of marker hits, ties → LANG_ORDER."""
+    toks = tokens_expr(text_col)
+    scores = {lang: _marker_hits(toks, m) for lang, m in LANG_MARKERS.items()}
+    best = F.greatest(*scores.values())
+    pred = F.lit("und")
+    for lang in reversed(LANG_ORDER):
+        pred = F.when(scores[lang] == best, F.lit(lang)).otherwise(pred)
+    pred = F.when(best == 0, F.lit("und")).otherwise(pred)
+    return df.select(
+        F.col(id_col), pred.alias("pred_lang"), best.cast("long").alias("lang_score")
+    )
+
+
+# ---------------------------------------------------------------------------
+# quality scoring
+# ---------------------------------------------------------------------------
+
+STOPWORDS = (
+    "the", "a", "an", "of", "and", "or", "to", "in", "is", "it", "on", "for",
+    "with", "as", "at", "by", "be",
+)
+
+
+def quality_features(df: DataFrame, id_col: str, text_col: str, ndigits: int = 6) -> DataFrame:
+    """Per-doc quality features + a composite score in [0, 1]:
+      - len_score: min(n_tokens / 100, 1)           (favor longer docs)
+      - alpha_ratio: alnum-ish chars / total chars  (penalize symbol soup)
+      - stopword_ratio: stopword tokens / tokens    (natural-language prior)
+      - mean_token_len
+      score = 0.4*len_score + 0.3*alpha_ratio + 0.3*min(stopword_ratio*5, 1)
+    All expressible identically in DuckDB (the oracle twin)."""
+    s = (F.col(text_col)).cast("string")
+    toks = tokens_expr(text_col)
+    n_tok = F.size(toks).cast("double")
+    n_chars = F.length(s).cast("double")
+    alpha_chars = F.length(F.regexp_replace(F.lower(s), r"[^a-z0-9 ]", "")).cast("double")
+    stop_hits = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS))).cast("double")
+    mean_tok_len = F.when(
+        n_tok > 0,
+        F.aggregate(toks, F.lit(0.0), lambda acc, t: acc + F.length(t)) / n_tok,
+    ).otherwise(F.lit(0.0))
+    len_score = F.least(n_tok / F.lit(100.0), F.lit(1.0))
+    alpha_ratio = F.when(n_chars > 0, alpha_chars / n_chars).otherwise(F.lit(0.0))
+    stop_ratio = F.when(n_tok > 0, stop_hits / n_tok).otherwise(F.lit(0.0))
+    score = (
+        F.lit(0.4) * len_score
+        + F.lit(0.3) * alpha_ratio
+        + F.lit(0.3) * F.least(stop_ratio * 5, F.lit(1.0))
+    )
+    return df.select(
+        F.col(id_col),
+        F.round(len_score, ndigits).alias("len_score"),
+        F.round(alpha_ratio, ndigits).alias("alpha_ratio"),
+        F.round(stop_ratio, ndigits).alias("stopword_ratio"),
+        F.round(mean_tok_len, ndigits).alias("mean_token_len"),
+        F.round(score, ndigits).alias("quality_score"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# document fingerprinting
+# ---------------------------------------------------------------------------
+
+
+def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, md5 fingerprint of the NORMALIZED text) — whitespace/punct
+    variations collapse to the same print; md5 exists in Spark and DuckDB."""
+    return df.select(
+        F.col(id_col), F.md5(normalized_text_expr(text_col)).alias("fingerprint")
+    )
+
+
+def winnowing_fingerprints(
+    df: DataFrame, id_col: str, text_col: str, k: int = 5, window: int = 4
+) -> DataFrame:
+    """Winnowing (Schleimer et al., SIGMOD'03): k-gram rolling hashes, keep
+    the min hash of every sliding window → a compact, position-robust
+    fingerprint set per document. Column-expression only: shingle k-grams →
+    xxhash64 → windowed min via transform over sequence."""
+    from etl_processes_spark.ops.dedup import shingles_expr
+
+    toks = tokens_expr(text_col)
+    n = F.size(toks)
+    grams = F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(1), n - k + 1),
+            lambda i: F.xxhash64(F.array_join(F.slice(toks, i, k), " ")),
+        ),
+    ).otherwise(F.array(F.xxhash64(F.array_join(toks, " "))))
+    ng = F.size(grams)
+    wins = F.when(
+        ng >= window,
+        F.transform(
+            F.sequence(F.lit(1), ng - window + 1),
+            lambda i: F.array_min(F.slice(grams, i, window)),
+        ),
+    ).otherwise(F.array(F.array_min(grams)))
+    return df.select(
+        F.col(id_col), F.array_distinct(wins).alias("fingerprints")
+    )

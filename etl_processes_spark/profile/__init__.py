@@ -33,6 +33,7 @@ from etl_processes_spark.profile.infer import (
 from etl_processes_spark.profile.profilers import (
     bool_format_from_counts,
     bool_profile,
+    bool_profile_df,
     bool_profile_exprs,
     cat_profile,
     cat_profile_df,
@@ -187,6 +188,7 @@ __all__ = [
     "numeric_profile_df",
     "numeric_profile_exprs",
     "bool_profile",
+    "bool_profile_df",
     "bool_profile_exprs",
     "bool_format_from_counts",
     "cat_profile",

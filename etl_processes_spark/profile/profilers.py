@@ -280,6 +280,148 @@ def datetime_profile(df: DataFrame, c: str) -> dict | None:
 
 
 # ---------------------------------------------------------------------------
+# histogram (the §2.10 viz aggregate: 50-bin density inputs, Latanova_v1.py:500-540)
+# ---------------------------------------------------------------------------
+
+
+def histogram_df(df: DataFrame, c: str, bins: int = 50) -> DataFrame:
+    """(bin, n) histogram over [min, max] — the aggregate feeding the
+    reference's matplotlib histograms; plotting stays driver-side. Bucket
+    arithmetic uses only min/max-derived constants, so the DuckDB oracle
+    computes identical buckets (floor of identical doubles)."""
+    x = F.col(c).cast("double")
+    base = df.filter(x.isNotNull())
+    mm = base.agg(F.min(x).alias("mn"), F.max(x).alias("mx"))
+    j = base.crossJoin(F.broadcast(mm))
+    width = (F.col("mx") - F.col("mn")) / F.lit(float(bins))
+    bucket = F.when(F.col("mx") == F.col("mn"), F.lit(0)).otherwise(
+        F.least(
+            F.floor((x - F.col("mn")) / width), F.lit(bins - 1)
+        )
+    )
+    return (
+        j.groupBy(bucket.cast("int").alias("bin"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("bin")
+    )
+
+
+HISTOGRAM_SQL = """
+WITH mm AS (SELECT min(CAST({col} AS DOUBLE)) AS mn, max(CAST({col} AS DOUBLE)) AS mx
+            FROM {tbl} WHERE {col} IS NOT NULL)
+SELECT CAST(CASE WHEN mx = mn THEN 0
+            ELSE least(floor((CAST({col} AS DOUBLE) - mn) / ((mx - mn) / {binsf})), {binsm1}) END AS INTEGER) AS bin,
+       CAST(count(*) AS BIGINT) AS n
+FROM {tbl}, mm WHERE {col} IS NOT NULL
+GROUP BY 1 ORDER BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# hash-stable exact profile (for oracle-gated queries)
+# ---------------------------------------------------------------------------
+
+
+def numeric_profile_exact_df(
+    df: DataFrame,
+    y: Column,
+    out_mult: float = 1.0,
+    ndigits: int = 6,
+) -> DataFrame:
+    """numeric_profile computed from EXACT decimal power sums, for columns
+    whose values are integers after scaling (``y`` must be integer-valued and
+    |y| < 1e9). Why: independent double summation in two engines differs in
+    low-order bits, so round(stat, 6) is a coin-flip at rounding boundaries
+    (observed: std 60058044.626067 vs ...066). Here S1..S4 = Σyᵏ are exact
+    DECIMAL integers (9→36 digits of headroom), converted once to double, and
+    every downstream moment formula is the IDENTICAL IEEE-754 expression on
+    both sides — bit-stable by construction. `pow` is avoided (libm may
+    differ): skew uses m3/(sqrt(m2)*m2), kurt m4/(m2*m2)-3.
+
+    Still the reference's statistics exactly (population moments, linear-
+    interpolated percentiles); ``out_mult`` rescales from integer units
+    (cents → /100 ⇒ 0.01; days → ×86400)."""
+    yd = y.cast("decimal(9,0)")
+    yf = y.cast("double")
+    agg = df.agg(
+        F.sum(yd).cast("double").alias("s1"),
+        F.sum(yd * yd).cast("double").alias("s2"),
+        F.sum(yd * yd * yd).cast("double").alias("s3"),
+        F.sum(yd * yd * yd * yd).cast("double").alias("s4"),
+        F.count(yd).alias("n"),
+        F.min(yf).alias("mn"),
+        F.max(yf).alias("mx"),
+        F.percentile(yf, F.lit(0.25)).alias("p25"),
+        F.percentile(yf, F.lit(0.5)).alias("p50"),
+        F.percentile(yf, F.lit(0.75)).alias("p75"),
+    )
+    n = F.col("n")
+    m = F.col("s1") / n
+    m2 = F.col("s2") / n - m * m
+    m3 = F.col("s3") / n - 3 * m * (F.col("s2") / n) + 2 * m * m * m
+    m4 = (
+        F.col("s4") / n
+        - 4 * m * (F.col("s3") / n)
+        + 6 * m * m * (F.col("s2") / n)
+        - 3 * m * m * m * m
+    )
+    mult = F.lit(float(out_mult))
+    out = agg.select(
+        F.round(m * mult, ndigits).alias("mean"),
+        F.round(
+            F.when(n > 1, F.sqrt(F.greatest(m2, F.lit(0.0))) * mult).otherwise(0.0),
+            ndigits,
+        ).alias("std"),
+        F.round(F.col("p50") * mult, ndigits).alias("median"),
+        F.round(F.col("mn") * mult, ndigits).alias("min_val"),
+        F.round(F.col("mx") * mult, ndigits).alias("max_val"),
+        F.round(
+            F.when((n > 2) & (m2 > 0), m3 / (F.sqrt(m2) * m2)).otherwise(0.0), ndigits
+        ).alias("skew"),
+        F.round(
+            F.when((n > 3) & (m2 > 0), m4 / (m2 * m2) - 3).otherwise(0.0), ndigits
+        ).alias("kurt"),
+        F.round(F.col("p25") * mult, ndigits).alias("q1"),
+        F.round(F.col("p75") * mult, ndigits).alias("q3"),
+        n.alias("n_samples"),
+    )
+    return out
+
+
+NUMERIC_PROFILE_EXACT_SQL = """
+WITH yv AS (SELECT CAST(CAST({y} AS DECIMAL(9,0)) AS HUGEINT) AS yd, CAST({y} AS DOUBLE) AS yf
+            FROM {tbl} WHERE {notnull} IS NOT NULL),
+s AS (SELECT CAST(sum(yd) AS DOUBLE) AS s1,
+             CAST(sum(yd*yd) AS DOUBLE) AS s2,
+             CAST(sum(yd*yd*yd) AS DOUBLE) AS s3,
+             CAST(sum(yd*yd*yd*yd) AS DOUBLE) AS s4,
+             CAST(count(yd) AS BIGINT) AS n,
+             min(yf) AS mn, max(yf) AS mx,
+             quantile_cont(yf, 0.25) AS p25,
+             quantile_cont(yf, 0.5) AS p50,
+             quantile_cont(yf, 0.75) AS p75
+      FROM yv)
+SELECT round((s1/n) * {mult}, 6) AS mean,
+       round(CASE WHEN n > 1 THEN sqrt(greatest(s2/n - (s1/n)*(s1/n), 0.0)) * {mult} ELSE 0.0 END, 6) AS std,
+       round(p50 * {mult}, 6) AS median,
+       round(mn * {mult}, 6) AS min_val,
+       round(mx * {mult}, 6) AS max_val,
+       round(CASE WHEN n > 2 AND s2/n - (s1/n)*(s1/n) > 0
+                  THEN (s3/n - 3*(s1/n)*(s2/n) + 2*(s1/n)*(s1/n)*(s1/n))
+                       / (sqrt(s2/n - (s1/n)*(s1/n)) * (s2/n - (s1/n)*(s1/n)))
+                  ELSE 0.0 END, 6) AS skew,
+       round(CASE WHEN n > 3 AND s2/n - (s1/n)*(s1/n) > 0
+                  THEN (s4/n - 4*(s1/n)*(s3/n) + 6*(s1/n)*(s1/n)*(s2/n) - 3*(s1/n)*(s1/n)*(s1/n)*(s1/n))
+                       / ((s2/n - (s1/n)*(s1/n)) * (s2/n - (s1/n)*(s1/n))) - 3
+                  ELSE 0.0 END, 6) AS kurt,
+       round(p25 * {mult}, 6) AS q1,
+       round(p75 * {mult}, 6) AS q3,
+       n AS n_samples
+FROM s
+"""
+
+
+# ---------------------------------------------------------------------------
 # helpers
 # ---------------------------------------------------------------------------
 

@@ -37,6 +37,9 @@ def get_spark(
         # use try_cast explicitly, but keep ANSI off to match non-strict
         # arithmetic (e.g. overflow-free unix_timestamp math).
         .config("spark.sql.ansi.enabled", "false")
+        # testdata events.parquet is TIMESTAMP(NANOS); Spark only reads it as
+        # a long (nanos) with this legacy flag — loaders convert to micros.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )

@@ -1,0 +1,122 @@
+"""Event-time windowing over the ``events`` table — batch forms (oracle-
+checkable) plus Structured Streaming twins.
+
+The reference has NO streaming surface (SURVEY.md §2.12); these extend the
+engine for the events testdata. The batch forms use date_trunc so the DuckDB
+oracle is literal; the streaming forms use the same logical aggregation with
+watermarked event-time windows, so a batch-verified query carries over.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def hourly_event_rollup(events: DataFrame, ndigits: int = 6) -> DataFrame:
+    """Tumbling 1-hour rollup per event_type: count, value sum/avg/min/max.
+    One shuffle on (hour, event_type), partial-agg'd map-side."""
+    return (
+        events.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), ndigits).alias("sum_value"),
+            F.round(F.avg("value"), ndigits).alias("avg_value"),
+            F.round(F.min("value"), ndigits).alias("min_value"),
+            F.round(F.max("value"), ndigits).alias("max_value"),
+            F.count_distinct("user_id").alias("n_users"),
+        )
+    )
+
+
+def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Gap-based sessionization per user (classic lag + cumulative-sum):
+    a new session starts when the gap to the previous event exceeds
+    ``gap_minutes``. Returns per-session (user_id, session_id, session_start,
+    session_end, n_events, sum_value). Shuffles once on user_id; the window
+    sort is per-user (bounded by per-user event counts — salting only needed
+    for pathological single-user skew)."""
+    w = Window.partitionBy("user_id").orderBy(F.col("ts"), F.col("event_id"))
+    gap = F.lit(gap_minutes * 60.0)
+    prev_ts = F.lag("ts").over(w)
+    # cast-to-double keeps sub-second precision (unix_timestamp truncates,
+    # which would disagree with the DuckDB oracle's epoch() on gap boundaries)
+    new_sess = F.when(
+        prev_ts.isNull()
+        | ((F.col("ts").cast("double") - prev_ts.cast("double")) > gap),
+        1,
+    ).otherwise(0)
+    with_sess = events.withColumn(
+        "session_id", F.sum(new_sess).over(w)
+    )
+    return (
+        with_sess.groupBy("user_id", "session_id")
+        .agg(
+            F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+    )
+
+
+def user_running_totals(events: DataFrame, ndigits: int = 6) -> DataFrame:
+    """Per-user event-time running total of ``value`` — the window-function
+    showcase (rows between unbounded preceding and current row)."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts"), F.col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return events.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_str"),
+        F.round(F.sum("value").over(w), ndigits).alias("running_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Structured Streaming twins
+# ---------------------------------------------------------------------------
+
+
+def hourly_event_rollup_stream(
+    spark, source_path: str, watermark: str = "2 hours"
+) -> DataFrame:
+    """Streaming twin of hourly_event_rollup: file-source readStream +
+    watermarked tumbling window. Late rows beyond the watermark drop out of
+    state; state size is bounded by (watermark horizon × distinct types)."""
+    schema = spark.read.parquet(source_path).schema
+    stream = spark.readStream.schema(schema).parquet(source_path)
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("win"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("sum_value"),
+        )
+        .select(
+            F.col("win.start").alias("hour"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def run_stream_once(stream_df: DataFrame, out_dir: str, checkpoint_dir: str) -> None:
+    """Drain the stream once into parquet (availableNow batch-of-the-stream)."""
+    (
+        stream_df.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )

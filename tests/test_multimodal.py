@@ -1,0 +1,53 @@
+"""Multimodal plumbing: schema, mapInPandas batch shape, deterministic fake
+decode, frame-sampling plan, metadata-only stats."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_processes_spark.ops.multimodal import (
+    FEATURE_DIM,
+    extract_features,
+    frame_sample_plan,
+    make_fake_media_df,
+    media_stats,
+)
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    return make_fake_media_df(spark, n=24).persist()
+
+
+def test_extract_features_shape_and_determinism(media):
+    a = extract_features(media).orderBy("media_id").collect()
+    b = extract_features(media).orderBy("media_id").collect()
+    assert len(a) == 24
+    for r in a:
+        assert len(r["features"]) == FEATURE_DIM
+        assert r["n_bytes"] > 0
+    assert [r["features"] for r in a] == [r["features"] for r in b]
+
+
+def test_real_decoder_is_stubbed(media):
+    import pyspark.errors
+
+    with pytest.raises(Exception) as exc_info:
+        extract_features(media, fake_decode=False).collect()
+    assert "NotImplementedError" in str(exc_info.value) or "real image decode" in str(
+        exc_info.value
+    )
+
+
+def test_frame_sample_plan(media):
+    plan = frame_sample_plan(media, every_ms=1000)
+    rows = plan.collect()
+    assert all(r["frame_ts_ms"] % 1000 == 0 for r in rows)
+    n_videos = media.filter("kind = 'video'").count()
+    assert plan.select("media_id").distinct().count() == n_videos
+
+
+def test_media_stats_by_kind(media):
+    stats = {r["kind"]: r for r in media_stats(media).collect()}
+    assert set(stats) == {"image", "audio", "video"}
+    assert stats["image"]["avg_duration_ms"] is None
+    assert stats["video"]["total_bytes"] > 0

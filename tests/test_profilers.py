@@ -1,0 +1,89 @@
+"""Parity tests pinning the SURVEY.md §2.11 semantic decisions: Spark
+aggregates must reproduce the reference's numpy/scipy formulas exactly."""
+
+import numpy as np
+import pytest
+
+from etl_processes_spark.profile import (
+    bool_profile,
+    cat_profile,
+    datetime_profile,
+    numeric_profile,
+)
+
+
+@pytest.fixture(scope="module")
+def num_df(spark):
+    rng = np.random.RandomState(7)
+    vals = np.round(rng.lognormal(3, 1, size=500), 3).tolist()
+    return spark.createDataFrame([(float(v),) for v in vals], ["x"]), np.array(vals)
+
+
+def test_numeric_profile_matches_numpy_scipy(num_df):
+    df, vals = num_df
+    prof = numeric_profile(df, "x")
+    # np.std ddof=0 (Latanova_v1.py:181) == stddev_pop
+    assert prof["mean"] == pytest.approx(np.mean(vals), rel=1e-12)
+    assert prof["std"] == pytest.approx(np.std(vals), rel=1e-12)
+    assert prof["median"] == pytest.approx(np.median(vals), rel=1e-12)
+    assert prof["min"] == np.min(vals) and prof["max"] == np.max(vals)
+    # scipy defaults bias=True, fisher=True (Latanova_v1.py:185-186):
+    # population g1 = m3/m2^1.5, excess g2 = m4/m2^2 - 3 (no scipy in this
+    # container — same formulas via numpy central moments)
+    m = vals - vals.mean()
+    m2, m3, m4 = (m**2).mean(), (m**3).mean(), (m**4).mean()
+    assert prof["skew"] == pytest.approx(m3 / m2**1.5, rel=1e-9)
+    assert prof["kurtosis"] == pytest.approx(m4 / m2**2 - 3, rel=1e-9)
+    # np.percentile linear interpolation (Latanova_v1.py:187-188)
+    assert prof["q1"] == pytest.approx(np.percentile(vals, 25), rel=1e-12)
+    assert prof["q3"] == pytest.approx(np.percentile(vals, 75), rel=1e-12)
+    assert prof["n_samples"] == len(vals)
+
+
+def test_numeric_profile_degenerate(spark):
+    one = spark.createDataFrame([(5.0,)], ["x"])
+    p = numeric_profile(one, "x")
+    assert p["std"] == 0.0 and p["skew"] == 0.0 and p["kurtosis"] == 0.0
+
+
+def test_bool_profile_excludes_nonvocab(spark):
+    # values outside both vocab sets are EXCLUDED (Latanova_v1.py:235-241)
+    df = spark.createDataFrame(
+        [("yes",), ("no",), ("Yes",), ("maybe",), ("TRUE",), (None,)], ["b"]
+    )
+    p = bool_profile(df, "b")
+    assert p["n_samples"] == 4  # maybe + null excluded
+    assert p["true_count"] == 3 and p["false_count"] == 1
+    assert p["true_probability"] == pytest.approx(0.75)
+    assert p["format"] == "yes_no"  # 2 yes_no beats 1 true_false
+
+
+def test_bool_format_tie_break(spark):
+    # tie → earliest dict key wins (Latanova_v1.py:118): true_false
+    df = spark.createDataFrame([("true",), ("no",)], ["b"])
+    assert bool_profile(df, "b")["format"] == "true_false"
+
+
+def test_cat_profile_order_and_probs(spark):
+    df = spark.createDataFrame([("a",)] * 3 + [("b",)] * 3 + [("c",)] * 1, ["v"])
+    p = cat_profile(df, "v")
+    assert p["n_categories"] == 3
+    # tie between a and b → value asc
+    assert p["categories"][:2] == ["a", "b"]
+    assert p["most_common"] == "a"
+    assert p["probabilities"][0] == pytest.approx(3 / 7)
+    assert p["n_samples"] == 7
+
+
+def test_datetime_profile_epoch_parity(spark):
+    import pandas as pd
+
+    dates = ["2020-01-01", "2020-06-15", "2021-12-31", "2020-01-01"]
+    df = spark.createDataFrame([(d,) for d in dates], ["d"])
+    p = datetime_profile(df, "d")
+    ts = pd.to_datetime(pd.Series(dates)).astype(np.int64) // 10**9
+    assert p["mean"] == pytest.approx(np.mean(ts), rel=1e-12)
+    assert p["std"] == pytest.approx(np.std(ts), rel=1e-9)
+    assert p["date_format"] == "YYYY-MM-DD"
+    assert p["min_date"] == "2020-01-01 00:00:00"
+    assert p["max_date"] == "2021-12-31 00:00:00"

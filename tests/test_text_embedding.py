@@ -1,0 +1,86 @@
+"""Text/embedding pipeline: tokenizer parity, deterministic vectorisation,
+distributed moments/covariance vs numpy, MVN generation round-trip."""
+
+import numpy as np
+import pytest
+
+from etl_processes_spark.profile.types import ColumnProfile
+from etl_processes_spark.text.embedding import (
+    MAX_TOKENS_PER_ENTRY,
+    gen_text_column,
+    text_profile,
+    tokenize,
+    tokenize_expr,
+    token_vector,
+    vectorise_entry,
+)
+
+TEXTS = [
+    "spark processes data with partitions and shuffles",
+    "the catalyst optimizer rewrites logical plans",
+    "tungsten generates compact bytecode for expressions",
+    "partitions shuffle data across the cluster network",
+    "adaptive execution replans queries at runtime stages",
+    "columnar parquet scans prune unused columns early",
+] * 5
+
+
+def test_tokenize_gensim_parity():
+    # simple_preprocess semantics: lowercase, alphabetic, len in [2,15]
+    assert tokenize("Hello, World! A x1 superlongtokenbeyondfifteen") == ["hello", "world"]
+    assert tokenize(None) == []
+    assert tokenize("The CAT_dog") == ["the", "cat_dog"]
+
+
+def test_tokenize_expr_matches_python(spark):
+    df = spark.createDataFrame([(t,) for t in TEXTS[:6]], ["t"])
+    from pyspark.sql import functions as F
+
+    rows = df.select(tokenize_expr("t").alias("toks")).collect()
+    for row, t in zip(rows, TEXTS[:6]):
+        assert row["toks"] == tokenize(t)
+
+
+def test_token_vector_deterministic():
+    a, b = token_vector("spark"), token_vector("spark")
+    assert np.array_equal(a, b)
+    assert not np.array_equal(token_vector("spark"), token_vector("flink"))
+
+
+def test_vectorise_entry_shape_and_padding():
+    v = vectorise_entry("one two", vector_size=4)
+    assert v.shape == (MAX_TOKENS_PER_ENTRY * 4,)
+    assert np.any(v[:8] != 0) and np.all(v[8:] == 0)
+
+
+@pytest.fixture(scope="module")
+def profiled(spark):
+    df = spark.createDataFrame([(t,) for t in TEXTS], ["body"])
+    return df, text_profile(df, "body", vector_size=4)
+
+
+def test_text_profile_matches_numpy(profiled):
+    _, prof = profiled
+    X = np.stack([vectorise_entry(t, 4) for t in TEXTS])
+    assert prof["n_samples"] == len(TEXTS)
+    assert prof["vector_dim"] == X.shape[1]
+    np.testing.assert_allclose(prof["mean_vector"], X.mean(axis=0), rtol=1e-9)
+    np.testing.assert_allclose(prof["cov_matrix"], np.cov(X.T), rtol=1e-8, atol=1e-12)
+    assert prof["overall_mean"] == pytest.approx(float(np.mean(X.mean(axis=0))), rel=1e-9)
+    assert prof["overall_std"] == pytest.approx(float(np.mean(X.std(axis=0))), rel=1e-9)
+    assert "spark" in prof["vocab"]
+
+
+def test_gen_text_roundtrip_and_determinism(spark, profiled):
+    _, prof = profiled
+    cp = ColumnProfile("body", "text", None, prof)
+    frame = spark.range(20)
+    out1 = gen_text_column(spark, frame, "body", cp, seed=5).select("body").collect()
+    out2 = gen_text_column(spark, frame, "body", cp, seed=5).select("body").collect()
+    assert [r["body"] for r in out1] == [r["body"] for r in out2]
+    texts = [r["body"] for r in out1]
+    assert all(isinstance(t, str) and t for t in texts)
+    # decoded words come from the learned vocabulary
+    vocab = set(prof["vocab"])
+    for t in texts[:5]:
+        assert set(t.split()) <= vocab

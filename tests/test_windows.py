@@ -1,0 +1,68 @@
+"""Event-windowing tests: rollup/sessionize/running totals on a constructed
+event stream with known session structure."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from etl_processes_spark.streaming.windows import (
+    hourly_event_rollup,
+    sessionize,
+    user_running_totals,
+)
+
+BASE = dt.datetime(2024, 1, 1, 10, 0, 0)
+
+EVENTS = [
+    # user 1: two sessions (gap > 30 min between e3 and e4)
+    (1, 1, BASE, "click", 1.0),
+    (2, 1, BASE + dt.timedelta(minutes=10), "view", 2.0),
+    (3, 1, BASE + dt.timedelta(minutes=20), "click", 3.0),
+    (4, 1, BASE + dt.timedelta(minutes=80), "purchase", 4.0),
+    # user 2: one session
+    (5, 2, BASE + dt.timedelta(minutes=5), "view", 10.0),
+    (6, 2, BASE + dt.timedelta(minutes=34), "view", 20.0),
+]
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    return spark.createDataFrame(EVENTS, schema)
+
+
+def test_sessionize_gap_semantics(events):
+    rows = sessionize(events, gap_minutes=30).collect()
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r)
+    assert len(by_user[1]) == 2  # split at the 60-min gap
+    s1, s2 = sorted(by_user[1], key=lambda r: r["session_id"])
+    assert s1["n_events"] == 3 and s2["n_events"] == 1
+    assert s1["sum_value"] == 6.0 and s2["sum_value"] == 4.0
+    # user 2: 29-min gap < 30 → one session
+    assert len(by_user[2]) == 1 and by_user[2][0]["n_events"] == 2
+
+
+def test_hourly_rollup(events):
+    rows = hourly_event_rollup(events).collect()
+    hours = {(r["hour"].hour, r["event_type"]): r for r in rows}
+    assert hours[(10, "click")]["n_events"] == 2
+    assert hours[(11, "purchase")]["n_events"] == 1
+    assert hours[(10, "view")]["sum_value"] == 32.0  # e2(2) + e5(10) + e6(20)
+
+
+def test_running_totals_monotone_per_user(events):
+    rows = user_running_totals(events).collect()
+    u1 = [r["running_value"] for r in sorted(rows, key=lambda r: r["event_id"]) if r["user_id"] == 1]
+    assert u1 == [1.0, 3.0, 6.0, 10.0]
