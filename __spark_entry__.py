@@ -21,6 +21,12 @@ ND = 6  # float rounding for hash-stable comparisons
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # Pin the session to UTC so NTZ→timestamp casts and date_format render
+    # the naive wall times DuckDB sees, regardless of the host's timezone.
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    except Exception:
+        pass
     if name == "events":
         return _load_events(spark, sf_dir)
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
@@ -345,6 +351,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 rows.append((col, metric, float(val) if isinstance(val, (int, float, bool)) else None))
         return spark.createDataFrame(rows, ["column_name", "metric", "value"])
 
+    def q_reference_pipeline(spark, sf):
+        # the reference's whole main() on its own fixture CSV (rows-only)
+        from etl_processes_spark.pipeline import run_reference_pipeline
+
+        synth, _, _ = run_reference_pipeline(
+            spark, "/root/reference/customer_data_test.csv", n_samples=100, seed=41
+        )
+        return synth
+
+    def q_type_summary(spark, sf):
+        # per-type column counts + example column (Latanova_v1.py:726-738)
+        types = infer_types(_t(spark, sf, "customer"))
+        summary: dict[str, list[str]] = {}
+        for col, t in types.items():
+            summary.setdefault(t, []).append(col)
+        rows = [(t, len(cols), sorted(cols)[0]) for t, cols in sorted(summary.items())]
+        return spark.createDataFrame(rows, ["logical_type", "n_columns", "example_column"])
+
+    def q_knn_decode(spark, sf):
+        # decode each doc's FIRST token-slot vector back to its nearest
+        # vocabulary word (the §2.6/§2.7 k-NN decode as a standalone op)
+        import numpy as np
+
+        from etl_processes_spark.text import text_profile
+        from etl_processes_spark.text.embedding import _vocab_matrix, knn_decode
+
+        prof = text_profile(_t(spark, sf, "documents"), "text", vector_size=4)
+        vocab = prof["vocab"]
+        vmat = _vocab_matrix(vocab, 4)
+        mean_slot = np.asarray(prof["mean_vector"])[:4].reshape(1, 4)
+        words = knn_decode(mean_slot, vocab, vmat, topn=3)
+        return spark.createDataFrame([(words[0],)], ["decoded_word"])
+
     # -- multimodal (rows-only: media table built in-session) ------------------
 
     def q_multimodal_features(spark, sf):
@@ -462,6 +501,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pca_2d": q_pca_2d,
         "gen_unknown": q_gen_unknown,
         "validate_roundtrip": q_validate_roundtrip,
+        "reference_pipeline": q_reference_pipeline,
+        "type_summary": q_type_summary,
+        "knn_decode": q_knn_decode,
         "multimodal_features": q_multimodal_features,
         "multimodal_frame_plan": q_multimodal_frame_plan,
         "media_stats": q_media_stats,
@@ -529,10 +571,12 @@ def oracle_sql() -> dict[str, str]:
         y="l_quantity", tbl="lineitem", notnull="l_quantity", mult="CAST(1 AS DOUBLE)"
     )
 
+    # make_timestamp(micros) is timezone-naive (to_timestamp would render in
+    # the host TimeZone and disagree with Spark's UTC-pinned session)
     sql["datetime_profile"] = (
         "SELECT p.*, "
-        "strftime(to_timestamp(min_val), '%Y-%m-%d %H:%M:%S') AS min_date, "
-        "strftime(to_timestamp(max_val), '%Y-%m-%d %H:%M:%S') AS max_date FROM ("
+        "strftime(make_timestamp(CAST(min_val * 1000000 AS BIGINT)), '%Y-%m-%d %H:%M:%S') AS min_date, "
+        "strftime(make_timestamp(CAST(max_val * 1000000 AS BIGINT)), '%Y-%m-%d %H:%M:%S') AS max_date FROM ("
         + NUMERIC_PROFILE_EXACT_SQL.format(
             y="epoch(o_orderdate) / 86400",
             tbl="orders",

@@ -196,8 +196,23 @@ def minhash_lsh_pairs(
     )
     if not verify:
         return cand
-    pairs = ngram_jaccard_pairs(df, id_col, text_col, k=k, threshold=threshold)
-    return cand.join(pairs, ["id_a", "id_b"]).select("id_a", "id_b", "jaccard")
+    # Exact-Jaccard verify on CANDIDATES ONLY: join each candidate pair to the
+    # two docs' distinct-shingle arrays and intersect. Cost is O(|candidates|),
+    # not O(all-pairs) — re-running the full inverted-index join here would
+    # throw away the entire point of LSH.
+    sets = df.select(
+        F.col(id_col).alias("id"), shingles_expr(text_col, k).alias("shs")
+    )
+    a = sets.select(F.col("id").alias("id_a"), F.col("shs").alias("shs_a"))
+    b = sets.select(F.col("id").alias("id_b"), F.col("shs").alias("shs_b"))
+    joined = cand.join(a, "id_a").join(b, "id_b")
+    common = F.size(F.array_intersect(F.col("shs_a"), F.col("shs_b")))
+    union = F.size(F.col("shs_a")) + F.size(F.col("shs_b")) - common
+    return (
+        joined.withColumn("jaccard", F.round(common / union, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -40,6 +40,9 @@ def get_spark(
         # testdata events.parquet is TIMESTAMP(NANOS); Spark only reads it as
         # a long (nanos) with this legacy flag — loaders convert to micros.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # UTC everywhere: NTZ casts / renders must match the DuckDB oracle's
+        # naive timestamps independent of host timezone.
+        .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )
