@@ -488,6 +488,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t(spark, sf, "lineitem"),
         )
 
+    def q_embedding_near_dup(spark, sf):
+        from etl_processes_spark.ops.similarity import embedding_near_dup_pairs
+
+        return embedding_near_dup_pairs(
+            _t(spark, sf, "embeddings"), threshold=0.5, ndigits=ND
+        )
+
+    def q_sliding_window_agg(spark, sf):
+        from etl_processes_spark.streaming.windows import sliding_window_agg
+
+        return sliding_window_agg(_t(spark, sf, "events"), ndigits=ND)
+
+    def q_top_orders_per_priority(spark, sf):
+        from etl_processes_spark.ops.relational import top_orders_per_priority
+
+        return top_orders_per_priority(_t(spark, sf, "orders"), k=3)
+
+    def q_sales_rollup(spark, sf):
+        from etl_processes_spark.ops.relational import sales_rollup
+
+        return sales_rollup(_t(spark, sf, "lineitem"))
+
+    def q_pivot_returnflag(spark, sf):
+        from etl_processes_spark.ops.relational import pivot_returnflag
+
+        return pivot_returnflag(_t(spark, sf, "lineitem"))
+
+    def q_quantity_quartiles(spark, sf):
+        from etl_processes_spark.ops.relational import quantity_quartiles_by_flag
+
+        return quantity_quartiles_by_flag(_t(spark, sf, "lineitem"))
+
     def q_part_type_stats(spark, sf):
         return part_type_stats(_t(spark, sf, "part"), _t(spark, sf, "lineitem"), ndigits=4)
 
@@ -544,6 +576,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_unshipped_orders": q_top_unshipped_orders,
         "revenue_by_nation": q_revenue_by_nation,
         "part_type_stats": q_part_type_stats,
+        "embedding_near_dup": q_embedding_near_dup,
+        "sliding_window_agg": q_sliding_window_agg,
+        "top_orders_per_priority": q_top_orders_per_priority,
+        "sales_rollup": q_sales_rollup,
+        "pivot_returnflag": q_pivot_returnflag,
+        "quantity_quartiles": q_quantity_quartiles,
     }
 
 
@@ -858,6 +896,62 @@ JOIN customer c ON o.o_custkey = c.c_custkey
 JOIN nation n ON c.c_nationkey = n.n_nationkey
 JOIN region r ON n.n_regionkey = r.r_regionkey
 GROUP BY r.r_name, n.n_name
+"""
+
+    sql["embedding_near_dup"] = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_cosine_similarity(a.v, b.v), 6) AS cosine_sim
+FROM e a, e b
+WHERE a.vec_id < b.vec_id
+  AND round(list_cosine_similarity(a.v, b.v), 6) >= 0.5
+"""
+
+    # Spark's F.window is epoch-aligned: a 1h/30min sliding window places each
+    # event in exactly the two windows starting at floor(epoch/1800)*1800 and
+    # that minus 1800.
+    sql["sliding_window_agg"] = """
+WITH shifted AS (
+  SELECT make_timestamp(CAST(((CAST(floor(epoch(ts) / 1800) AS BIGINT) - s.s) * 1800) * 1000000 AS BIGINT)) AS window_start,
+         event_type, value
+  FROM events, (VALUES (0), (1)) AS s(s))
+SELECT window_start, event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 6) AS sum_value
+FROM shifted GROUP BY 1, 2
+"""
+
+    sql["top_orders_per_priority"] = """
+WITH r AS (SELECT o_orderpriority, o_orderkey, round(o_totalprice, 2) AS totalprice,
+                  row_number() OVER (PARTITION BY o_orderpriority
+                                     ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+           FROM orders)
+SELECT o_orderpriority, o_orderkey, totalprice, CAST(rk AS INTEGER) AS rank
+FROM r WHERE rk <= 3
+"""
+
+    sql["sales_rollup"] = """
+SELECT l_returnflag, l_linestatus,
+       CAST(count(*) AS BIGINT) AS n_items,
+       sum(l_quantity) AS sum_qty
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+    sql["pivot_returnflag"] = """
+SELECT l_linestatus,
+       sum(CASE WHEN l_returnflag = 'A' THEN l_quantity END) AS qty_a,
+       sum(CASE WHEN l_returnflag = 'N' THEN l_quantity END) AS qty_n,
+       sum(CASE WHEN l_returnflag = 'R' THEN l_quantity END) AS qty_r
+FROM lineitem GROUP BY l_linestatus
+"""
+
+    sql["quantity_quartiles"] = """
+SELECT l_returnflag,
+       quantile_cont(CAST(l_quantity AS DOUBLE), 0.25) AS q1,
+       quantile_cont(CAST(l_quantity AS DOUBLE), 0.5) AS q2,
+       quantile_cont(CAST(l_quantity AS DOUBLE), 0.75) AS q3,
+       CAST(count(l_quantity) AS BIGINT) AS n
+FROM lineitem GROUP BY l_returnflag
 """
 
     sql["part_type_stats"] = """

@@ -130,6 +130,64 @@ def revenue_by_nation(
     )
 
 
+def top_orders_per_priority(orders: DataFrame, k: int = 3) -> DataFrame:
+    """Per-group top-k via row_number window (deterministic tie-break on
+    o_orderkey). One shuffle on the partition key."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        orders.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "o_orderpriority",
+            "o_orderkey",
+            F.round(F.col("o_totalprice"), 2).alias("totalprice"),
+            "rank",
+        )
+    )
+
+
+def sales_rollup(lineitem: DataFrame) -> DataFrame:
+    """ROLLUP over (returnflag, linestatus): subtotals + grand total in one
+    pass (Expand + single shuffle)."""
+    return lineitem.rollup("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum("l_quantity").alias("sum_qty"),
+    )
+
+
+def pivot_returnflag(lineitem: DataFrame) -> DataFrame:
+    """Pivot l_returnflag into columns of quantity sums per linestatus.
+    Values enumerated explicitly — never let pivot() run its distinct-scan
+    pre-pass on a 100 TB fact table."""
+    return (
+        lineitem.groupBy("l_linestatus")
+        .pivot("l_returnflag", ["A", "N", "R"])
+        .agg(F.sum("l_quantity"))
+        .select(
+            "l_linestatus",
+            F.col("A").alias("qty_a"),
+            F.col("N").alias("qty_n"),
+            F.col("R").alias("qty_r"),
+        )
+    )
+
+
+def quantity_quartiles_by_flag(lineitem: DataFrame) -> DataFrame:
+    """Exact per-group quartiles (sort-based agg per group; for 100 TB use
+    percentile_approx behind the same interface)."""
+    x = F.col("l_quantity").cast("double")
+    return lineitem.groupBy("l_returnflag").agg(
+        F.percentile(x, F.lit(0.25)).alias("q1"),
+        F.percentile(x, F.lit(0.5)).alias("q2"),
+        F.percentile(x, F.lit(0.75)).alias("q3"),
+        F.count(x).alias("n"),
+    )
+
+
 def part_type_stats(part: DataFrame, lineitem: DataFrame, ndigits: int = 4) -> DataFrame:
     """Broadcast part dim into lineitem; per p_type quantity/price stats."""
     return (

@@ -133,6 +133,31 @@ def cosine_topk_blocked(
     )
 
 
+def embedding_near_dup_pairs(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id_a < id_b, cosine >= t).
+    Exact all-pairs — the correctness baseline; at scale swap the cross join
+    for ann_cosine_lsh buckets and keep this exact predicate as the verify
+    stage. Broadcast one side (dedup corpora that fit; otherwise LSH)."""
+    a = corpus.select(F.col(id_col).alias("id_a"), _as_double_array(vec_col).alias("va"))
+    b = corpus.select(F.col(id_col).alias("id_b"), _as_double_array(vec_col).alias("vb"))
+    return (
+        a.crossJoin(F.broadcast(b))
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine_expr(F.col("va"), F.col("vb")), ndigits).alias("cosine_sim"),
+        )
+        .filter(F.col("cosine_sim") >= threshold)
+    )
+
+
 def hyperplane_signature(
     vec: Column, planes: np.ndarray
 ) -> Column:

@@ -80,6 +80,29 @@ def user_running_totals(events: DataFrame, ndigits: int = 6) -> DataFrame:
     )
 
 
+def sliding_window_agg(
+    events: DataFrame, duration: str = "1 hour", slide: str = "30 minutes", ndigits: int = 6
+) -> DataFrame:
+    """Sliding event-time windows (each event lands in duration/slide
+    windows) — native F.window; epoch-aligned, so the SQL oracle can emulate
+    with shifted floor-buckets."""
+    return (
+        events.groupBy(
+            F.window("ts", duration, slide).alias("w"), F.col("event_type")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), ndigits).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Structured Streaming twins
 # ---------------------------------------------------------------------------
