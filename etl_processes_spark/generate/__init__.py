@@ -80,7 +80,9 @@ def generate(
             exprs.append(gen_datetime(s, prof.format, col_seed).alias(name))
         elif t in (EMAIL, PHONE):
             entries = s.get("raw_entries") or []
-            if entries:
+            if entries and len(entries) > 4 * _MAX_INLINE:
+                join_cols.append((name, prof, col_seed))  # broadcast-join path
+            elif entries:
                 exprs.append(bootstrap_resample(entries, col_seed).alias(name))
             elif t == EMAIL:
                 exprs.append(gen_email_fallback(col_seed).alias(name))
@@ -93,7 +95,9 @@ def generate(
                 join_cols.append((name, prof, col_seed))
             else:
                 entries = s.get("raw_entries") or []
-                if entries:
+                if entries and len(entries) > 4 * _MAX_INLINE:
+                    join_cols.append((name, prof, col_seed))
+                elif entries:
                     exprs.append(bootstrap_resample(entries, col_seed).alias(name))
                 else:
                     exprs.append(gen_unknown().alias(name))
@@ -104,10 +108,16 @@ def generate(
     for name, prof, col_seed in join_cols:
         if prof.logical_type == CATEGORICAL:
             out = gen_categorical_join(spark, out, name, prof.stats, col_seed)
-        else:
+        elif prof.logical_type == TEXT and "mean_vector" in prof.stats:
             from etl_processes_spark.text import gen_text_column
 
             out = gen_text_column(spark, out, name, prof, col_seed)
+        else:
+            from etl_processes_spark.generate.generators import bootstrap_resample_join
+
+            out = bootstrap_resample_join(
+                spark, out, name, prof.stats["raw_entries"], col_seed
+            )
     return out
 
 

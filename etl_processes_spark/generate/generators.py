@@ -119,10 +119,30 @@ def gen_unknown() -> Column:
 def bootstrap_resample(entries: list[str], seed: int) -> Column:
     """Sample retained raw entries with replacement (Latanova_v1.py:309).
     NOTE: leaks source values by design (reference semantics, SURVEY Q10).
-    Entries are profile-sample-bounded, so the inline array is bounded too."""
+    Entries are profile-sample-bounded, so the inline array is bounded too.
+    For entry sets too large to inline in the plan, use
+    bootstrap_resample_join."""
     arr = F.array(*[F.lit(e) for e in entries])
     idx = (F.floor(F.rand(seed) * F.lit(len(entries))) + 1).cast("int")
     return F.element_at(arr, idx)
+
+
+def bootstrap_resample_join(
+    spark: SparkSession, frame: DataFrame, out_col: str, entries: list[str], seed: int
+) -> DataFrame:
+    """Bootstrap via broadcast equi-join against an indexed entries table —
+    the scale path when inlining thousands of literals would bloat the plan
+    (plan size is driver memory + codegen time). rand() is materialized
+    before the join (nondeterministic-expression rule)."""
+    lookup = spark.createDataFrame(
+        [(i, e) for i, e in enumerate(entries)], ["__idx", out_col]
+    )
+    idx = F.floor(F.rand(seed) * F.lit(len(entries))).cast("long")
+    return (
+        frame.withColumn("__idx", idx)
+        .join(F.broadcast(lookup), "__idx")
+        .drop("__idx")
+    )
 
 
 def gen_email_fallback(seed: int) -> Column:

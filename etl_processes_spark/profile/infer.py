@@ -199,8 +199,13 @@ def inference_metrics(df: DataFrame, columns: list[str] | None = None) -> dict[s
     return out
 
 
-def decide_type(metrics: dict, spark_type: T.DataType) -> str:
-    """The reference decision tree (Latanova_v1.py:124-170), order-exact."""
+def decide_type(metrics: dict, spark_type: T.DataType, strict_reference_order: bool = True) -> str:
+    """The reference decision tree (Latanova_v1.py:124-170), order-exact by
+    default. ``strict_reference_order=False`` moves the email/phone probe
+    AFTER the numeric/datetime checks — the reference's order types every
+    date string and most large-magnitude numeric columns as 'phone' (its own
+    fixture's join_date/last_purchase/address land there); the sane order is
+    offered as an explicit, documented divergence knob."""
     n = metrics["n"] or 0
     if n == 0:
         return UNKNOWN                                            # :129-130
@@ -208,10 +213,16 @@ def decide_type(metrics: dict, spark_type: T.DataType) -> str:
         return BOOLEAN                                            # :131-132
     if metrics["n_distinct_lower"] <= 3 and not metrics["outside_bool_vocab"]:
         return BOOLEAN                                            # :133-137
-    if (metrics["email_ratio"] or 0) > EMAIL_PHONE_THRESHOLD:
-        return EMAIL                                              # :71-77,138-140
-    if (metrics["phone_ratio"] or 0) > EMAIL_PHONE_THRESHOLD:
-        return PHONE                                              # :78-85,138-140
+
+    def special() -> str | None:
+        if (metrics["email_ratio"] or 0) > EMAIL_PHONE_THRESHOLD:
+            return EMAIL                                          # :71-77,138-140
+        if (metrics["phone_ratio"] or 0) > EMAIL_PHONE_THRESHOLD:
+            return PHONE                                          # :78-85,138-140
+        return None
+
+    if strict_reference_order and (s := special()):
+        return s
     int_ratio = metrics["int_ratio"] if metrics["int_ratio"] is not None else 0.0
     if isinstance(spark_type, T.NumericType):
         return INTEGER if int_ratio >= INT_RATIO_THRESHOLD else FLOAT  # :141-148
@@ -221,15 +232,23 @@ def decide_type(metrics: dict, spark_type: T.DataType) -> str:
         return DATETIME                                           # :161-162
     if (metrics["datetime_ratio"] or 0) >= DATETIME_THRESHOLD:
         return DATETIME                                           # :163-165
+    if not strict_reference_order and (s := special()):
+        return s
     unique_ratio = metrics["n_distinct_trim"] / n
     if unique_ratio <= UNIQUE_THRESHOLD and metrics["n_distinct_trim"] < MAX_CATEGORIES:
         return CATEGORICAL                                        # :166-169
     return TEXT                                                   # :170
 
 
-def infer_types(df: DataFrame, columns: list[str] | None = None) -> dict[str, str]:
+def infer_types(
+    df: DataFrame,
+    columns: list[str] | None = None,
+    strict_reference_order: bool = True,
+) -> dict[str, str]:
     """Infer the logical type of every column — one scan + driver tree."""
     columns = columns or df.columns
     metrics = inference_metrics(df, columns)
     schema = {f.name: f.dataType for f in df.schema.fields}
-    return {c: decide_type(metrics[c], schema[c]) for c in columns}
+    return {
+        c: decide_type(metrics[c], schema[c], strict_reference_order) for c in columns
+    }

@@ -41,23 +41,38 @@ from etl_processes_spark.profile.infer import bool_lower, datetime_parse
 # ---------------------------------------------------------------------------
 
 
-def numeric_profile_exprs(c: str | Column, prefix: str = "") -> list[Column]:
+def numeric_profile_exprs(
+    c: str | Column, prefix: str = "", approx_percentiles: bool = False
+) -> list[Column]:
     """mean/std(pop)/median/min/max/skew/kurtosis/q1/q3/count
     (Latanova_v1.py:179-189). ``skew``/``kurt`` are 0 for degenerate inputs
-    (n<=2 / n<=3), matching the reference's explicit guards (:185-186)."""
+    (n<=2 / n<=3), matching the reference's explicit guards (:185-186).
+
+    ``approx_percentiles=True`` swaps exact sort-based percentiles for
+    percentile_approx — the 100 TB knob (SURVEY §4): exact percentiles are
+    fine at profile-sample scale but require a per-column sort at full-frame
+    scale."""
     x = (F.col(c) if isinstance(c, str) else c).cast("double")
     n = F.count(x)
     p = prefix
+    if approx_percentiles:
+        q1 = F.percentile_approx(x, F.lit(0.25), F.lit(10000))
+        med = F.percentile_approx(x, F.lit(0.5), F.lit(10000))
+        q3 = F.percentile_approx(x, F.lit(0.75), F.lit(10000))
+    else:
+        q1 = F.percentile(x, F.lit(0.25))
+        med = F.median(x)
+        q3 = F.percentile(x, F.lit(0.75))
     return [
         F.avg(x).alias(f"{p}mean"),
         F.coalesce(F.stddev_pop(x), F.lit(0.0)).alias(f"{p}std"),
-        F.median(x).alias(f"{p}median"),
+        med.alias(f"{p}median"),
         F.min(x).alias(f"{p}min_val"),
         F.max(x).alias(f"{p}max_val"),
         F.when(n > 2, F.coalesce(F.skewness(x), F.lit(0.0))).otherwise(0.0).alias(f"{p}skew"),
         F.when(n > 3, F.coalesce(F.kurtosis(x), F.lit(0.0))).otherwise(0.0).alias(f"{p}kurt"),
-        F.percentile(x, F.lit(0.25)).alias(f"{p}q1"),
-        F.percentile(x, F.lit(0.75)).alias(f"{p}q3"),
+        q1.alias(f"{p}q1"),
+        q3.alias(f"{p}q3"),
         n.alias(f"{p}n_samples"),
     ]
 

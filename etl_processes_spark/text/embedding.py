@@ -79,11 +79,29 @@ def vectorise_entry(entry: str, vector_size: int = VECTOR_SIZE) -> np.ndarray:
 
 
 def vectorise_udf(vector_size: int = VECTOR_SIZE):
-    """Arrow-batched pandas_udf: string → array<double> (the 32·V entry vec)."""
+    """Arrow-batched pandas_udf: string → array<double> (the 32·V entry vec).
+    A per-executor token→vector cache amortizes the md5+randn derivation —
+    corpora repeat tokens heavily (Zipf), so the hot path is a dict hit."""
+    cache: dict[str, np.ndarray] = {}
+
+    def tv(tok: str) -> np.ndarray:
+        v = cache.get(tok)
+        if v is None:
+            if len(cache) > 500_000:  # bound executor memory
+                cache.clear()
+            v = cache[tok] = token_vector(tok, vector_size)
+        return v
+
+    def one(entry: str) -> list[float]:
+        toks = tokenize(entry)[:MAX_TOKENS_PER_ENTRY]
+        out = np.zeros(MAX_TOKENS_PER_ENTRY * vector_size)
+        for i, t in enumerate(toks):
+            out[i * vector_size : (i + 1) * vector_size] = tv(t)
+        return out.tolist()
 
     @F.pandas_udf(T.ArrayType(T.DoubleType()))
     def _vec(s: pd.Series) -> pd.Series:
-        return s.map(lambda e: vectorise_entry(e, vector_size).tolist())
+        return s.map(one)
 
     return _vec
 

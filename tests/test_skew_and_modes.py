@@ -1,0 +1,45 @@
+"""Salted-join equivalence, large-domain categorical generation, sane-order
+inference mode."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_processes_spark.generate.generators import gen_categorical_join
+from etl_processes_spark.ops.skew import salted_join, two_phase_count
+from etl_processes_spark.profile import infer_types
+
+
+def test_salted_join_equals_plain_join(spark):
+    big = spark.range(2000).select(
+        (F.col("id") % 5).alias("k"), F.col("id").alias("v")
+    )
+    small = spark.createDataFrame([(i, f"dim{i}") for i in range(5)], ["k", "name"])
+    plain = big.join(small, "k").select("k", "v", "name")
+    salted = salted_join(big, small, "k", salt_buckets=8).select("k", "v", "name")
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_two_phase_count_matches(spark):
+    df = spark.range(3000).select((F.col("id") % 3).alias("k"))
+    a = {r["k"]: r["count"] for r in df.groupBy("k").count().collect()}
+    b = {r["k"]: r["count"] for r in two_phase_count(df, "k").collect()}
+    assert a == b
+
+
+def test_gen_categorical_join_large_domain(spark):
+    cats = [f"cat_{i:03d}" for i in range(300)]
+    probs = [1.0 / 300] * 300
+    stats = {"categories": cats, "probabilities": probs}
+    frame = spark.range(3000)
+    out = gen_categorical_join(spark, frame, "c", stats, seed=3)
+    vals = out.select("c").toPandas().c
+    assert vals.notna().all()
+    assert set(vals) <= set(cats)
+    assert vals.nunique() > 200  # most of the domain hit at n=3000
+
+
+def test_sane_inference_order(spark):
+    # date strings: reference order types them phone; sane order → datetime
+    df = spark.createDataFrame([("2020-01-15",), ("2021-03-04",)] * 10, ["d"])
+    assert infer_types(df)["d"] == "phone"
+    assert infer_types(df, strict_reference_order=False)["d"] == "datetime"
