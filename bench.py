@@ -39,6 +39,8 @@ def main() -> None:
         "ngram_jaccard_pairs",
         "minhash_lsh_pairs",
         "cosine_topk",
+        "text_profile_stats",
+        "gen_text_mvn",
         "token_count",
         "quality_score",
         "hourly_event_rollup",

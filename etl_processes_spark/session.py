@@ -43,7 +43,10 @@ def get_spark(
         # UTC everywhere: NTZ casts / renders must match the DuckDB oracle's
         # naive timestamps independent of host timezone.
         .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        # local[N] puts driver + all executor threads in ONE JVM: size the
+        # heap for N concurrent tasks' shuffle/agg buffers, or GC thrash
+        # silently multiplies query times (measured 5-10x on this harness).
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
     )
     return builder.getOrCreate()

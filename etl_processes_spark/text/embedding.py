@@ -116,49 +116,58 @@ def embed_entries(df: DataFrame, c: str, vector_size: int = VECTOR_SIZE) -> Data
 # ---------------------------------------------------------------------------
 
 
-def _per_dim_moments(vec_df: DataFrame) -> np.ndarray:
-    """(d, 5) array of per-dimension mean/std_pop/median/skew/kurt via
-    posexplode + groupBy(dim) — one shuffle of d·partitions tiny rows."""
+def _medians(vec_df: DataFrame) -> np.ndarray:
+    """Per-dimension exact medians (the one statistic that needs a sort) via
+    posexplode + groupBy(dim)."""
     exploded = vec_df.select(F.posexplode("__vec").alias("dim", "x"))
-    agg = (
-        exploded.groupBy("dim")
-        .agg(
-            F.avg("x").alias("mean"),
-            F.coalesce(F.stddev_pop("x"), F.lit(0.0)).alias("std"),
-            F.median("x").alias("median"),
-            F.coalesce(F.skewness("x"), F.lit(0.0)).alias("skew"),
-            F.coalesce(F.kurtosis("x"), F.lit(0.0)).alias("kurt"),
+    agg = exploded.groupBy("dim").agg(F.median("x").alias("median")).orderBy("dim").collect()
+    return np.array([r["median"] for r in agg])
+
+
+def _powersums_and_gram(vec_df: DataFrame, d: int):
+    """One pass over partitions, BLAS-batched: per-partition the vectors are
+    stacked into an (n_i, d) matrix and reduced to [n, Σx, Σx², Σx³, Σx⁴,
+    XᵀX] — matrix ops, no per-row Python (the row-at-a-time treeAggregate
+    variant measured 25 s at 5k docs; this is the same math batched). Only
+    O(d²) crosses to the driver."""
+
+    def part(rows):
+        X = np.array([r[0] for r in rows])
+        if X.size == 0:
+            return []
+        X2 = X * X
+        yield (
+            X.shape[0],
+            X.sum(axis=0),
+            X2.sum(axis=0),
+            (X2 * X).sum(axis=0),
+            (X2 * X2).sum(axis=0),
+            X.T @ X,
         )
-        .orderBy("dim")
-        .collect()
-    )
-    return np.array([[r["mean"], r["std"], r["median"], r["skew"], r["kurt"]] for r in agg])
-
-
-def _covariance(vec_df: DataFrame, d: int) -> tuple[np.ndarray, np.ndarray, int]:
-    """Sample covariance (np.cov ddof=1 parity, Latanova_v1.py:206) via a
-    distributed Gramian: per-partition Σ x·xᵀ and Σ x as flat arrays, reduced
-    with a treeAggregate-style RDD fold; only the d² result reaches the
-    driver."""
-
-    def seq(acc, row):
-        x = np.asarray(row[0])
-        acc[0] += np.outer(x, x).ravel()
-        acc[1] += x
-        acc[2] += 1
-        return acc
 
     def comb(a, b):
-        a[0] += b[0]
-        a[1] += b[1]
-        a[2] += b[2]
-        return a
+        return tuple(x + y for x, y in zip(a, b))
 
-    zero = [np.zeros(d * d), np.zeros(d), 0]
-    gram, s, n = vec_df.select("__vec").rdd.treeAggregate(zero, seq, comb)
-    mean = s / n
-    cov = (gram.reshape(d, d) - n * np.outer(mean, mean)) / (n - 1) if n > 1 else np.zeros((d, d))
-    return cov, mean, n
+    rdd = vec_df.select("__vec").rdd.mapPartitions(part)
+    if rdd.isEmpty():
+        return None
+    # treeReduce: O(d²) per partition result, merged in a tree — the driver
+    # receives ONE accumulator regardless of partition count (collect()
+    # would ship d² floats per partition: ~1 GB at 2000 partitions, d=256).
+    return rdd.treeReduce(comb)
+
+
+def _moments_from_powersums(n, s1, s2, s3, s4) -> np.ndarray:
+    """Population mean/std/skew/kurt per dimension from raw power sums
+    (same g1/g2 definitions as scipy bias=True/fisher=True)."""
+    m = s1 / n
+    m2 = np.maximum(s2 / n - m**2, 0.0)
+    m3 = s3 / n - 3 * m * (s2 / n) + 2 * m**3
+    m4 = s4 / n - 4 * m * (s3 / n) + 6 * m**2 * (s2 / n) - 3 * m**4
+    with np.errstate(divide="ignore", invalid="ignore"):
+        skew = np.where(m2 > 0, m3 / np.sqrt(m2) ** 3, 0.0)
+        kurt = np.where(m2 > 0, m4 / m2**2 - 3, 0.0)
+    return m, np.sqrt(m2), skew, kurt
 
 
 def text_profile(
@@ -171,10 +180,17 @@ def text_profile(
     vec_df = embed_entries(base, c, vector_size).persist()
     try:
         d = MAX_TOKENS_PER_ENTRY * vector_size
-        moments = _per_dim_moments(vec_df)
-        if moments.size == 0:
+        sums = _powersums_and_gram(vec_df, d)
+        if sums is None:
             return None
-        cov, mean_vec, n = _covariance(vec_df, d)
+        n, s1, s2, s3, s4, gram = sums
+        mean_vec, std_vec, skew_vec, kurt_vec = _moments_from_powersums(n, s1, s2, s3, s4)
+        cov = (
+            (gram - n * np.outer(mean_vec, mean_vec)) / (n - 1)
+            if n > 1
+            else np.zeros((d, d))
+        )
+        medians = _medians(vec_df)
         # Vocabulary for k-NN decode: distinct tokens of the profiled text.
         vocab_rows = (
             base.select(F.explode(tokenize_expr(c)).alias("token"))
@@ -185,14 +201,13 @@ def text_profile(
             .collect()
         )
         vocab = [r["token"] for r in vocab_rows]
-        mean_per_dim, std_per_dim = moments[:, 0], moments[:, 1]
         return {
-            "overall_mean": float(np.mean(mean_per_dim)),
-            "overall_std": float(np.mean(std_per_dim)),
-            "std_of_means": float(np.std(mean_per_dim)),
-            "mean_of_medians": float(np.mean(moments[:, 2])),
-            "asymmetry_avg": float(np.mean(moments[:, 3])),
-            "excess_avg": float(np.mean(moments[:, 4])),
+            "overall_mean": float(np.mean(mean_vec)),
+            "overall_std": float(np.mean(std_vec)),
+            "std_of_means": float(np.std(mean_vec)),
+            "mean_of_medians": float(np.mean(medians)),
+            "asymmetry_avg": float(np.mean(skew_vec)),
+            "excess_avg": float(np.mean(kurt_vec)),
             "vector_dim": d,
             "mean_vector": mean_vec,
             "cov_matrix": cov,
