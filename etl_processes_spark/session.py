@@ -49,4 +49,10 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
     )
+    # N concurrent Python workers × multithreaded BLAS = N² runnable threads.
+    # Per-batch matrices in the UDF paths are small (d ≤ a few hundred), where
+    # single-threaded GEMM wins anyway; parallelism comes from Spark tasks.
+    for var in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS"):
+        builder = builder.config(f"spark.executorEnv.{var}", "1")
+        os.environ.setdefault(var, "1")
     return builder.getOrCreate()
