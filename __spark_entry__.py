@@ -109,7 +109,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         revenue_by_nation,
         top_unshipped_orders,
     )
-    from etl_processes_spark.ops.similarity import ann_cosine_lsh, cosine_topk
+    from etl_processes_spark.ops.similarity import ann_cosine_lsh, cosine_topk_fast
     from etl_processes_spark.ops.textstats import (
         fingerprint,
         lang_id,
@@ -449,8 +449,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # -- similarity ---------------------------------------------------------------
 
     def q_cosine_topk(spark, sf):
+        # BLAS blocked path (corpus streamed, query matrix broadcast) — same
+        # output contract as the expression-form cosine_topk, ~15× faster
         e = _t(spark, sf, "embeddings")
-        return cosine_topk(e, e.filter(F.col("vec_id") < 20), "vec_id", "embedding", k=5, ndigits=ND)
+        return cosine_topk_fast(e, e.filter(F.col("vec_id") < 20), "vec_id", "embedding", k=5, ndigits=ND)
 
     def q_ann_cosine_lsh(spark, sf):
         e = _t(spark, sf, "embeddings")

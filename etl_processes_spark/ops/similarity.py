@@ -90,13 +90,21 @@ def cosine_topk_blocked(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 5,
+    ndigits: int = 6,
 ) -> DataFrame:
     """Brute-force top-k with the corpus STREAMED and the query matrix
     broadcast: per Arrow batch, one BLAS matmul scores the whole block.
-    Partial top-k per partition, final top-k via groupBy — the classic
-    scalable ANN-exact pattern (corpus never collected)."""
+    Partial top-k per partition, final top-k via a window — the classic
+    scalable ANN-exact pattern (corpus never collected).
+
+    Output contract matches ``cosine_topk`` exactly: (query_id, neighbor_id,
+    cosine_sim rounded to ``ndigits``, rank), ranked by (rounded sim desc,
+    neighbor_id asc). Partial selection inside the kernel uses the SAME total
+    order (np-rounded sim desc, neighbor asc) plus a small slack so the
+    global top-k is always contained in the union of per-batch top-k even
+    when many sims tie at the rounded precision."""
     spark = corpus.sparkSession
-    qids = queries_pdf[id_col].to_numpy()
+    qids = queries_pdf[id_col].to_numpy().astype(np.int64)
     qmat = np.stack(queries_pdf[vec_col].to_numpy()).astype(np.float64)
     qmat /= np.maximum(np.linalg.norm(qmat, axis=1, keepdims=True), 1e-12)
     b = spark.sparkContext.broadcast((qids, qmat))
@@ -108,29 +116,77 @@ def cosine_topk_blocked(
             T.StructField("cosine_sim", T.DoubleType()),
         ]
     )
+    slack = 8  # absorbs np.round vs F.round divergence on exact rounding boundaries
 
     def score(batches):
         qids_, qmat_ = b.value
         for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf[id_col].to_numpy().astype(np.int64)
             cmat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
             cmat /= np.maximum(np.linalg.norm(cmat, axis=1, keepdims=True), 1e-12)
             sims = qmat_ @ cmat.T  # (nq, batch)
-            nk = min(k, sims.shape[1])
-            idx = np.argpartition(-sims, nk - 1, axis=1)[:, :nk]
-            rows = {
-                "query_id": np.repeat(qids_, nk),
-                "neighbor_id": pdf[id_col].to_numpy()[idx].ravel(),
-                "cosine_sim": np.take_along_axis(sims, idx, axis=1).ravel(),
-            }
-            yield pd.DataFrame(rows)
+            rsims = np.round(sims, ndigits)
+            rsims[qids_[:, None] == ids[None, :]] = -np.inf  # exclude self-match
+            nk = min(k + slack, sims.shape[1])
+            out_q, out_n, out_s = [], [], []
+            for qi in range(len(qids_)):
+                idx = np.lexsort((ids, -rsims[qi]))[:nk]
+                idx = idx[rsims[qi][idx] > -np.inf]
+                out_q.append(np.full(len(idx), qids_[qi], dtype=np.int64))
+                out_n.append(ids[idx])
+                out_s.append(sims[qi][idx])
+            yield pd.DataFrame(
+                {
+                    "query_id": np.concatenate(out_q),
+                    "neighbor_id": np.concatenate(out_n),
+                    "cosine_sim": np.concatenate(out_s),
+                }
+            )
 
     partial = corpus.select(id_col, vec_col).mapInPandas(score, schema=schema)
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
     return (
-        partial.filter(F.col("query_id") != F.col("neighbor_id"))
+        partial.withColumn("cosine_sim", F.round(F.col("cosine_sim"), ndigits))
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine_sim", "rank")
     )
+
+
+def cosine_topk_fast(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Drop-in replacement for ``cosine_topk`` (same inputs, same output
+    schema/rounding/ranking) on the blocked BLAS path. The query side is
+    collected to the driver — it must be small, which is already the contract
+    of the broadcast in ``cosine_topk``."""
+    qpdf = queries.select(id_col, vec_col).toPandas()
+    return cosine_topk_blocked(corpus, qpdf, id_col, vec_col, k=k, ndigits=ndigits)
+
+
+def cosine_pairs_udf():
+    """Arrow-batched exact cosine over two array<double> columns — the
+    re-rank kernel for candidate pairs (one einsum per batch; no interpreted
+    higher-order functions in the hot path)."""
+
+    @F.pandas_udf("double")
+    def cos(a: pd.Series, b: pd.Series) -> pd.Series:
+        if len(a) == 0:
+            return pd.Series([], dtype=float)
+        A = np.stack(a.to_numpy()).astype(np.float64)
+        B = np.stack(b.to_numpy()).astype(np.float64)
+        num = np.einsum("ij,ij->i", A, B)
+        den = np.linalg.norm(A, axis=1) * np.linalg.norm(B, axis=1)
+        return pd.Series(num / np.maximum(den, 1e-300))
+
+    return cos
 
 
 def embedding_near_dup_pairs(
@@ -139,20 +195,107 @@ def embedding_near_dup_pairs(
     vec_col: str = "embedding",
     threshold: float = 0.9,
     ndigits: int = 6,
+    max_exact_rows: int = 10_000,
+    num_planes: int = 32,
+    bands: int = 8,
+    seed: int = 42,
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (id_a < id_b, cosine >= t).
-    Exact all-pairs — the correctness baseline; at scale swap the cross join
-    for ann_cosine_lsh buckets and keep this exact predicate as the verify
-    stage. Broadcast one side (dedup corpora that fit; otherwise LSH)."""
-    a = corpus.select(F.col(id_col).alias("id_a"), _as_double_array(vec_col).alias("va"))
-    b = corpus.select(F.col(id_col).alias("id_b"), _as_double_array(vec_col).alias("vb"))
+    """Embedding-cosine near-duplicate pairs (id_a < id_b, rounded cosine >=
+    threshold). Size-routed:
+
+     - corpus <= ``max_exact_rows``: EXACT blocked all-pairs — one side
+       broadcast as a normalized matrix, corpus streamed, one BLAS matmul per
+       Arrow batch, only passing pairs emitted (never the n² pair set).
+     - larger: hyperplane-LSH bucketed candidates (equi-join on band
+       signatures) + exact cosine verify of candidates only. Approximate:
+       recall < 1, and band geometry targets HIGH thresholds (>= ~0.85, the
+       near-duplicate regime); at low thresholds prefer the exact path.
+    """
+    n = corpus.count()
+    if n <= max_exact_rows:
+        return _near_dup_exact_blocked(corpus, id_col, vec_col, threshold, ndigits)
+    return _near_dup_lsh(
+        corpus, id_col, vec_col, threshold, ndigits, num_planes, bands, seed
+    )
+
+
+def _near_dup_exact_blocked(
+    corpus: DataFrame, id_col: str, vec_col: str, threshold: float, ndigits: int
+) -> DataFrame:
+    spark = corpus.sparkSession
+    pdf = corpus.select(id_col, vec_col).toPandas()
+    ids_b = pdf[id_col].to_numpy().astype(np.int64)
+    mat_b = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+    mat_b /= np.maximum(np.linalg.norm(mat_b, axis=1, keepdims=True), 1e-12)
+    b = spark.sparkContext.broadcast((ids_b, mat_b))
+    schema = T.StructType(
+        [
+            T.StructField("id_a", T.LongType()),
+            T.StructField("id_b", T.LongType()),
+            T.StructField("cosine_sim", T.DoubleType()),
+        ]
+    )
+
+    def score(batches):
+        ids_, mat_ = b.value
+        for pdf_ in batches:
+            if len(pdf_) == 0:
+                continue
+            cids = pdf_[id_col].to_numpy().astype(np.int64)
+            cmat = np.stack(pdf_[vec_col].to_numpy()).astype(np.float64)
+            cmat /= np.maximum(np.linalg.norm(cmat, axis=1, keepdims=True), 1e-12)
+            sims = mat_ @ cmat.T  # (n_broadcast, batch)
+            # each unordered pair is emitted exactly once: broadcast id < batch id
+            mask = (np.round(sims, ndigits) >= threshold - 1e-9) & (
+                ids_[:, None] < cids[None, :]
+            )
+            bi, ci = np.nonzero(mask)
+            yield pd.DataFrame(
+                {"id_a": ids_[bi], "id_b": cids[ci], "cosine_sim": sims[bi, ci]}
+            )
+
+    out = corpus.select(id_col, vec_col).mapInPandas(score, schema=schema)
+    return out.withColumn("cosine_sim", F.round(F.col("cosine_sim"), ndigits)).filter(
+        F.col("cosine_sim") >= threshold
+    )
+
+
+def _near_dup_lsh(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+    ndigits: int,
+    num_planes: int,
+    bands: int,
+    seed: int,
+) -> DataFrame:
+    dim = len(corpus.select(vec_col).first()[0])
+    rng = np.random.RandomState(seed)
+    planes = rng.randn(num_planes, dim)
+    sig_udf = _band_hashes_udf(planes, bands)
+    bk = corpus.select(
+        F.col(id_col).alias("id"), F.posexplode(sig_udf(F.col(vec_col))).alias("band", "bh")
+    )
+    a, b = bk.alias("a"), bk.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    va = corpus.select(F.col(id_col).alias("id_a"), _as_double_array(vec_col).alias("va"))
+    vb = corpus.select(F.col(id_col).alias("id_b"), _as_double_array(vec_col).alias("vb"))
+    cos = cosine_pairs_udf()
     return (
-        a.crossJoin(F.broadcast(b))
-        .filter(F.col("id_a") < F.col("id_b"))
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
         .select(
-            "id_a",
-            "id_b",
-            F.round(cosine_expr(F.col("va"), F.col("vb")), ndigits).alias("cosine_sim"),
+            "id_a", "id_b", F.round(cos(F.col("va"), F.col("vb")), ndigits).alias("cosine_sim")
         )
         .filter(F.col("cosine_sim") >= threshold)
     )
@@ -234,17 +377,19 @@ def ann_cosine_lsh(
 
     cb = with_buckets(corpus, "neighbor_id")
     qb = with_buckets(queries, "query_id")
+    cos = cosine_pairs_udf()
     cand = (
         cb.join(qb, ["band", "bh"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", "query_id_v", "neighbor_id_v")
+        .dropDuplicates(["query_id", "neighbor_id"])  # vectors identical per pair
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine_expr(F.col("query_id_v"), F.col("neighbor_id_v")), ndigits).alias(
+            F.round(cos(F.col("query_id_v"), F.col("neighbor_id_v")), ndigits).alias(
                 "cosine_sim"
             ),
         )
-        .distinct()
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
     return cand.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

@@ -9,6 +9,8 @@ from etl_processes_spark.ops.similarity import (
     ann_cosine_lsh,
     cosine_topk,
     cosine_topk_blocked,
+    cosine_topk_fast,
+    embedding_near_dup_pairs,
 )
 
 DIM = 16
@@ -76,6 +78,47 @@ def test_blocked_variant_agrees(emb):
         for r in cosine_topk_blocked(df, qpdf, k=3).collect()
     }
     assert a == b
+
+
+def test_fast_variant_agrees_with_expression_variant(emb):
+    df, _ = emb
+    a = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], r["cosine_sim"])
+        for r in cosine_topk(df, df.filter("vec_id < 5"), k=4).collect()
+    }
+    b = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], r["cosine_sim"])
+        for r in cosine_topk_fast(df, df.filter("vec_id < 5"), k=4).collect()
+    }
+    assert a == b
+
+
+def test_near_dup_exact_blocked_matches_numpy(emb):
+    df, mat = emb
+    got = {
+        (r["id_a"], r["id_b"]): r["cosine_sim"]
+        for r in embedding_near_dup_pairs(df, threshold=0.9).collect()
+    }
+    m = mat.astype(np.float64)
+    m = m / np.linalg.norm(m, axis=1, keepdims=True)
+    sims = np.round(m @ m.T, 6)
+    expected = {
+        (i, j): sims[i, j]
+        for i in range(N)
+        for j in range(i + 1, N)
+        if sims[i, j] >= 0.9
+    }
+    assert set(got) == set(expected)
+    for p in got:
+        assert abs(got[p] - expected[p]) < 1e-9
+
+
+def test_near_dup_lsh_path_finds_planted_pair(emb):
+    df, _ = emb
+    # force the LSH route; the planted pair (3,7) is ~0.9999 cosine, which
+    # the band geometry must recover at near-dup thresholds
+    res = embedding_near_dup_pairs(df, threshold=0.9, max_exact_rows=0).collect()
+    assert any((r["id_a"], r["id_b"]) == (3, 7) for r in res)
 
 
 def test_ann_lsh_high_recall_on_planted_pair(emb):
