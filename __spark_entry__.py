@@ -144,15 +144,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from etl_processes_spark.profile.profilers import numeric_profile_exact_df
 
     def q_numeric_profile(spark, sf):
-        # cents-scaled exact power sums (hash-stable; see numeric_profile_exact_df)
-        li = _t(spark, sf, "lineitem").filter(F.col("l_extendedprice").isNotNull())
-        return numeric_profile_exact_df(
-            li, F.round(F.col("l_extendedprice") * 100, 0), out_mult=0.01
-        )
-
-    def q_numeric_profile_quantity(spark, sf):
-        li = _t(spark, sf, "lineitem").filter(F.col("l_quantity").isNotNull())
-        return numeric_profile_exact_df(li, F.col("l_quantity"), out_mult=1.0)
+        # cents-scaled exact power sums (hash-stable; see numeric_profile_exact_df);
+        # both profiled columns in one labeled result (keeps the driver's
+        # 50-query gate budget while certifying both)
+        li = _t(spark, sf, "lineitem")
+        ep = numeric_profile_exact_df(
+            li.filter(F.col("l_extendedprice").isNotNull()),
+            F.round(F.col("l_extendedprice") * 100, 0),
+            out_mult=0.01,
+        ).withColumn("col_name", F.lit("l_extendedprice"))
+        qt = numeric_profile_exact_df(
+            li.filter(F.col("l_quantity").isNotNull()), F.col("l_quantity"), out_mult=1.0
+        ).withColumn("col_name", F.lit("l_quantity"))
+        return ep.unionByName(qt)
 
     def q_datetime_profile(spark, sf):
         # integer days since epoch (orderdate is date-level), rescaled to secs
@@ -180,8 +184,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return cat_profile_df(_t(spark, sf, "part"), "p_brand", ndigits=ND).limit(10)
 
     def q_infer_predicates(spark, sf):
+        # one row with ALL scalar inference probes: the §2.3 predicate ratios
+        # (customer), the boolean-vocab check (lineitem), and the date-format
+        # probe (orders) — three 1-row aggs cross-joined (same in the oracle)
         c = _t(spark, sf, "customer")
-        return c.agg(
+        preds = c.agg(
             F.round(F.avg(F.when(email_pred("c_name"), 1.0).otherwise(0.0)), ND).alias("email_ratio"),
             F.round(F.avg(F.when(phone_pred("c_name"), 1.0).otherwise(0.0)), ND).alias("phone_ratio"),
             F.round(F.avg(F.when(numeric_pred("c_name"), 1.0).otherwise(0.0)), ND).alias("numeric_ratio"),
@@ -196,31 +203,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 F.count_distinct(F.trim(F.col("c_mktsegment"))) / F.count(F.col("c_mktsegment")), ND
             ).alias("unique_ratio_mktsegment"),
         )
-
-    def q_bool_vocab_pred(spark, sf):
-        df = _t(spark, sf, "lineitem").select(
+        bdf = _t(spark, sf, "lineitem").select(
             (F.col("l_linenumber") % 2).cast("string").alias("b")
         )
         lower = F.lower(F.trim(F.col("b")))
         vocab = ("true", "false", "1", "0", "yes", "no", "y", "n", "t", "f")
-        return df.agg(
+        bool_vocab = bdf.agg(
             F.count_distinct(lower).alias("n_distinct_lower"),
             F.max(F.when(~lower.isin(*vocab), 1).otherwise(0)).alias("outside_bool_vocab"),
         )
-
-    def q_date_format_detect(spark, sf):
         s = F.min(F.date_format(F.col("o_orderdate"), "yyyy-MM-dd HH:mm:ss"))
-        return _t(spark, sf, "orders").agg(
+        date_fmt = _t(spark, sf, "orders").agg(
             F.when(s.rlike(r"^\d{4}-\d{2}-\d{2}"), F.lit("YYYY-MM-DD"))
             .when(s.rlike(r"^\d{2}/\d{2}/\d{4}"), F.lit("MM/DD/YYYY"))
             .when(s.rlike(r"^\d{2}-\d{2}-\d{4}"), F.lit("DD-MM-YYYY"))
             .otherwise(F.lit(None).cast("string"))
             .alias("date_format")
         )
+        return preds.crossJoin(bool_vocab).crossJoin(date_fmt)
 
     def q_drop_null_rows(spark, sf):
+        # whole-row dropna count (orders) + per-column isNotNull count
+        # (customer) in one row — drop_null_rows + drop_null_col §2.2 ops
         o = _t(spark, sf, "orders")
-        return o.na.drop("any").agg(F.count(F.lit(1)).alias("n_rows"))
+        rows = o.na.drop("any").agg(F.count(F.lit(1)).alias("n_rows"))
+        c = _t(spark, sf, "customer")
+        col = c.filter(F.col("c_acctbal").isNotNull()).agg(
+            F.count(F.lit(1)).alias("n_nonnull")
+        )
+        return rows.crossJoin(col)
 
     # -- row ops (rows-only) ---------------------------------------------------
 
@@ -232,37 +243,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # -- generators (rows-only: seeded, non-SQL) -------------------------------
 
-    def q_gen_numeric(spark, sf):
-        li = _t(spark, sf, "lineitem")
-        from etl_processes_spark.profile import numeric_profile
-        from etl_processes_spark.generate.generators import gen_numeric
+    def q_gen_columns(spark, sf):
+        # all five §2.8 non-text generators over ONE spark.range seed frame —
+        # the column_zip design (no joins) AND one driver-gate row for all of
+        # them (50-query gate budget). __r is materialized first: F.rand()
+        # referenced from several when-branches re-draws per branch.
+        from etl_processes_spark.profile import cat_profile, datetime_profile, numeric_profile
+        from etl_processes_spark.generate.generators import (
+            gen_boolean,
+            gen_categorical,
+            gen_datetime,
+            gen_numeric,
+            gen_unknown,
+        )
 
-        stats = numeric_profile(li, "l_extendedprice")
-        return spark.range(1000).select(gen_numeric(stats, False, 11).alias("value"))
-
-    def q_gen_boolean(spark, sf):
-        from etl_processes_spark.generate.generators import gen_boolean
-
-        stats = {"true_probability": 0.25}
-        return spark.range(1000).select(gen_boolean(stats, "yes_no", 13).alias("flag"))
-
-    def q_gen_categorical(spark, sf):
-        from etl_processes_spark.profile import cat_profile
-        from etl_processes_spark.generate.generators import gen_categorical
-
-        stats = cat_profile(_t(spark, sf, "orders"), "o_orderpriority")
+        stats_num = numeric_profile(_t(spark, sf, "lineitem"), "l_extendedprice")
+        stats_cat = cat_profile(_t(spark, sf, "orders"), "o_orderpriority")
+        stats_dt = datetime_profile(_t(spark, sf, "orders"), "o_orderdate")
         return (
             spark.range(1000)
             .withColumn("__r", F.rand(17))
-            .select(gen_categorical(stats, F.col("__r")).alias("priority"))
+            .select(
+                gen_numeric(stats_num, False, 11).alias("value"),
+                gen_boolean({"true_probability": 0.25}, "yes_no", 13).alias("flag"),
+                gen_categorical(stats_cat, F.col("__r")).alias("priority"),
+                gen_datetime(stats_dt, "YYYY-MM-DD", 19).alias("orderdate"),
+                gen_unknown().alias("unknown_col"),
+            )
         )
-
-    def q_gen_datetime(spark, sf):
-        from etl_processes_spark.profile import datetime_profile
-        from etl_processes_spark.generate.generators import gen_datetime
-
-        stats = datetime_profile(_t(spark, sf, "orders"), "o_orderdate")
-        return spark.range(1000).select(gen_datetime(stats, "YYYY-MM-DD", 19).alias("orderdate"))
 
     def q_bootstrap_resample(spark, sf):
         docs = _t(spark, sf, "documents")
@@ -283,12 +291,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def q_select_all(spark, sf):
         return _t(spark, sf, "documents").select("*")
-
-    def q_drop_null_col(spark, sf):
-        c = _t(spark, sf, "customer")
-        return c.filter(F.col("c_acctbal").isNotNull()).agg(
-            F.count(F.lit(1)).alias("n_nonnull")
-        )
 
     def q_csv_roundtrip(spark, sf):
         import tempfile
@@ -350,11 +352,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
         )
 
-    def q_gen_unknown(spark, sf):
-        from etl_processes_spark.generate.generators import gen_unknown
-
-        return spark.range(100).select(gen_unknown().alias("v"))
-
     def q_validate_roundtrip(spark, sf):
         from etl_processes_spark.validate import validate
 
@@ -406,7 +403,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_multimodal_features(spark, sf):
         from etl_processes_spark.ops.multimodal import extract_features, make_fake_media_df
 
-        return extract_features(make_fake_media_df(spark, n=64))
+        # features array joined to a string (driver canonicalizer can't hash
+        # array cells — round-1 gate error); rounded so the text is stable
+        feats = extract_features(make_fake_media_df(spark, n=64))
+        return feats.select(
+            "media_id",
+            "kind",
+            "n_bytes",
+            F.array_join(
+                F.transform(F.col("features"), lambda x: F.round(x, 6).cast("string")), ","
+            ).alias("features_str"),
+        )
 
     def q_multimodal_frame_plan(spark, sf):
         from etl_processes_spark.ops.multimodal import frame_sample_plan, make_fake_media_df
@@ -475,7 +482,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return fingerprint(_t(spark, sf, "documents"), "doc_id", "text")
 
     def q_winnowing(spark, sf):
-        return winnowing_fingerprints(_t(spark, sf, "documents"), "doc_id", "text")
+        # fingerprint set joined to a string: the driver's canonicalizer
+        # cannot hash array cells (round-1 gate error); the array is already
+        # sorted so the join is deterministic
+        fp = winnowing_fingerprints(_t(spark, sf, "documents"), "doc_id", "text")
+        return fp.select(
+            "doc_id",
+            F.array_join(
+                F.transform(F.col("fingerprints"), lambda x: x.cast("string")), " "
+            ).alias("fingerprints"),
+        )
 
     # -- events / windows ------------------------------------------------------------
 
@@ -542,65 +558,61 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_part_type_stats(spark, sf):
         return part_type_stats(_t(spark, sf, "part"), _t(spark, sf, "lineitem"), ndigits=4)
 
+    # EXACTLY 50 entries: the round-1 driver gate truncated at 50 of 58
+    # registered queries (the last 8 dict entries got no CORRECTNESS row), so
+    # related operators are consolidated into combined queries — every §2 ID
+    # is still exercised (see COVERAGE.md for the operator→query map).
     return {
         "select_all": q_select_all,
-        "drop_null_col": q_drop_null_col,
         "csv_roundtrip": q_csv_roundtrip,
         "histogram_bins": q_histogram_bins,
-        "text_profile_stats": q_text_profile_stats,
-        "gen_text_mvn": q_gen_text_mvn,
-        "pca_2d": q_pca_2d,
-        "gen_unknown": q_gen_unknown,
-        "validate_roundtrip": q_validate_roundtrip,
-        "reference_pipeline": q_reference_pipeline,
-        "type_summary": q_type_summary,
-        "knn_decode": q_knn_decode,
-        "multimodal_features": q_multimodal_features,
-        "multimodal_frame_plan": q_multimodal_frame_plan,
-        "media_stats": q_media_stats,
         "numeric_profile": q_numeric_profile,
-        "numeric_profile_quantity": q_numeric_profile_quantity,
         "datetime_profile": q_datetime_profile,
         "bool_profile": q_bool_profile,
         "cat_profile": q_cat_profile,
         "topk_categories": q_topk_categories,
         "infer_predicates": q_infer_predicates,
-        "bool_vocab_pred": q_bool_vocab_pred,
-        "date_format_detect": q_date_format_detect,
         "drop_null_rows": q_drop_null_rows,
-        "sample_n": q_sample_n,
-        "gen_numeric": q_gen_numeric,
-        "gen_boolean": q_gen_boolean,
-        "gen_categorical": q_gen_categorical,
-        "gen_datetime": q_gen_datetime,
-        "bootstrap_resample": q_bootstrap_resample,
-        "synthesize_orders": q_synthesize_orders,
         "infer_types_customer": q_infer_types_customer,
+        "type_summary": q_type_summary,
         "dedup_exact": q_dedup_exact,
         "dedup_exact_hash": q_dedup_exact_hash,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
-        "minhash_lsh_pairs": q_minhash_lsh_pairs,
-        "simhash_fingerprints": q_simhash_fingerprints,
         "cosine_topk": q_cosine_topk,
-        "ann_cosine_lsh": q_ann_cosine_lsh,
+        "embedding_near_dup": q_embedding_near_dup,
         "token_count": q_token_count,
         "lang_id": q_lang_id,
         "quality_score": q_quality_score,
         "fingerprint": q_fingerprint,
-        "winnowing_fingerprints": q_winnowing,
         "hourly_event_rollup": q_hourly_event_rollup,
         "sessionize": q_sessionize,
         "user_running_totals": q_user_running_totals,
+        "sliding_window_agg": q_sliding_window_agg,
         "pricing_summary": q_pricing_summary,
         "top_unshipped_orders": q_top_unshipped_orders,
         "revenue_by_nation": q_revenue_by_nation,
         "part_type_stats": q_part_type_stats,
-        "embedding_near_dup": q_embedding_near_dup,
-        "sliding_window_agg": q_sliding_window_agg,
         "top_orders_per_priority": q_top_orders_per_priority,
         "sales_rollup": q_sales_rollup,
         "pivot_returnflag": q_pivot_returnflag,
         "quantity_quartiles": q_quantity_quartiles,
+        "text_profile_stats": q_text_profile_stats,
+        "gen_text_mvn": q_gen_text_mvn,
+        "pca_2d": q_pca_2d,
+        "validate_roundtrip": q_validate_roundtrip,
+        "reference_pipeline": q_reference_pipeline,
+        "knn_decode": q_knn_decode,
+        "multimodal_features": q_multimodal_features,
+        "multimodal_frame_plan": q_multimodal_frame_plan,
+        "media_stats": q_media_stats,
+        "sample_n": q_sample_n,
+        "gen_columns": q_gen_columns,
+        "bootstrap_resample": q_bootstrap_resample,
+        "synthesize_orders": q_synthesize_orders,
+        "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "simhash_fingerprints": q_simhash_fingerprints,
+        "ann_cosine_lsh": q_ann_cosine_lsh,
+        "winnowing_fingerprints": q_winnowing,
     }
 
 
@@ -618,14 +630,18 @@ def oracle_sql() -> dict[str, str]:
 
     sql: dict[str, str] = {}
 
-    sql["numeric_profile"] = NUMERIC_PROFILE_EXACT_SQL.format(
+    _np_ep = NUMERIC_PROFILE_EXACT_SQL.format(
         y="round(l_extendedprice * 100)",
         tbl="lineitem",
         notnull="l_extendedprice",
         mult="CAST(0.01 AS DOUBLE)",
     )
-    sql["numeric_profile_quantity"] = NUMERIC_PROFILE_EXACT_SQL.format(
+    _np_qty = NUMERIC_PROFILE_EXACT_SQL.format(
         y="l_quantity", tbl="lineitem", notnull="l_quantity", mult="CAST(1 AS DOUBLE)"
+    )
+    sql["numeric_profile"] = (
+        f"SELECT p.*, 'l_extendedprice' AS col_name FROM ({_np_ep}) p "
+        f"UNION ALL SELECT p.*, 'l_quantity' AS col_name FROM ({_np_qty}) p"
     )
 
     # make_timestamp(micros) is timezone-naive (to_timestamp would render in
@@ -672,7 +688,7 @@ FROM c ORDER BY cnt DESC, category ASC{limit}
     sql["cat_profile"] = _CAT_SQL.format(col="o_orderpriority", tbl="orders", limit="")
     sql["topk_categories"] = _CAT_SQL.format(col="p_brand", tbl="part", limit=" LIMIT 10")
 
-    sql["infer_predicates"] = """
+    _infer_preds = """
 SELECT
   round(avg(CASE WHEN contains(trim(CAST(c_name AS VARCHAR)), '@')
                   AND contains((string_split(trim(CAST(c_name AS VARCHAR)), '@'))[-1], '.')
@@ -693,14 +709,14 @@ SELECT
 FROM customer
 """
 
-    sql["bool_vocab_pred"] = """
+    _bool_vocab = """
 WITH v AS (SELECT lower(trim(CAST(l_linenumber % 2 AS VARCHAR))) AS lb FROM lineitem)
 SELECT CAST(count(DISTINCT lb) AS BIGINT) AS n_distinct_lower,
        max(CASE WHEN lb NOT IN ('true','false','1','0','yes','no','y','n','t','f') THEN 1 ELSE 0 END) AS outside_bool_vocab
 FROM v
 """
 
-    sql["date_format_detect"] = """
+    _date_fmt = """
 WITH s AS (SELECT min(strftime(o_orderdate, '%Y-%m-%d %H:%M:%S')) AS v FROM orders)
 SELECT CASE WHEN regexp_matches(v, '^\\d{4}-\\d{2}-\\d{2}') THEN 'YYYY-MM-DD'
             WHEN regexp_matches(v, '^\\d{2}/\\d{2}/\\d{4}') THEN 'MM/DD/YYYY'
@@ -709,17 +725,21 @@ SELECT CASE WHEN regexp_matches(v, '^\\d{4}-\\d{2}-\\d{2}') THEN 'YYYY-MM-DD'
 FROM s
 """
 
+    sql["infer_predicates"] = (
+        f"SELECT * FROM ({_infer_preds}) p CROSS JOIN ({_bool_vocab}) b "
+        f"CROSS JOIN ({_date_fmt}) d"
+    )
+
     sql["drop_null_rows"] = """
-SELECT CAST(count(*) AS BIGINT) AS n_rows FROM orders
-WHERE o_orderkey IS NOT NULL AND o_custkey IS NOT NULL AND o_orderstatus IS NOT NULL
-  AND o_totalprice IS NOT NULL AND o_orderdate IS NOT NULL AND o_orderpriority IS NOT NULL
+SELECT * FROM
+(SELECT CAST(count(*) AS BIGINT) AS n_rows FROM orders
+ WHERE o_orderkey IS NOT NULL AND o_custkey IS NOT NULL AND o_orderstatus IS NOT NULL
+   AND o_totalprice IS NOT NULL AND o_orderdate IS NOT NULL AND o_orderpriority IS NOT NULL) r
+CROSS JOIN
+(SELECT CAST(count(*) AS BIGINT) AS n_nonnull FROM customer WHERE c_acctbal IS NOT NULL) c
 """
 
     sql["select_all"] = "SELECT * FROM documents"
-
-    sql["drop_null_col"] = (
-        "SELECT CAST(count(*) AS BIGINT) AS n_nonnull FROM customer WHERE c_acctbal IS NOT NULL"
-    )
 
     sql["csv_roundtrip"] = (
         "SELECT CAST(count(*) AS BIGINT) AS n_rows, CAST(sum(n_chars) AS BIGINT) AS sum_chars FROM documents"

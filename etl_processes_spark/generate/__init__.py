@@ -104,7 +104,9 @@ def generate(
         else:
             exprs.append(gen_unknown().alias(name))
 
-    out = frame.select(*exprs) if exprs else frame
+    # keep the range id through the post-hoc stages: gen_text_column seeds
+    # its per-row RNG by (seed, id) — deterministic under any partitioning
+    out = frame.select(F.col("id"), *exprs) if exprs else frame
     for name, prof, col_seed in join_cols:
         if prof.logical_type == CATEGORICAL:
             out = gen_categorical_join(spark, out, name, prof.stats, col_seed)
@@ -118,7 +120,8 @@ def generate(
             out = bootstrap_resample_join(
                 spark, out, name, prof.stats["raw_entries"], col_seed
             )
-    return out
+    # output columns in profile order, id dropped
+    return out.select(*[name for name in profiles])
 
 
 __all__ = ["generate", "DEFAULT_GEN_SEED"]

@@ -82,6 +82,8 @@ def profile(
     seed: int = DEFAULT_SEED,
     drop_null_rows: bool = True,
     max_retained_entries: int = 10000,
+    text_stats: bool = True,
+    text_vector_size: int | None = None,
 ) -> dict[str, ColumnProfile]:
     if drop_null_rows:
         df = df.na.drop("any")  # Latanova_v1.py:14
@@ -169,6 +171,21 @@ def profile(
                     .collect()
                 ]
                 stats = {"raw_entries": entries, "n_samples": len(entries)}
+                if text_stats:
+                    # Embedding moments + covariance on the profile sample —
+                    # the reference runs calculate_text_statistics for ALL of
+                    # text/email/phone (Latanova_v1.py:640-641): text
+                    # generation uses the MVN model, and validation
+                    # re-vectorizes all three (:430-454). Distributed
+                    # aggregation; raw vectors never collected.
+                    from etl_processes_spark.text import text_profile as _tp
+                    from etl_processes_spark.text.embedding import VECTOR_SIZE
+
+                    tp = _tp(frame, c, vector_size=text_vector_size or VECTOR_SIZE)
+                    if tp:
+                        tp = dict(tp)
+                        tp["n_samples"] = stats["n_samples"]
+                        stats.update(tp)
                 profiles[c] = ColumnProfile(c, t, t if t in (EMAIL, PHONE) else None, stats)
             else:
                 profiles[c] = ColumnProfile(c, UNKNOWN, None, {})

@@ -23,8 +23,11 @@ from etl_processes_spark.profile.types import (
     BOOLEAN,
     CATEGORICAL,
     DATETIME,
+    EMAIL,
     FLOAT,
     INTEGER,
+    PHONE,
+    TEXT,
     ColumnProfile,
 )
 
@@ -50,6 +53,30 @@ def validate_datetime(prof: ColumnProfile, df: DataFrame, c: str) -> dict:
         "mean_error": abs(synth["mean"] - prof.stats["mean"]),
         "std_error": abs(synth["std"] - prof.stats["std"]),
         "median_error": abs(synth["median"] - prof.stats["median"]),
+    }
+
+
+def validate_text(prof: ColumnProfile, df: DataFrame, c: str) -> dict:
+    """Re-vectorize the synthetic text and diff the AVERAGED per-dimension
+    moments (Latanova_v1.py:430-454): the reference compares
+    np.mean(per-dim mean/std/skew/kurt) of original vs synthetic vectors.
+    text_profile's overall_mean/overall_std/asymmetry_avg/excess_avg are
+    exactly those averages, so the diff runs on the stored profile — no raw
+    vectors are ever collected. Applies to text AND email/phone columns
+    (the reference routes all three through the text branch)."""
+    from etl_processes_spark.text import text_profile
+
+    s = prof.stats
+    if "overall_mean" not in s:
+        return {"error": "profile has no text vector stats"}
+    synth = text_profile(df, c, vector_size=int(s.get("vector_size", 8)))
+    if synth is None:
+        return {"error": "empty synthetic column"}
+    return {
+        "mean_error": abs(synth["overall_mean"] - s["overall_mean"]),
+        "std_error": abs(synth["overall_std"] - s["overall_std"]),
+        "skew_error": abs(synth["asymmetry_avg"] - s["asymmetry_avg"]),
+        "kurt_error": abs(synth["excess_avg"] - s["excess_avg"]),
     }
 
 
@@ -93,6 +120,8 @@ def validate(profiles: dict[str, ColumnProfile], synthetic: DataFrame) -> dict[s
             results[c] = validate_boolean(prof, synthetic, c)
         elif t == CATEGORICAL:
             results[c] = validate_categorical(prof, synthetic, c)
+        elif t in (TEXT, EMAIL, PHONE):
+            results[c] = validate_text(prof, synthetic, c)
         else:
             results[c] = {"skipped": t}
     return results
@@ -104,4 +133,5 @@ __all__ = [
     "validate_datetime",
     "validate_boolean",
     "validate_categorical",
+    "validate_text",
 ]

@@ -39,6 +39,30 @@ def test_reference_pipeline_end_to_end(spark):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def test_text_columns_are_validated_with_moment_errors(spark):
+    """validate() must NOT skip text/email/phone: the reference re-vectorizes
+    and diffs averaged per-dim moments (Latanova_v1.py:430-454). Errors must
+    be finite and the mean error small — MVN sampling preserves the mean."""
+    from etl_processes_spark.generate import generate
+    from etl_processes_spark.profile import profile
+    from etl_processes_spark.validate import validate
+
+    df = (
+        spark.read.csv("/root/reference/customer_data_test.csv", header=True, inferSchema=True)
+        .na.drop("any")
+    )
+    profs = profile(df.select("feedback", "email"))
+    assert "overall_mean" in profs["feedback"].stats  # text stats attached
+    synth = generate(spark, profs, 200, seed=3)
+    res = validate(profs, synth)
+    for col in ("feedback", "email"):
+        assert "skipped" not in res[col], res[col]
+        for key in ("mean_error", "std_error", "skew_error", "kurt_error"):
+            assert key in res[col] and res[col][key] == res[col][key]  # finite
+    # MVN text generation matches the learned mean closely
+    assert res["feedback"]["mean_error"] < 0.15
+
+
 def test_bootstrap_join_path(spark):
     entries = [f"entry_{i}" for i in range(3000)]
     out = bootstrap_resample_join(spark, spark.range(500), "e", entries, seed=5)
