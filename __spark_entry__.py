@@ -443,8 +443,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     def q_ngram_jaccard_pairs(spark, sf):
+        # max_df caps the inverted-index join cost (sum of df(shingle)^2):
+        # ubiquitous shingles are both the skew bomb and noise. Mirrored in
+        # the oracle SQL, so the hash gate certifies the capped semantics.
         d = _t(spark, sf, "documents")
-        return ngram_jaccard_pairs(d, "doc_id", "text", k=3, threshold=0.06, ndigits=ND)
+        return ngram_jaccard_pairs(
+            d, "doc_id", "text", k=3, threshold=0.06, max_df=500, ndigits=ND
+        )
 
     def q_minhash_lsh_pairs(spark, sf):
         d = _t(spark, sf, "documents")
@@ -769,7 +774,9 @@ sh0 AS (SELECT doc_id,
                     THEN list_transform(range(1, len(t) - 3 + 2), i -> array_to_string(t[i:i+2], ' '))
                     ELSE [array_to_string(t, ' ')] END AS shs
         FROM toks),
-sh AS (SELECT DISTINCT doc_id, unnest(shs) AS shingle FROM sh0),
+sh_all AS (SELECT DISTINCT doc_id, unnest(shs) AS shingle FROM sh0),
+keep AS (SELECT shingle FROM sh_all GROUP BY shingle HAVING count(*) <= 500),
+sh AS (SELECT sh_all.* FROM sh_all JOIN keep USING (shingle)),
 sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
 common AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
            FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id

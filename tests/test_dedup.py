@@ -53,6 +53,44 @@ def test_content_hash_normalizes(docs):
     assert hm[0] != hm[2]
 
 
+def test_ngram_jaccard_max_df_drops_hot_shingles(spark):
+    """One ubiquitous shingle across every doc must not make the inverted-
+    index join quadratic: with max_df it is dropped from BOTH the
+    intersection and the per-doc set sizes. Expected values computed with a
+    plain-python reimplementation of the capped semantics."""
+    hot = "common boiler plate"
+    rows = [(i, f"{hot} unique{'x' * (i % 3)} words number{i} tail{i}") for i in range(20)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    def shingle_set(text, k=3):
+        toks = [t for t in __import__("re").split(r"[^a-z0-9]+", text.lower()) if t]
+        if len(toks) < k:
+            return {" ".join(toks)}
+        return {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
+
+    sets = {i: shingle_set(t) for i, t in rows}
+    df_count = {}
+    for s in sets.values():
+        for sh in s:
+            df_count[sh] = df_count.get(sh, 0) + 1
+    capped = {i: {sh for sh in s if df_count[sh] <= 5} for i, s in sets.items()}
+    expected = {}
+    for a in range(20):
+        for b in range(a + 1, 20):
+            inter = len(capped[a] & capped[b])
+            union = len(capped[a] | capped[b])
+            if union and round(inter / union, 6) >= 0.2:
+                expected[(a, b)] = round(inter / union, 6)
+
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(
+            df, "doc_id", "text", k=3, threshold=0.2, max_df=5
+        ).collect()
+    }
+    assert got == expected
+
+
 def test_ngram_jaccard_finds_near_dups(docs):
     pairs = ngram_jaccard_pairs(docs, "doc_id", "text", k=3, threshold=0.5).collect()
     got = {(r["id_a"], r["id_b"]) for r in pairs}
