@@ -111,7 +111,12 @@ def _ratio(pred: Column) -> Column:
     return F.avg(F.when(pred, 1.0).otherwise(0.0))
 
 
-def inference_metric_exprs(c: str, dtype: T.DataType | None = None) -> list[Column]:
+PROBE_METRICS = ("email_ratio", "phone_ratio", "datetime_ratio")
+
+
+def inference_metric_exprs(
+    c: str, dtype: T.DataType | None = None, include_probe: bool = True
+) -> list[Column]:
     """The per-column aggregate expressions; aliased ``{col}__{metric}``.
 
     Passing the column's Spark type prunes every predicate whose outcome the
@@ -139,15 +144,21 @@ def inference_metric_exprs(c: str, dtype: T.DataType | None = None) -> list[Colu
         F.max(
             F.when(nn & ~lower.isin(*BOOL_VOCAB), 1).otherwise(0)
         ).alias(f"{c}__outside_bool_vocab"),
-        _ratio(F.when(nn, email_pred(c)).otherwise(F.lit(None))).alias(f"{c}__email_ratio"),
-        _ratio(F.when(nn, phone_pred(c)).otherwise(F.lit(None))).alias(f"{c}__phone_ratio"),
     ]
+    if include_probe:
+        exprs += [
+            _ratio(F.when(nn, email_pred(c)).otherwise(F.lit(None))).alias(f"{c}__email_ratio"),
+            _ratio(F.when(nn, phone_pred(c)).otherwise(F.lit(None))).alias(f"{c}__phone_ratio"),
+        ]
     if dtype is None or isinstance(dtype, T.StringType):
         exprs += [
             _ratio(F.when(nn, numeric)).alias(f"{c}__numeric_ratio"),
             F.avg(F.when(numeric, F.when(integral, 1.0).otherwise(0.0))).alias(f"{c}__int_ratio"),
-            _ratio(F.when(nn, datetime_parse(c).isNotNull())).alias(f"{c}__datetime_ratio"),
         ]
+        if include_probe:
+            exprs.append(
+                _ratio(F.when(nn, datetime_parse(c).isNotNull())).alias(f"{c}__datetime_ratio")
+            )
     elif isinstance(dtype, T.FractionalType):
         # numeric dtype: tree returns at the numeric branch (:141-148);
         # only the integral ratio needs data.
@@ -178,14 +189,51 @@ def _dtype_constant_metrics(dtype: T.DataType) -> dict:
     return out
 
 
-def inference_metrics(df: DataFrame, columns: list[str] | None = None) -> dict[str, dict]:
-    """Compute all inference metrics for all columns in ONE scan."""
+def _probe_metric_exprs(c: str, dtype: T.DataType | None) -> list[Column]:
+    """Only the metrics the reference bounds to its head(100) probe
+    (Latanova_v1.py:72,79,163): the regex/parse-heavy ratios."""
+    col = F.col(c)
+    nn = col.isNotNull()
+    if isinstance(dtype, T.BooleanType):
+        return []
+    exprs = [
+        _ratio(F.when(nn, email_pred(c)).otherwise(F.lit(None))).alias(f"{c}__email_ratio"),
+        _ratio(F.when(nn, phone_pred(c)).otherwise(F.lit(None))).alias(f"{c}__phone_ratio"),
+    ]
+    if dtype is None or isinstance(dtype, T.StringType):
+        exprs.append(
+            _ratio(F.when(nn, datetime_parse(c).isNotNull())).alias(f"{c}__datetime_ratio")
+        )
+    return exprs
+
+
+def inference_metrics(
+    df: DataFrame, columns: list[str] | None = None, probe_rows: int | None = None
+) -> dict[str, dict]:
+    """Compute all inference metrics for all columns in ONE scan.
+
+    ``probe_rows`` mirrors the reference's head(100) bound
+    (Latanova_v1.py:72,79,104,163): when set, the regex/parse-heavy ratios
+    (email/phone/datetime — PROBE_METRICS) are computed over only the first
+    ``probe_rows`` rows (LocalLimit pushes into the scan, so only the first
+    file splits are read), while counts/cardinalities/numeric ratios still
+    scan the full frame. At 100 TB this caps the per-string-column regex
+    cost by design, like the reference. Default None = full-column ratios
+    (strictly more robust; SURVEY.md §2.11 Q6 divergence). Caveat mirrored
+    from the reference: "first N rows" assumes a stable source order — true
+    for file sources, undefined after shuffles."""
     columns = columns or df.columns
     schema = {f.name: f.dataType for f in df.schema.fields}
     exprs: list[Column] = []
     for c in columns:
-        exprs.extend(inference_metric_exprs(c, schema[c]))
+        exprs.extend(inference_metric_exprs(c, schema[c], include_probe=probe_rows is None))
     row = df.agg(*exprs).collect()[0].asDict()
+    if probe_rows is not None:
+        probe_exprs: list[Column] = []
+        for c in columns:
+            probe_exprs.extend(_probe_metric_exprs(c, schema[c]))
+        if probe_exprs:
+            row.update(df.limit(probe_rows).agg(*probe_exprs).collect()[0].asDict())
     out: dict[str, dict] = {}
     for c in columns:
         metrics = dict(_dtype_constant_metrics(schema[c]))
@@ -244,10 +292,12 @@ def infer_types(
     df: DataFrame,
     columns: list[str] | None = None,
     strict_reference_order: bool = True,
+    probe_rows: int | None = None,
 ) -> dict[str, str]:
-    """Infer the logical type of every column — one scan + driver tree."""
+    """Infer the logical type of every column — one scan + driver tree
+    (+ one bounded probe scan when ``probe_rows`` is set)."""
     columns = columns or df.columns
-    metrics = inference_metrics(df, columns)
+    metrics = inference_metrics(df, columns, probe_rows=probe_rows)
     schema = {f.name: f.dataType for f in df.schema.fields}
     return {
         c: decide_type(metrics[c], schema[c], strict_reference_order) for c in columns

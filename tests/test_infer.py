@@ -78,3 +78,21 @@ def test_categorical_vs_text(spark):
         [(f"unique text entry number {i} with words",) for i in range(100)], ["c"]
     )
     assert infer_types(texts)["c"] == "text"
+
+
+def test_probe_rows_decision_equivalence_on_reference_csv(spark):
+    """The bounded-probe knob (reference head(100) parity,
+    Latanova_v1.py:72,79,104,163) must reach the same type decisions as the
+    full-column ratios on the reference fixture."""
+    df = (
+        spark.read.csv(
+            "/root/reference/customer_data_test.csv", header=True, inferSchema=True
+        )
+        .na.drop("any")
+    )
+    full = infer_types(df)
+    probed = infer_types(df, probe_rows=100)
+    assert probed == full
+    # the known-good reference decisions hold under the probe
+    assert probed["email"] == "email"
+    assert probed["join_date"] == "phone"  # faithful reference quirk
