@@ -630,6 +630,81 @@ _TOKS = "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> ''
 _NORM_TEXT = f"coalesce(array_to_string({_TOKS}, ' '), '')"
 
 
+def _decide_type_sql(col: str, kind: str, tbl: str = "customer") -> str:
+    """DuckDB twin of profile.infer.decide_type for one column: the same
+    predicate formulas and threshold constants, reference-ordered
+    (bool-vocab → email → phone → numeric → datetime → categorical → text;
+    Latanova_v1.py:124-170). ``kind`` injects the dtype-pruned facts the
+    Spark side derives from the schema (integral/fractional/varchar)."""
+    email = (
+        "avg(CASE WHEN contains(v, '@') AND contains((string_split(v, '@'))[-1], '.') "
+        "THEN 1.0 ELSE 0.0 END) > 0.7"
+    )
+    phone = (
+        "avg(CASE WHEN length(regexp_replace(v, '\\D', '', 'g')) BETWEEN 7 AND 15 "
+        "THEN 1.0 ELSE 0.0 END) > 0.7"
+    )
+    bool_vocab = (
+        "count(DISTINCT lower(v)) <= 3 AND max(CASE WHEN lower(v) NOT IN "
+        "('true','false','1','0','yes','no','y','n','t','f') THEN 1 ELSE 0 END) = 0"
+    )
+    if kind == "integral":
+        numeric_branch = "'integer'"
+    elif kind == "fractional":
+        numeric_branch = (
+            "CASE WHEN avg(CASE WHEN num = floor(num) THEN 1.0 ELSE 0.0 END) >= 0.95 "
+            "THEN 'integer' ELSE 'float' END"
+        )
+    else:
+        numeric_branch = None
+    tail = (
+        "WHEN count(DISTINCT v) * 1.0 / count(v) <= 0.3 AND count(DISTINCT v) < 50 "
+        "THEN 'categorical' ELSE 'text'"
+    )
+    if kind in ("integral", "fractional"):
+        tree = f"""CASE WHEN count(v) = 0 THEN 'unknown'
+         WHEN {bool_vocab} THEN 'boolean'
+         WHEN {email} THEN 'email'
+         WHEN {phone} THEN 'phone'
+         ELSE {numeric_branch} END"""
+    else:
+        datetime_probe = (
+            "avg(CASE WHEN coalesce(try_cast(v AS TIMESTAMP), "
+            "try_strptime(v, '%Y-%m-%d'), try_strptime(v, '%m/%d/%Y'), "
+            "try_strptime(v, '%d-%m-%Y')) IS NOT NULL THEN 1.0 ELSE 0.0 END) >= 0.8"
+        )
+        numeric_str = (
+            "avg(CASE WHEN try_cast(v AS DOUBLE) IS NOT NULL THEN 1.0 ELSE 0.0 END) >= 0.9"
+        )
+        int_str = (
+            "coalesce(avg(CASE WHEN try_cast(v AS DOUBLE) IS NOT NULL THEN "
+            "CASE WHEN floor(try_cast(v AS DOUBLE)) = try_cast(v AS DOUBLE) "
+            "THEN 1.0 ELSE 0.0 END END), 0.0) >= 0.95"
+        )
+        tree = f"""CASE WHEN count(v) = 0 THEN 'unknown'
+         WHEN {bool_vocab} THEN 'boolean'
+         WHEN {email} THEN 'email'
+         WHEN {phone} THEN 'phone'
+         WHEN {numeric_str} THEN CASE WHEN {int_str} THEN 'integer' ELSE 'float' END
+         WHEN {datetime_probe} THEN 'datetime'
+         {tail} END"""
+    num_sel = f", {col} AS num" if kind == "fractional" else ""
+    return (
+        f"SELECT '{col}' AS column_name, {tree} AS logical_type "
+        f"FROM (SELECT trim(CAST({col} AS VARCHAR)) AS v{num_sel} FROM {tbl} "
+        f"WHERE {col} IS NOT NULL)"
+    )
+
+
+_CUSTOMER_KINDS = (
+    ("c_acctbal", "fractional"),
+    ("c_custkey", "integral"),
+    ("c_mktsegment", "varchar"),
+    ("c_name", "varchar"),
+    ("c_nationkey", "integral"),
+)
+
+
 def oracle_sql() -> dict[str, str]:
     from etl_processes_spark.profile.profilers import NUMERIC_PROFILE_EXACT_SQL
 
@@ -745,6 +820,16 @@ CROSS JOIN
 """
 
     sql["select_all"] = "SELECT * FROM documents"
+
+    _types_union = " UNION ALL ".join(
+        _decide_type_sql(col, kind) for col, kind in _CUSTOMER_KINDS
+    )
+    sql["infer_types_customer"] = f"SELECT * FROM ({_types_union}) ORDER BY column_name"
+    sql["type_summary"] = f"""
+SELECT logical_type, CAST(count(*) AS BIGINT) AS n_columns,
+       min(column_name) AS example_column
+FROM ({_types_union}) GROUP BY logical_type
+"""
 
     sql["csv_roundtrip"] = (
         "SELECT CAST(count(*) AS BIGINT) AS n_rows, CAST(sum(n_chars) AS BIGINT) AS sum_chars FROM documents"
