@@ -124,37 +124,78 @@ def _medians(vec_df: DataFrame) -> np.ndarray:
     return np.array([r["median"] for r in agg])
 
 
-def _powersums_and_gram(vec_df: DataFrame, d: int):
-    """One pass over partitions, BLAS-batched: per-partition the vectors are
-    stacked into an (n_i, d) matrix and reduced to [n, Σx, Σx², Σx³, Σx⁴,
-    XᵀX] — matrix ops, no per-row Python (the row-at-a-time treeAggregate
-    variant measured 25 s at 5k docs; this is the same math batched). Only
-    O(d²) crosses to the driver."""
+_POWERSUM_FIELDS = ("s1", "s2", "s3", "s4", "gram")
 
-    def part(rows):
-        X = np.array([r[0] for r in rows])
-        if X.size == 0:
-            return []
-        X2 = X * X
-        yield (
-            X.shape[0],
-            X.sum(axis=0),
-            X2.sum(axis=0),
-            (X2 * X).sum(axis=0),
-            (X2 * X2).sum(axis=0),
-            X.T @ X,
+
+def _powersums_and_gram(vec_df: DataFrame, d: int, merge_partitions: int = 8):
+    """One pass, Arrow-batched end to end: per partition the vectors are
+    stacked into an (n_i, d) matrix and reduced to [n, Σx, Σx², Σx³, Σx⁴,
+    XᵀX] — matrix ops, no per-row Python and no RDD/Row deserialization
+    (this replaces an .rdd.mapPartitions + treeReduce that paid a Python Row
+    loop per vector). Partition partials are then merged through ONE
+    repartition(merge_partitions) Arrow stage, so the driver receives at
+    most merge_partitions accumulators (O(d²) each) regardless of input
+    partition count — the same ingress bound treeReduce gave (collect() of
+    raw partials would ship ~1 GB at 2000 partitions, d=256)."""
+    schema = T.StructType(
+        [T.StructField("n", T.LongType())]
+        + [T.StructField(f, T.ArrayType(T.DoubleType())) for f in _POWERSUM_FIELDS]
+    )
+
+    def _acc_frame(n, s1, s2, s3, s4, gram):
+        return pd.DataFrame(
+            {
+                "n": [n],
+                "s1": [s1.tolist()],
+                "s2": [s2.tolist()],
+                "s3": [s3.tolist()],
+                "s4": [s4.tolist()],
+                "gram": [gram.ravel().tolist()],
+            }
         )
 
-    def comb(a, b):
-        return tuple(x + y for x, y in zip(a, b))
+    def part(batches):
+        n = 0
+        s1 = np.zeros(d)
+        s2 = np.zeros(d)
+        s3 = np.zeros(d)
+        s4 = np.zeros(d)
+        gram = np.zeros((d, d))
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.stack(pdf["__vec"].to_numpy()).astype(np.float64)
+            X2 = X * X
+            n += X.shape[0]
+            s1 += X.sum(axis=0)
+            s2 += X2.sum(axis=0)
+            s3 += (X2 * X).sum(axis=0)
+            s4 += (X2 * X2).sum(axis=0)
+            gram += X.T @ X
+        if n:
+            yield _acc_frame(n, s1, s2, s3, s4, gram)
 
-    rdd = vec_df.select("__vec").rdd.mapPartitions(part)
-    if rdd.isEmpty():
+    def merge(batches):
+        n = 0
+        acc = None
+        for pdf in batches:
+            for _, row in pdf.iterrows():
+                n += int(row["n"])
+                vals = [np.asarray(row[f], dtype=np.float64) for f in _POWERSUM_FIELDS]
+                acc = vals if acc is None else [a + v for a, v in zip(acc, vals)]
+        if acc is not None:
+            yield _acc_frame(n, acc[0], acc[1], acc[2], acc[3], acc[4])
+
+    partial = vec_df.select("__vec").mapInPandas(part, schema=schema)
+    merged = partial.repartition(merge_partitions).mapInPandas(merge, schema=schema)
+    rows = merged.toPandas()
+    if rows.empty:
         return None
-    # treeReduce: O(d²) per partition result, merged in a tree — the driver
-    # receives ONE accumulator regardless of partition count (collect()
-    # would ship d² floats per partition: ~1 GB at 2000 partitions, d=256).
-    return rdd.treeReduce(comb)
+    n = int(rows["n"].sum())
+    s1, s2, s3, s4, gram_flat = (
+        np.sum(np.stack(rows[f].to_numpy()), axis=0) for f in _POWERSUM_FIELDS
+    )
+    return n, s1, s2, s3, s4, gram_flat.reshape(d, d)
 
 
 def _moments_from_powersums(n, s1, s2, s3, s4) -> np.ndarray:
