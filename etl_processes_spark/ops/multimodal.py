@@ -92,18 +92,36 @@ _FEATURE_SCHEMA = T.StructType(
 
 
 def extract_features(
-    media: DataFrame, dim: int = FEATURE_DIM, fake_decode: bool = True
+    media: DataFrame,
+    dim: int = FEATURE_DIM,
+    fake_decode: bool = True,
+    kernel=None,
 ) -> DataFrame:
     """media table → (media_id, kind, n_bytes, features[dim]) via
     mapInPandas. The batch iterator shape is exactly what a real decoder
-    needs; only the kernel is swapped."""
+    needs; only the kernel is swapped.
+
+    KERNEL CONTRACT (pinned by tests/test_multimodal.py): a plain callable
+    ``kernel(content: bytes | None) -> np.ndarray`` returning shape (dim,)
+    float64, deterministic for equal bytes, defined for None (missing
+    payload). Swap procedure on a cluster with codec libs installed::
+
+        def pil_kernel(content):
+            if content is None: return np.zeros(DIM)
+            img = PIL.Image.open(io.BytesIO(content)) ...
+        extract_features(media, dim=DIM, kernel=pil_kernel)
+
+    The callable must be picklable (top-level function) — it ships to
+    executors inside the mapInPandas closure. Nothing else changes: schema,
+    Arrow batching, and partitioning are kernel-agnostic."""
+    if kernel is None:
+        kernel = (
+            (lambda c: _fake_features(c, dim)) if fake_decode else _decode_image_real
+        )
 
     def run(batches):
         for pdf in batches:
-            feats = [
-                (_fake_features(c, dim) if fake_decode else _decode_image_real(c)).tolist()
-                for c in pdf["content"]
-            ]
+            feats = [np.asarray(kernel(c), dtype=np.float64).tolist() for c in pdf["content"]]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],

@@ -51,3 +51,28 @@ def test_media_stats_by_kind(media):
     assert set(stats) == {"image", "audio", "video"}
     assert stats["image"]["avg_duration_ms"] is None
     assert stats["video"]["total_bytes"] > 0
+
+
+def test_kernel_contract_and_swap(media):
+    """The decode kernel is pluggable: extract_features(kernel=...) must use
+    the supplied callable unchanged — (bytes|None) -> ndarray(dim,) — and
+    the fake kernel must itself satisfy the contract."""
+    import numpy as np
+
+    from etl_processes_spark.ops.multimodal import _fake_features
+
+    # contract holds for the shipped fake kernel
+    v = _fake_features(b"abc", 16)
+    assert isinstance(v, np.ndarray) and v.shape == (16,) and v.dtype == np.float64
+    assert np.array_equal(v, _fake_features(b"abc", 16))  # deterministic
+    assert _fake_features(None, 16).shape == (16,)        # None-safe
+
+    # a swapped-in kernel drives the same plumbing (closure → cloudpickle)
+    def ramp_kernel(content):
+        if content is None:
+            return np.zeros(4)
+        return np.arange(4, dtype=np.float64) + float(len(content))
+
+    rows = extract_features(media, dim=4, kernel=ramp_kernel).orderBy("media_id").collect()
+    for r in rows:
+        assert r["features"] == [float(r["n_bytes"]) + i for i in range(4)]
