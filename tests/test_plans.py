@@ -66,3 +66,54 @@ def test_cosine_topk_broadcasts_queries(spark):
     df = spark.createDataFrame([(i, [float(i), 1.0]) for i in range(50)], schema)
     plan = _plan(cosine_topk(df, df.filter("vec_id < 3"), k=2))
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def _emb_df(spark, n=50):
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+        ]
+    )
+    return spark.createDataFrame(
+        [(i, [float(i % 7), 1.0, float(i % 3), 2.0]) for i in range(n)], schema
+    )
+
+
+def test_cosine_topk_fast_is_blocked_not_joined(spark):
+    """The entry's top-k path must be the streamed-corpus BLAS kernel: one
+    MapInPandas over the corpus, NO join of any kind (the n×m pair set is
+    never materialized as rows)."""
+    from etl_processes_spark.ops.similarity import cosine_topk_fast
+
+    df = _emb_df(spark)
+    plan = _plan(cosine_topk_fast(df, df.filter("vec_id < 3"), k=2))
+    assert "MapInPandas" in plan
+    assert "Join" not in plan and "CartesianProduct" not in plan
+
+
+def test_near_dup_lsh_path_has_no_cartesian_product(spark):
+    """Above the exact-size threshold the near-dup plan must be the bucketed
+    equi-join on band signatures — never an all-pairs cross join."""
+    from etl_processes_spark.ops.similarity import embedding_near_dup_pairs
+
+    df = _emb_df(spark)
+    plan = _plan(embedding_near_dup_pairs(df, threshold=0.9, max_exact_rows=0))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "band" in plan  # candidate generation keyed on (band, bh)
+
+
+def test_ngram_jaccard_join_keyed_on_shingle(spark):
+    """The near-dup join is an inverted-index equi-join on the shingle —
+    a SortMergeJoin/ShuffledHashJoin keyed by shingle, not a cross join."""
+    from etl_processes_spark.ops.dedup import ngram_jaccard_pairs
+
+    df = spark.createDataFrame(
+        [(i, f"some shared words plus unique token{i}") for i in range(20)],
+        ["doc_id", "text"],
+    )
+    plan = _plan(ngram_jaccard_pairs(df, "doc_id", "text", k=3, threshold=0.1, max_df=10))
+    assert "CartesianProduct" not in plan
+    assert "shingle" in plan
