@@ -143,3 +143,103 @@ def run_stream_once(stream_df: DataFrame, out_dir: str, checkpoint_dir: str) -> 
         .start()
         .awaitTermination()
     )
+
+
+def sessionize_stream(
+    spark,
+    source_path: str,
+    gap_minutes: int = 30,
+    watermark: str = "2 hours",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Streaming twin of ``sessionize`` as a CUSTOM STATEFUL operator
+    (``applyInPandasWithState``): per-user session state carries
+    (session ordinal, start, last event ts, count, value sum); a session is
+    emitted when (a) a later in-batch event opens a new one, or (b) the
+    event-time watermark passes last_ts + gap (EventTimeTimeout). State per
+    key is O(1) and expires with the timeout, so total state is bounded by
+    the number of users active inside the watermark horizon — the property
+    that makes this run indefinitely at scale.
+
+    Output schema matches the batch ``sessionize`` exactly, and emitted
+    sessions equal the batch result for any session closed by the watermark
+    (pinned by tests/test_streaming.py)."""
+    import pandas as pd
+    from pyspark.sql import types as T
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap_us = gap_minutes * 60 * 1_000_000
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("session_id", T.LongType()),
+            T.StructField("session_start", T.StringType()),
+            T.StructField("session_end", T.StringType()),
+            T.StructField("n_events", T.LongType()),
+            T.StructField("sum_value", T.DoubleType()),
+        ]
+    )
+    # (next ordinal, open-session start/last in epoch-us, count, value sum)
+    state_schema = T.StructType(
+        [
+            T.StructField("sid", T.LongType()),
+            T.StructField("start_us", T.LongType()),
+            T.StructField("last_us", T.LongType()),
+            T.StructField("n", T.LongType()),
+            T.StructField("vsum", T.DoubleType()),
+        ]
+    )
+
+    def _fmt(us: int) -> str:
+        return pd.Timestamp(us, unit="us").strftime("%Y-%m-%d %H:%M:%S")
+
+    def fn(key, pdfs, state: GroupState):
+        user_id = key[0]
+        closed = []
+        if state.hasTimedOut:
+            sid, start_us, last_us, n, vsum = state.get
+            closed.append((user_id, sid, _fmt(start_us), _fmt(last_us), n, round(vsum, 6)))
+            state.remove()
+        else:
+            sid, start_us, last_us, n, vsum = (
+                state.get if state.exists else (1, None, None, 0, 0.0)
+            )
+            ev = pd.concat(list(pdfs), ignore_index=True)
+            ev = ev.sort_values(["ts", "event_id"])
+            for ts, val in zip(ev["ts"], ev["value"]):
+                us = int(pd.Timestamp(ts).value // 1000)
+                if start_us is None:
+                    start_us, last_us, n, vsum = us, us, 1, float(val)
+                elif us - last_us > gap_us:
+                    closed.append(
+                        (user_id, sid, _fmt(start_us), _fmt(last_us), n, round(vsum, 6))
+                    )
+                    sid += 1
+                    start_us, last_us, n, vsum = us, us, 1, float(val)
+                else:
+                    last_us, n, vsum = us, n + 1, vsum + float(val)
+            state.update((sid, start_us, last_us, n, vsum))
+            # close when the watermark passes the gap horizon
+            state.setTimeoutTimestamp(last_us // 1000 + gap_minutes * 60 * 1000)
+        if closed:
+            yield pd.DataFrame(
+                closed,
+                columns=[
+                    "user_id", "session_id", "session_start", "session_end",
+                    "n_events", "sum_value",
+                ],
+            )
+
+    schema = spark.read.parquet(source_path).schema
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(source_path)
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn, out_schema, state_schema, "append", GroupStateTimeout.EventTimeTimeout
+        )
+    )

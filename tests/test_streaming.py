@@ -58,3 +58,75 @@ def test_stream_rollup_matches_batch(spark, event_dir):
     finally:
         shutil.rmtree(out, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_stateful_sessionize_stream_matches_batch(spark):
+    """applyInPandasWithState sessionizer: sessions closed by the watermark
+    must EQUAL the batch sessionize rows (same ordinals, bounds, aggregates).
+    Three single-file micro-batches: the straggler files push the watermark
+    past every first-file session's gap horizon so their timeouts fire."""
+    import datetime as dt
+    import os
+
+    from etl_processes_spark.streaming.windows import (
+        run_stream_once,
+        sessionize,
+        sessionize_stream,
+    )
+
+    src = tempfile.mkdtemp(prefix="sess_src_")
+    out = tempfile.mkdtemp(prefix="sess_out_")
+    ckpt = tempfile.mkdtemp(prefix="sess_ckpt_")
+    try:
+        t0 = dt.datetime(2024, 1, 1, 9, 0, 0)
+        m = lambda mins: t0 + dt.timedelta(minutes=mins)
+        cols = ["event_id", "ts", "user_id", "event_type", "value"]
+        main = [
+            # user 1: session A (0,5,10m), session B (60,65m)
+            (1, m(0), 1, "click", 1.0),
+            (2, m(5), 1, "view", 2.0),
+            (3, m(10), 1, "click", 3.0),
+            (4, m(60), 1, "view", 4.0),
+            (5, m(65), 1, "click", 5.0),
+            # user 2: two singleton sessions (gap 100m)
+            (6, m(0), 2, "view", 10.0),
+            (7, m(100), 2, "click", 20.0),
+        ]
+        stragglers = [[(8, m(600), 99, "view", 0.5)], [(9, m(660), 99, "view", 0.25)]]
+        spark.createDataFrame(main, cols).coalesce(1).write.parquet(f"{src}/f1")
+        for i, rows in enumerate(stragglers):
+            spark.createDataFrame(rows, cols).coalesce(1).write.parquet(f"{src}/f{i+2}")
+        # file-stream source orders by modification time: force f1 < f2 < f3
+        for i, d in enumerate(("f1", "f2", "f3")):
+            for f in os.listdir(f"{src}/{d}"):
+                os.utime(f"{src}/{d}/{f}", (1700000000 + i * 100, 1700000000 + i * 100))
+
+        stream = sessionize_stream(
+            spark, f"{src}/*", gap_minutes=30, watermark="1 hour", max_files_per_trigger=1
+        )
+        run_stream_once(stream, out, ckpt)
+        got = {
+            (r["user_id"], r["session_id"]): (
+                r["session_start"], r["session_end"], r["n_events"], r["sum_value"]
+            )
+            for r in spark.read.parquet(out).collect()
+        }
+        batch = {
+            (r["user_id"], r["session_id"]): (
+                r["session_start"], r["session_end"], r["n_events"], r["sum_value"]
+            )
+            for r in sessionize(
+                spark.read.parquet(f"{src}/*"), gap_minutes=30
+            ).collect()
+        }
+        # every main-file session must have been closed and emitted, equal to batch
+        expected = {k: v for k, v in batch.items() if k[0] in (1, 2)}
+        assert len(expected) == 4
+        for k, v in expected.items():
+            assert got.get(k) == v, (k, got.get(k), v)
+        # nothing emitted that batch doesn't have
+        assert set(got) <= set(batch)
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(out, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
