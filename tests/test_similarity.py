@@ -128,3 +128,39 @@ def test_ann_lsh_high_recall_on_planted_pair(emb):
     ).collect()
     # near-identical vectors share (almost) all hyperplane signs
     assert any(r["neighbor_id"] == 3 for r in res)
+
+
+def test_ann_ivf_recall_and_exactness_at_full_probe(emb):
+    from etl_processes_spark.ops.similarity import ann_cosine_ivf
+
+    df, mat = emb
+    # full probe (n_probe == n_centroids) must equal the exact result
+    res = ann_cosine_ivf(
+        df, df.filter("vec_id < 5"), k=3, n_centroids=4, n_probe=4
+    ).collect()
+    expected = _numpy_topk(mat, range(5), 3)
+    got = {}
+    for r in sorted(res, key=lambda r: (r["query_id"], r["rank"])):
+        got.setdefault(r["query_id"], []).append(r["neighbor_id"])
+    assert got == {q: expected[q] for q in range(5)}
+
+    # partial probe still finds the planted near-identical neighbor
+    res = ann_cosine_ivf(
+        df, df.filter("vec_id = 7"), k=3, n_centroids=8, n_probe=2
+    ).collect()
+    assert any(r["neighbor_id"] == 3 for r in res)
+
+
+def test_ann_ivf_plan_is_cell_equijoin(spark, emb):
+    from etl_processes_spark.ops.similarity import ann_cosine_ivf
+
+    df, _ = emb
+    plan_df = ann_cosine_ivf(df, df.filter("vec_id < 3"), k=2, n_centroids=4, n_probe=2)
+    import contextlib, io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        plan_df.explain("formatted")
+    plan = buf.getvalue()
+    assert "CartesianProduct" not in plan
+    assert "__cell" in plan
