@@ -301,32 +301,6 @@ def _near_dup_lsh(
     )
 
 
-def hyperplane_signature(
-    vec: Column, planes: np.ndarray
-) -> Column:
-    """Random-hyperplane bit signature as an array<int> of sign bits.
-    Expression form (one HOF dot per plane) — fine for a handful of planes;
-    `_band_hashes_udf` is the batched path the ANN join uses."""
-    bits = [
-        F.when(
-            F.aggregate(
-                F.zip_with(
-                    vec,
-                    F.array(*[F.lit(float(w)) for w in plane]),
-                    lambda x, y: x * y,
-                ),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-            >= 0,
-            1,
-        )
-        .otherwise(0)
-        for plane in planes
-    ]
-    return F.array(*bits)
-
-
 def _band_hashes_udf(planes: np.ndarray, bands: int):
     """Arrow-batched band signatures: one BLAS matmul per batch scores every
     plane at once, sign bits are packed per band into a single long. Returns
