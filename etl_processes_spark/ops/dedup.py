@@ -138,38 +138,21 @@ def ngram_jaccard_pairs(
 # ---------------------------------------------------------------------------
 
 
-def _mix_constants(num_hashes: int, seed: int = 0x9E3779B9) -> list[tuple[int, int]]:
-    """Deterministic odd multipliers + offsets for the universal-hash family
-    h_i(x) = A_i*x + B_i over Z/2^64 (wrapping long arithmetic)."""
-    import random
-
-    rng = random.Random(seed)
-    out = []
-    for _ in range(num_hashes):
-        a = rng.getrandbits(64) | 1  # odd => bijective mod 2^64
-        b = rng.getrandbits(64)
-        to_i64 = lambda v: v - (1 << 64) if v >= (1 << 63) else v
-        out.append((to_i64(a), to_i64(b)))
-    return out
-
-
 def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str, num_hashes: int = 64, k: int = 5
 ) -> DataFrame:
-    """(id, sig array<long>) — sig[i] = min over shingles of h_i(shingle),
-    where h_i is a universal-hash mix A_i*xxhash64(sh)+B_i: ONE string hash
-    per shingle plus num_hashes wrapping multiply-adds, instead of
-    num_hashes full string hashes (the standard MinHash construction; the
-    string hash dominates at realistic shingle lengths). One explode + one
-    groupBy(id) with num_hashes min-aggregates (all partial-agg'd map-side;
-    the shuffle carries one row per doc)."""
-    mix = _mix_constants(num_hashes)
+    """(id, sig array<long>) — sig[i] = min over shingles of
+    xxhash64(i, xxhash64(shingle)): ONE variable-length string hash per
+    shingle, then num_hashes fixed-width (12-byte) long hashes, instead of
+    num_hashes full string hashes. Overflow-free (ANSI-safe — no wrapping
+    long arithmetic, which Spark 4's default ANSI mode rejects). One explode
+    + one groupBy(id) with num_hashes min-aggregates (all partial-agg'd
+    map-side; the shuffle carries one row per doc)."""
     sh = df.select(
         F.col(id_col).alias("id"), F.explode(shingles_expr(text_col, k)).alias("shingle")
     ).select("id", F.xxhash64("shingle").alias("h0"))
     aggs = [
-        F.min(F.col("h0") * F.lit(a) + F.lit(b)).alias(f"h{i}")
-        for i, (a, b) in enumerate(mix)
+        F.min(F.xxhash64(F.lit(i), F.col("h0"))).alias(f"h{i}") for i in range(num_hashes)
     ]
     sig = sh.groupBy("id").agg(*aggs)
     return sig.select("id", F.array(*[f"h{i}" for i in range(num_hashes)]).alias("sig"))
