@@ -416,14 +416,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     def q_multimodal_frame_plan(spark, sf):
-        from etl_processes_spark.ops.multimodal import frame_sample_plan, make_fake_media_df
+        # media table derived from documents parquet → SQL-expressible,
+        # hash-gated (the in-session fake table was invisible to the oracle)
+        from etl_processes_spark.ops.multimodal import frame_sample_plan, media_from_documents
 
-        return frame_sample_plan(make_fake_media_df(spark, n=64), every_ms=1000)
+        media = media_from_documents(_t(spark, sf, "documents"))
+        return frame_sample_plan(media, every_ms=1000)
 
     def q_media_stats(spark, sf):
-        from etl_processes_spark.ops.multimodal import make_fake_media_df, media_stats
+        from etl_processes_spark.ops.multimodal import media_from_documents, media_stats
 
-        return media_stats(make_fake_media_df(spark, n=64))
+        media = media_from_documents(_t(spark, sf, "documents"))
+        return media_stats(media).select(
+            "kind",
+            "n_items",
+            "total_bytes",
+            F.round(F.col("avg_bytes"), ND).alias("avg_bytes"),
+            F.round(F.col("avg_duration_ms"), ND).alias("avg_duration_ms"),
+        )
 
     # -- dedup ------------------------------------------------------------------
 
@@ -842,6 +852,32 @@ FROM ({_types_union}) GROUP BY logical_type
     )
 
     # -- dedup ----------------------------------------------------------------
+
+    _MEDIA_CTE = """
+m AS (SELECT doc_id AS media_id,
+             (['image','audio','video'])[(doc_id % 3) + 1] AS kind,
+             octet_length(encode(text)) AS nbytes,
+             1000 * (n_chars % 30 + 1) AS duration_ms
+      FROM documents)
+"""
+
+    sql["media_stats"] = f"""
+WITH {_MEDIA_CTE},
+m2 AS (SELECT kind, nbytes,
+              CASE WHEN kind <> 'image' THEN duration_ms END AS duration_ms
+       FROM m)
+SELECT kind, CAST(count(*) AS BIGINT) AS n_items,
+       CAST(sum(nbytes) AS BIGINT) AS total_bytes,
+       round(avg(nbytes), 6) AS avg_bytes,
+       round(avg(duration_ms), 6) AS avg_duration_ms
+FROM m2 GROUP BY kind
+"""
+
+    sql["multimodal_frame_plan"] = f"""
+WITH {_MEDIA_CTE}
+SELECT media_id, CAST(unnest(range(0, duration_ms, 1000)) AS BIGINT) AS frame_ts_ms
+FROM m WHERE kind = 'video'
+"""
 
     sql["dedup_exact"] = """
 SELECT CAST(min(doc_id) AS BIGINT) AS doc_id, text FROM documents GROUP BY text

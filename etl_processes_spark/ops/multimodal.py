@@ -62,6 +62,37 @@ def make_fake_media_df(spark, n: int = 64, seed: int = 42) -> DataFrame:
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
+def media_from_documents(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_chars_col: str = "n_chars",
+) -> DataFrame:
+    """Deterministic media table DERIVED from the documents parquet: payload
+    = utf-8 text bytes, kind/mime/dims/duration pure functions of the id and
+    length. Every column is a plain expression over real testdata, so
+    metadata-only operators over it (media_stats, frame_sample_plan) are
+    SQL-expressible and hash-gated against DuckDB — unlike the in-session
+    fake table, which no oracle can see."""
+    did = F.col(id_col)
+    kind = F.element_at(
+        F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+        (did % 3).cast("int") + 1,
+    )
+    return docs.select(
+        did.alias("media_id"),
+        kind.alias("kind"),
+        F.when(kind == "image", "image/png")
+        .when(kind == "audio", "audio/wav")
+        .otherwise("video/mp4")
+        .alias("mime"),
+        F.when(kind != "audio", (32 + (did % 8) * 16).cast("int")).alias("width"),
+        F.when(kind != "audio", (32 + (did % 5) * 16).cast("int")).alias("height"),
+        F.when(kind != "image", 1000 * (F.col(n_chars_col) % 30 + 1)).alias("duration_ms"),
+        F.encode(F.col(text_col), "UTF-8").alias("content"),
+    )
+
+
 def _decode_image_real(content: bytes) -> np.ndarray:
     raise NotImplementedError(
         "real image decode requires PIL/opencv (not in this container); "
