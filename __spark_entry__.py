@@ -910,6 +910,72 @@ JOIN sizes sb ON sb.doc_id = id_b
 WHERE round(CAST(c AS DOUBLE) / (sa.sz + sb.sz - c), 6) >= 0.06
 """
 
+    # -- MinHash LSH + SimHash: full-pipeline DuckDB twins --------------------
+    # The hash primitive is an md5-derived 60-bit integer with mod-P31
+    # affine mixing (ops/dedup.md5_long_expr), chosen precisely so BOTH
+    # engines compute identical signatures/buckets/fingerprints — the whole
+    # LSH pipeline is certified against an independent engine, not just the
+    # verify stage.
+    from etl_processes_spark.ops.dedup import minhash_mix_constants
+
+    _H0 = "CAST(concat('0x', substr(md5(shingle), 1, 15)) AS BIGINT) % 2147483647"
+    _mix = minhash_mix_constants(64)
+    _sig_cols = ", ".join(
+        f"min((h0 * {a} + {b}) % 2147483647) AS h{i}" for i, (a, b) in enumerate(_mix)
+    )
+
+    def _band_fold(i: int, rows_per_band: int = 4) -> str:
+        expr = f"h{i * rows_per_band}"
+        for j in range(1, rows_per_band):
+            expr = f"(({expr}) * 31337 + h{i * rows_per_band + j}) % 2147483647"
+        return expr
+
+    _bands_sql = " UNION ALL ".join(
+        f"SELECT id, {i} AS band, {_band_fold(i)} AS bh FROM sig" for i in range(16)
+    )
+    sql["minhash_lsh_pairs"] = f"""
+WITH toks AS (SELECT doc_id AS id, {_TOKS} AS t FROM documents),
+sh0 AS (SELECT id,
+               CASE WHEN len(t) >= 3
+                    THEN list_transform(range(1, len(t) - 3 + 2), i -> array_to_string(t[i:i+2], ' '))
+                    ELSE [array_to_string(t, ' ')] END AS shs
+        FROM toks),
+sh AS (SELECT DISTINCT id, unnest(shs) AS shingle FROM sh0),
+h AS (SELECT id, {_H0} AS h0 FROM sh),
+sig AS (SELECT id, {_sig_cols} FROM h GROUP BY id),
+buckets AS ({_bands_sql}),
+cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+         FROM buckets a JOIN buckets b
+           ON a.band = b.band AND a.bh = b.bh AND a.id < b.id),
+sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
+common AS (SELECT c.id_a, c.id_b, count(*) AS cnt
+           FROM cand c
+           JOIN sh x ON x.id = c.id_a
+           JOIN sh y ON y.id = c.id_b AND y.shingle = x.shingle
+           GROUP BY c.id_a, c.id_b)
+SELECT c.id_a, c.id_b,
+       round(CAST(cnt AS DOUBLE) / (sa.sz + sb.sz - cnt), 6) AS jaccard
+FROM common c
+JOIN sizes sa ON sa.id = c.id_a
+JOIN sizes sb ON sb.id = c.id_b
+WHERE round(CAST(cnt AS DOUBLE) / (sa.sz + sb.sz - cnt), 6) >= 0.06
+"""
+
+    _bitsums = ", ".join(
+        f"sum(CASE WHEN (h // {2 ** i}) % 2 = 1 THEN tf ELSE -tf END) AS b{i}"
+        for i in range(60)
+    )
+    _fp = " + ".join(f"(CASE WHEN b{i} > 0 THEN {2 ** i} ELSE 0 END)" for i in range(60))
+    sql["simhash_fingerprints"] = f"""
+WITH tok AS (SELECT doc_id AS id, unnest({_TOKS}) AS token FROM documents),
+tf AS (SELECT id, token, count(*) AS tf FROM tok GROUP BY id, token),
+h AS (SELECT id, tf,
+             CAST(concat('0x', substr(md5(token), 1, 15)) AS BIGINT) AS h
+      FROM tf),
+sums AS (SELECT id, {_bitsums} FROM h GROUP BY id)
+SELECT id, CAST({_fp} AS BIGINT) AS simhash FROM sums
+"""
+
     # -- similarity --------------------------------------------------------------
 
     sql["cosine_topk"] = """

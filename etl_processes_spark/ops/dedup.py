@@ -138,21 +138,46 @@ def ngram_jaccard_pairs(
 # ---------------------------------------------------------------------------
 
 
+P31 = 2**31 - 1  # Mersenne prime modulus for the universal-hash family
+
+
+def md5_long_expr(c: str | Column) -> Column:
+    """Deterministic 60-bit integer from md5: both Spark (conv base-16) and
+    DuckDB (CAST '0x…' AS BIGINT) can compute it IDENTICALLY, which is what
+    lets the MinHash/SimHash pipelines be hash-gated against the DuckDB
+    oracle (xxhash64 exists only in Spark). 15 hex chars < 2^60, so every
+    downstream product of two mod-P31 residues stays < 2^62 — no long
+    overflow anywhere (ANSI-safe)."""
+    col = F.col(c) if isinstance(c, str) else c
+    return F.conv(F.substring(F.md5(col.cast("string")), 1, 15), 16, 10).cast("long")
+
+
+def minhash_mix_constants(num_hashes: int, seed: int = 1_000_003) -> list[tuple[int, int]]:
+    """(a_i, b_i) for h_i(x) = (a_i*x + b_i) mod P31, a_i != 0 — the classic
+    universal family; deterministic so the DuckDB twin uses the SAME table."""
+    import random
+
+    rng = random.Random(seed)
+    return [(rng.randrange(1, P31), rng.randrange(0, P31)) for _ in range(num_hashes)]
+
+
 def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str, num_hashes: int = 64, k: int = 5
 ) -> DataFrame:
     """(id, sig array<long>) — sig[i] = min over shingles of
-    xxhash64(i, xxhash64(shingle)): ONE variable-length string hash per
-    shingle, then num_hashes fixed-width (12-byte) long hashes, instead of
-    num_hashes full string hashes. Overflow-free (ANSI-safe — no wrapping
-    long arithmetic, which Spark 4's default ANSI mode rejects). One explode
-    + one groupBy(id) with num_hashes min-aggregates (all partial-agg'd
-    map-side; the shuffle carries one row per doc)."""
+    (a_i * h0 + b_i) mod P31 with h0 = md5-derived residue: ONE string hash
+    per shingle plus num_hashes modular multiply-adds (cheaper than
+    num_hashes full string hashes, overflow-free, and reproducible in
+    DuckDB — the oracle runs the identical pipeline). One explode + one
+    groupBy(id) with num_hashes min-aggregates (all partial-agg'd map-side;
+    the shuffle carries one row per doc)."""
+    mix = minhash_mix_constants(num_hashes)
     sh = df.select(
         F.col(id_col).alias("id"), F.explode(shingles_expr(text_col, k)).alias("shingle")
-    ).select("id", F.xxhash64("shingle").alias("h0"))
+    ).select("id", (md5_long_expr("shingle") % P31).alias("h0"))
     aggs = [
-        F.min(F.xxhash64(F.lit(i), F.col("h0"))).alias(f"h{i}") for i in range(num_hashes)
+        F.min((F.col("h0") * F.lit(a) + F.lit(b)) % P31).alias(f"h{i}")
+        for i, (a, b) in enumerate(mix)
     ]
     sig = sh.groupBy("id").agg(*aggs)
     return sig.select("id", F.array(*[f"h{i}" for i in range(num_hashes)]).alias("sig"))
@@ -174,12 +199,19 @@ def minhash_lsh_pairs(
     (band, band_hash) — no quadratic candidate explosion."""
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(df, id_col, text_col, num_hashes, k)
+
+    def band_hash(i: int) -> Column:
+        # Horner fold of the band's signature rows mod P31 — same arithmetic
+        # the DuckDB twin runs (xxhash64 would be Spark-only)
+        bh: Column | None = None
+        for j in range(rows_per_band):
+            s = F.col("sig")[i * rows_per_band + j]
+            bh = s if bh is None else (bh * F.lit(31337) + s) % F.lit(P31)
+        return bh
+
     band_cols = F.array(
         *[
-            F.struct(
-                F.lit(i).alias("band"),
-                F.xxhash64(*[F.col("sig")[i * rows_per_band + j] for j in range(rows_per_band)]).alias("bh"),
-            )
+            F.struct(F.lit(i).alias("band"), band_hash(i).alias("bh"))
             for i in range(bands)
         ]
     )
@@ -223,17 +255,22 @@ def minhash_lsh_pairs(
 # ---------------------------------------------------------------------------
 
 
-def simhash_fingerprints(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFrame:
+def simhash_fingerprints(df: DataFrame, id_col: str, text_col: str, bits: int = 60) -> DataFrame:
     """(id, simhash long): sign of the tf-weighted sum of each bit of each
-    token's xxhash64. 64 conditional sums over the exploded token stream —
-    partial aggregation keeps the shuffle at one row per doc."""
+    token's md5-derived 60-bit hash. ``bits`` conditional sums over the
+    exploded token stream — partial aggregation keeps the shuffle at one row
+    per doc. md5-based (not xxhash64) and 60-bit (always non-negative, no
+    wrapping) so the DuckDB oracle reproduces the fingerprint bit-for-bit
+    and ANSI mode is safe."""
     tok = df.select(
         F.col(id_col).alias("id"), F.explode(tokens_expr(text_col)).alias("token")
     ).groupBy("id", "token").agg(F.count(F.lit(1)).alias("tf"))
-    h = F.xxhash64("token")
+    tok = tok.withColumn("h", md5_long_expr("token"))
     aggs = [
         F.sum(
-            F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, F.col("tf")).otherwise(-F.col("tf"))
+            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, F.col("tf")).otherwise(
+                -F.col("tf")
+            )
         ).alias(f"b{i}")
         for i in range(bits)
     ]
@@ -241,18 +278,18 @@ def simhash_fingerprints(df: DataFrame, id_col: str, text_col: str, bits: int = 
     fp = None
     for i in range(bits):
         bit = F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
-        term = bit * F.lit(2 ** i).cast("long") if i < 63 else F.when(bit == 1, F.lit(-(2 ** 63)).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = bit * F.lit(2 ** i).cast("long")
         fp = term if fp is None else fp + term
     return sums.select("id", fp.alias("simhash"))
 
 
 def simhash_near_dup_pairs(
-    df: DataFrame, id_col: str, text_col: str, band_bits: int = 16
+    df: DataFrame, id_col: str, text_col: str, band_bits: int = 15
 ) -> DataFrame:
     """Candidate near-dup pairs whose simhash matches on at least one of the
-    64/band_bits bands (Hamming-distance blocking)."""
+    60/band_bits bands (Hamming-distance blocking)."""
     fp = simhash_fingerprints(df, id_col, text_col)
-    nb = 64 // band_bits
+    nb = 60 // band_bits
     bands = F.array(
         *[
             F.struct(
