@@ -976,6 +976,71 @@ sums AS (SELECT id, {_bitsums} FROM h GROUP BY id)
 SELECT id, CAST({_fp} AS BIGINT) AS simhash FROM sums
 """
 
+    # winnowing (k=5 grams, window=4): same md5-derived gram hashes, list-op
+    # k-grams + rolling mins — the DuckDB twin of ops/textstats.py:150
+    _MD5L = "CAST(concat('0x', substr(md5({x}), 1, 15)) AS BIGINT)"
+    sql["winnowing_fingerprints"] = f"""
+WITH toks AS (SELECT doc_id AS id, {_TOKS} AS t FROM documents),
+g AS (SELECT id, t, len(t) AS n,
+             CASE WHEN len(t) >= 5 THEN
+               list_transform(range(1, len(t) - 5 + 2),
+                              i -> {_MD5L.format(x="array_to_string(t[i:i+4], ' ')")})
+             END AS grams
+      FROM toks),
+w AS (SELECT id,
+             CASE WHEN n < 5 THEN [{_MD5L.format(x="coalesce(array_to_string(t, ' '), '')")}]
+                  WHEN len(grams) < 4 THEN [list_min(grams)]
+                  ELSE list_transform(range(1, len(grams) - 4 + 2),
+                                      j -> list_min(grams[j:j+3]))
+             END AS fps
+      FROM g)
+SELECT id AS doc_id, array_to_string(list_sort(list_distinct(fps)), ' ') AS fingerprints
+FROM w
+"""
+
+    # ANN LSH: the hyperplane signature is reproducible — planes are the
+    # seeded RandomState(42) matrix as SQL literals, sign bits packed per
+    # band exactly like ops/similarity._band_hashes_udf. (Sign flips from
+    # cross-engine float summation would need |plane·v| < ~1e-13; measure-
+    # zero on random data.)
+    import numpy as _np
+
+    _planes = _np.random.RandomState(42).randn(16, 64)
+    _rows_per_band = 16 // 4
+
+    def _bit(p: int) -> str:
+        lits = ", ".join(repr(float(x)) for x in _planes[p])
+        return f"(CASE WHEN list_dot_product(v, [{lits}]) >= 0 THEN 1 ELSE 0 END)"
+
+    def _bh(band: int) -> str:
+        terms = [
+            f"{_bit(band * _rows_per_band + j)} * {1 << (_rows_per_band - 1 - j)}"
+            for j in range(_rows_per_band)
+        ]
+        return " + ".join(terms)
+
+    _buckets = " UNION ALL ".join(
+        f"SELECT vec_id, v, {i} AS band, {_bh(i)} AS bh FROM e" for i in range(4)
+    )
+    sql["ann_cosine_lsh"] = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+buckets AS ({_buckets}),
+qb AS (SELECT * FROM buckets WHERE vec_id < 20),
+cand AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+         FROM buckets c JOIN qb q ON c.band = q.band AND c.bh = q.bh
+         WHERE q.vec_id <> c.vec_id),
+sims AS (SELECT cand.query_id, cand.neighbor_id,
+                round(list_cosine_similarity(q.v, c.v), 6) AS cosine_sim
+         FROM cand
+         JOIN e q ON q.vec_id = cand.query_id
+         JOIN e c ON c.vec_id = cand.neighbor_id),
+r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine_sim DESC, neighbor_id) AS rk
+      FROM sims)
+SELECT query_id, neighbor_id, cosine_sim, CAST(rk AS INTEGER) AS rank
+FROM r WHERE rk <= 5
+"""
+
     # -- similarity --------------------------------------------------------------
 
     sql["cosine_topk"] = """

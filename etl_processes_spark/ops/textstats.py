@@ -164,7 +164,11 @@ def winnowing_fingerprints(
     bounded by the longest single document)."""
     from pyspark.sql.window import Window
 
-    short_fp = F.array(F.xxhash64(F.array_join(tokens_expr(text_col), " ")))
+    from etl_processes_spark.ops.dedup import md5_long_expr
+
+    # md5-derived 60-bit gram hashes (not xxhash64): the DuckDB oracle
+    # computes the identical fingerprint set, so winnowing is hash-gated.
+    short_fp = F.array(md5_long_expr(F.array_join(tokens_expr(text_col), " ")))
     base = df.select(F.col(id_col).alias("__id"), tokens_expr(text_col).alias("__toks"))
     # Docs with fewer than k tokens (including empty) keep the single
     # whole-doc hash — same fallback as the classic formulation.
@@ -177,7 +181,7 @@ def winnowing_fingerprints(
     w = Window.partitionBy("__id").orderBy("pos")
     gram_cols = [F.col("tok")] + [F.lead("tok", i).over(w) for i in range(1, k)]
     grams = (
-        toks.select("__id", "pos", F.xxhash64(*gram_cols).alias("gh"),
+        toks.select("__id", "pos", md5_long_expr(F.concat_ws(" ", *gram_cols)).alias("gh"),
                     F.count(F.lit(1)).over(Window.partitionBy("__id")).alias("__n"))
         .filter(F.col("pos") <= F.col("__n") - k)  # drop tail rows with partial grams
     )
