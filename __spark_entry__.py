@@ -6,8 +6,14 @@ driver-mandated extensions) to a (spark, sf_dir) -> DataFrame callable;
 one. Column names/aliases match pairwise; float outputs are rounded (or
 decimal-exact) on BOTH sides so the driver's value-hash is stable.
 
-Non-SQL-expressible ops (seeded generators, MinHash/SimHash/winnowing which
-use Spark's xxhash64, LSH ANN) appear in queries() only → rows-only check.
+EXACTLY 50 queries are registered — the driver gate truncates at 50, so
+related operators share combined queries (see COVERAGE.md for the map).
+39 have full DuckDB twins, including the ENTIRE MinHash-LSH, SimHash,
+winnowing and hyperplane-ANN pipelines (their hash primitive is an
+md5-derived 60-bit integer both engines compute identically). The
+remaining 11 are genuinely non-SQL-expressible (seeded JVM RNG,
+hash-seeded embeddings, PCA, end-to-end pipelines) → rows-only check,
+pinned instead by pytest numpy-parity and statistical tests.
 """
 
 from __future__ import annotations
