@@ -322,7 +322,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # work every run; only downstream consumers (gen) reuse the artifact.
         prof = _text_profile_cached(spark, sf, refresh=True)
         row = {
-            k: float(prof[k])
+            k: round(float(prof[k]), ND)
             for k in (
                 "overall_mean", "overall_std", "std_of_means", "mean_of_medians",
                 "asymmetry_avg", "excess_avg", "cov_trace",
@@ -914,6 +914,77 @@ FROM common
 JOIN sizes sa ON sa.doc_id = id_a
 JOIN sizes sb ON sb.doc_id = id_b
 WHERE round(CAST(c AS DOUBLE) / (sa.sz + sb.sz - c), 6) >= 0.06
+"""
+
+    # text_profile_stats: the embeddings themselves are DuckDB-computable
+    # (Box-Muller over md5 hex slices — bit-identical to text/embedding.py's
+    # token_vector), so the reference's signature text-statistics path gets
+    # a hash gate. V=4 components/token, 32 slots -> 128 dims; the text
+    # tokenizer is letters/underscore runs with len 2..15 (gensim
+    # simple_preprocess parity), NOT the [a-z0-9] dedup tokenizer.
+    _TEXT_TOKS = (
+        "list_filter(string_split_regex(lower(text), '[^\\pL_]+'), "
+        "s -> length(s) BETWEEN 2 AND 15)"
+    )
+    _Z = (
+        "sqrt(-2 * ln((CAST(concat('0x', substr(md5(t[(d // 4) + 1]), (d % 4) * 4 + 1, 4)) AS INT) + 0.5) / 65536.0))"
+        " * cos(2 * pi() * (CAST(concat('0x', substr(md5(t[(d // 4) + 1] || chr(1)), (d % 4) * 4 + 1, 4)) AS INT) + 0.5) / 65536.0)"
+    )
+    sql["text_profile_stats"] = f"""
+WITH base AS (SELECT {_TEXT_TOKS} AS full_t FROM documents WHERE text IS NOT NULL),
+toks AS (SELECT full_t[1:32] AS t FROM base),
+vals AS (SELECT dims.d AS dim,
+                CASE WHEN (dims.d // 4) + 1 <= len(t)
+                     THEN {_Z}
+                     ELSE 0.0 END AS v
+         FROM toks, (SELECT unnest(range(0, 128)) AS d) dims),
+perdim AS (SELECT dim, CAST(count(*) AS DOUBLE) AS n, avg(v) AS m,
+                  avg(v*v) AS m2r, avg(v*v*v) AS m3r, avg(v*v*v*v) AS m4r,
+                  quantile_cont(v, 0.5) AS med,
+                  var_samp(v) AS var_s
+           FROM vals GROUP BY dim),
+stats AS (SELECT m, med, var_s,
+                 greatest(m2r - m*m, 0.0) AS m2,
+                 m3r - 3*m*m2r + 2*m*m*m AS m3,
+                 m4r - 4*m*m3r + 6*m*m*m2r - 3*m*m*m*m AS m4
+          FROM perdim)
+SELECT round(avg(m), 6) AS overall_mean,
+       round(avg(sqrt(m2)), 6) AS overall_std,
+       round(sqrt(greatest(avg(m*m) - avg(m)*avg(m), 0.0)), 6) AS std_of_means,
+       round(avg(med), 6) AS mean_of_medians,
+       round(avg(CASE WHEN m2 > 0 THEN m3 / (sqrt(m2) * m2) ELSE 0.0 END), 6) AS asymmetry_avg,
+       round(avg(CASE WHEN m2 > 0 THEN m4 / (m2 * m2) - 3 ELSE 0.0 END), 6) AS excess_avg,
+       round(sum(var_s), 6) AS cov_trace,
+       CAST(128 AS BIGINT) AS vector_dim,
+       (SELECT CAST(count(*) AS BIGINT) FROM base) AS n_samples,
+       (SELECT CAST(count(DISTINCT tok) AS BIGINT)
+        FROM (SELECT unnest(full_t) AS tok FROM base)) AS vocab_size
+FROM stats
+"""
+
+    # knn_decode: decode the slot-0 mean vector to its nearest alphanumeric
+    # vocabulary word — embeddings and cosine both DuckDB-computable.
+    _ZTOK = (
+        "sqrt(-2 * ln((CAST(concat('0x', substr(md5(tok), c * 4 + 1, 4)) AS INT) + 0.5) / 65536.0))"
+        " * cos(2 * pi() * (CAST(concat('0x', substr(md5(tok || chr(1)), c * 4 + 1, 4)) AS INT) + 0.5) / 65536.0)"
+    )
+    sql["knn_decode"] = f"""
+WITH base AS (SELECT {_TEXT_TOKS} AS full_t FROM documents WHERE text IS NOT NULL),
+toks AS (SELECT full_t[1:32] AS t FROM base),
+vals AS (SELECT dims.d AS d,
+                CASE WHEN len(t) >= 1
+                     THEN {_Z}
+                     ELSE 0.0 END AS v
+         FROM toks, (SELECT unnest(range(0, 4)) AS d) dims),
+mv AS (SELECT list(m ORDER BY d) AS mvec
+       FROM (SELECT d, avg(v) AS m FROM vals GROUP BY d)),
+vocab AS (SELECT DISTINCT unnest(full_t) AS tok FROM base),
+vecs AS (SELECT tok, list_transform(range(0, 4), c -> {_ZTOK}) AS v FROM vocab),
+sims AS (SELECT tok, list_cosine_similarity(v, (SELECT mvec FROM mv)) AS s FROM vecs),
+top3 AS (SELECT tok, row_number() OVER (ORDER BY s DESC) AS rk FROM sims)
+SELECT tok AS decoded_word FROM top3
+WHERE rk <= 3 AND regexp_matches(tok, '^[a-zA-Z0-9]+$')
+ORDER BY rk LIMIT 1
 """
 
     # -- MinHash LSH + SimHash: full-pipeline DuckDB twins --------------------

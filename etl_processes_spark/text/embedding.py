@@ -63,9 +63,28 @@ def tokenize_expr(c: str | Column) -> Column:
 
 
 def token_vector(token: str, vector_size: int = VECTOR_SIZE) -> np.ndarray:
-    """Deterministic hash-seeded embedding: randn(V) keyed by md5(token)."""
-    seed = int.from_bytes(hashlib.md5(token.encode("utf-8")).digest()[:4], "little")
-    return np.random.RandomState(seed).randn(vector_size)
+    """Deterministic embedding via Box-Muller over md5 bytes: component c
+    draws u1 from 16-bit hex slice c of md5(token) and u2 from the same
+    slice of md5(token + chr(1)); z = sqrt(-2 ln u1) * cos(2 pi u2).
+
+    Chosen over the earlier RandomState(md5-seed).randn because BOTH Spark
+    (this code) and DuckDB (hex slices + ln/cos/sqrt SQL) compute the SAME
+    doubles — which is what lets the whole text-profile statistics path be
+    hash-gated against the oracle. Scalar math.* (libm) rather than numpy
+    ufuncs for cross-engine bit parity; +0.5 keeps u1 off zero. Still
+    deterministic for OOV/any token (SURVEY.md §2.11 Q5 fix)."""
+    import math
+
+    if vector_size > 8:
+        raise ValueError("vector_size > 8 exceeds the 128-bit md5 slice budget")
+    h1 = hashlib.md5(token.encode("utf-8")).hexdigest()
+    h2 = hashlib.md5((token + "\x01").encode("utf-8")).hexdigest()
+    out = np.empty(vector_size)
+    for c in range(vector_size):
+        u1 = (int(h1[4 * c : 4 * c + 4], 16) + 0.5) / 65536.0
+        u2 = (int(h2[4 * c : 4 * c + 4], 16) + 0.5) / 65536.0
+        out[c] = math.sqrt(-2.0 * math.log(u1)) * math.cos(2.0 * math.pi * u2)
+    return out
 
 
 def vectorise_entry(entry: str, vector_size: int = VECTOR_SIZE) -> np.ndarray:
