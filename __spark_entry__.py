@@ -363,7 +363,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         o = _t(spark, sf, "orders")
         profs = profile(o)
-        synth = generate(spark, profs, 500, seed=29)
+        synth = generate(spark, profs, 500, seed=29).persist()
         report = validate(profs, synth)
         rows = []
         for col, res in report.items():

@@ -36,7 +36,9 @@ def run_reference_pipeline(
         df = spark.read.parquet(input_path)
 
     profiles = profile(df, sample_rows=sample_rows)
-    synthetic = generate(spark, profiles, n_samples, seed=seed)
+    # persist: the synthetic frame is re-read by every per-column validation
+    # job (submitted concurrently) and again by the sinks
+    synthetic = generate(spark, profiles, n_samples, seed=seed).persist()
     validation = validate(profiles, synthetic)
     report = report_sink(profiles, validation)
     if profile_json:

@@ -121,6 +121,24 @@ def profile(
                 )
         wide = frame.agg(*exprs).collect()[0].asDict() if exprs else {}
 
+        # Text-ish columns' embedding profiles run CONCURRENTLY (Spark's
+        # scheduler interleaves the per-column jobs; each is several small
+        # stages, so wall-clock is otherwise job-count bound, not data
+        # bound). The reference profiles text/email/phone via
+        # calculate_text_statistics (Latanova_v1.py:640-641).
+        text_profiles: dict[str, dict | None] = {}
+        text_cols = [c for c, t in types.items() if t in (EMAIL, PHONE, TEXT)]
+        if text_stats and text_cols:
+            from concurrent.futures import ThreadPoolExecutor
+
+            from etl_processes_spark.text import text_profile as _tp
+            from etl_processes_spark.text.embedding import VECTOR_SIZE
+
+            vs = text_vector_size or VECTOR_SIZE
+            with ThreadPoolExecutor(max_workers=min(4, len(text_cols))) as ex:
+                futures = {c: ex.submit(_tp, frame, c, vs) for c in text_cols}
+                text_profiles = {c: f.result() for c, f in futures.items()}
+
         profiles: dict[str, ColumnProfile] = {}
         for c, t in types.items():
             p = f"{c}__"
@@ -171,21 +189,11 @@ def profile(
                     .collect()
                 ]
                 stats = {"raw_entries": entries, "n_samples": len(entries)}
-                if text_stats:
-                    # Embedding moments + covariance on the profile sample —
-                    # the reference runs calculate_text_statistics for ALL of
-                    # text/email/phone (Latanova_v1.py:640-641): text
-                    # generation uses the MVN model, and validation
-                    # re-vectorizes all three (:430-454). Distributed
-                    # aggregation; raw vectors never collected.
-                    from etl_processes_spark.text import text_profile as _tp
-                    from etl_processes_spark.text.embedding import VECTOR_SIZE
-
-                    tp = _tp(frame, c, vector_size=text_vector_size or VECTOR_SIZE)
-                    if tp:
-                        tp = dict(tp)
-                        tp["n_samples"] = stats["n_samples"]
-                        stats.update(tp)
+                tp = text_profiles.get(c)
+                if tp:
+                    tp = dict(tp)
+                    tp["n_samples"] = stats["n_samples"]
+                    stats.update(tp)
                 profiles[c] = ColumnProfile(c, t, t if t in (EMAIL, PHONE) else None, stats)
             else:
                 profiles[c] = ColumnProfile(c, UNKNOWN, None, {})

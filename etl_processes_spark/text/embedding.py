@@ -231,11 +231,20 @@ def _moments_from_powersums(n, s1, s2, s3, s4) -> np.ndarray:
 
 
 def text_profile(
-    df: DataFrame, c: str, vector_size: int = VECTOR_SIZE, build_vocab_limit: int = 100000
+    df: DataFrame,
+    c: str,
+    vector_size: int = VECTOR_SIZE,
+    build_vocab_limit: int = 100000,
+    compute_medians: bool = True,
+    build_vocab: bool = True,
 ) -> dict | None:
     """calculate_text_statistics (Latanova_v1.py:194-226) — same stats_dict
     keys, but vectorised_data/raw_entries are NOT retained (scale; the
-    bootstrap/knn paths keep only the bounded vocabulary)."""
+    bootstrap/knn paths keep only the bounded vocabulary).
+
+    ``compute_medians=False`` / ``build_vocab=False`` skip those Spark jobs
+    for callers that only need the moment stats (validation re-embedding
+    compares mean/std/skew/kurt only, Latanova_v1.py:433-446)."""
     base = df.filter(F.col(c).isNotNull())
     vec_df = embed_entries(base, c, vector_size).persist()
     try:
@@ -250,22 +259,24 @@ def text_profile(
             if n > 1
             else np.zeros((d, d))
         )
-        medians = _medians(vec_df)
+        medians = _medians(vec_df) if compute_medians else None
         # Vocabulary for k-NN decode: distinct tokens of the profiled text.
-        vocab_rows = (
-            base.select(F.explode(tokenize_expr(c)).alias("token"))
-            .groupBy("token")
-            .count()
-            .orderBy(F.desc("count"), F.asc("token"))
-            .limit(build_vocab_limit)
-            .collect()
-        )
-        vocab = [r["token"] for r in vocab_rows]
+        vocab: list[str] = []
+        if build_vocab:
+            vocab_rows = (
+                base.select(F.explode(tokenize_expr(c)).alias("token"))
+                .groupBy("token")
+                .count()
+                .orderBy(F.desc("count"), F.asc("token"))
+                .limit(build_vocab_limit)
+                .collect()
+            )
+            vocab = [r["token"] for r in vocab_rows]
         return {
             "overall_mean": float(np.mean(mean_vec)),
             "overall_std": float(np.mean(std_vec)),
             "std_of_means": float(np.std(mean_vec)),
-            "mean_of_medians": float(np.mean(medians)),
+            "mean_of_medians": float(np.mean(medians)) if medians is not None else None,
             "asymmetry_avg": float(np.mean(skew_vec)),
             "excess_avg": float(np.mean(kurt_vec)),
             "vector_dim": d,

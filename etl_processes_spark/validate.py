@@ -69,7 +69,13 @@ def validate_text(prof: ColumnProfile, df: DataFrame, c: str) -> dict:
     s = prof.stats
     if "overall_mean" not in s:
         return {"error": "profile has no text vector stats"}
-    synth = text_profile(df, c, vector_size=int(s.get("vector_size", 8)))
+    synth = text_profile(
+        df,
+        c,
+        vector_size=int(s.get("vector_size", 8)),
+        compute_medians=False,  # the reference diff uses mean/std/skew/kurt only
+        build_vocab=False,
+    )
     if synth is None:
         return {"error": "empty synthetic column"}
     return {
@@ -105,26 +111,39 @@ def validate_categorical(prof: ColumnProfile, df: DataFrame, c: str) -> dict:
     }
 
 
+def _validate_one(prof: ColumnProfile, synthetic: DataFrame, c: str) -> dict:
+    t = prof.logical_type
+    if t in (INTEGER, FLOAT):
+        return validate_numeric(prof, synthetic, c)
+    if t == DATETIME:
+        return validate_datetime(prof, synthetic, c)
+    if t == BOOLEAN:
+        return validate_boolean(prof, synthetic, c)
+    if t == CATEGORICAL:
+        return validate_categorical(prof, synthetic, c)
+    if t in (TEXT, EMAIL, PHONE):
+        return validate_text(prof, synthetic, c)
+    return {"skipped": t}
+
+
 def validate(profiles: dict[str, ColumnProfile], synthetic: DataFrame) -> dict[str, dict]:
+    """Per-column validations are independent Spark jobs — submitted
+    concurrently (wall-clock is job-count bound at sample scale)."""
+    from concurrent.futures import ThreadPoolExecutor
+
     results: dict[str, dict] = {}
+    todo = {}
     for c, prof in profiles.items():
         if c not in synthetic.columns:
             results[c] = {"error": "column missing from synthetic frame"}
-            continue
-        t = prof.logical_type
-        if t in (INTEGER, FLOAT):
-            results[c] = validate_numeric(prof, synthetic, c)
-        elif t == DATETIME:
-            results[c] = validate_datetime(prof, synthetic, c)
-        elif t == BOOLEAN:
-            results[c] = validate_boolean(prof, synthetic, c)
-        elif t == CATEGORICAL:
-            results[c] = validate_categorical(prof, synthetic, c)
-        elif t in (TEXT, EMAIL, PHONE):
-            results[c] = validate_text(prof, synthetic, c)
         else:
-            results[c] = {"skipped": t}
-    return results
+            todo[c] = prof
+    if todo:
+        with ThreadPoolExecutor(max_workers=min(4, len(todo))) as ex:
+            futures = {c: ex.submit(_validate_one, p, synthetic, c) for c, p in todo.items()}
+            for c, f in futures.items():
+                results[c] = f.result()
+    return {c: results[c] for c in list(profiles)}
 
 
 __all__ = [
