@@ -407,18 +407,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # -- multimodal (rows-only: media table built in-session) ------------------
 
     def q_multimodal_features(spark, sf):
-        from etl_processes_spark.ops.multimodal import extract_features, make_fake_media_df
+        # media derived from documents parquet + md5/Box-Muller fake kernel:
+        # features are DuckDB-computable, so the mapInPandas decode plumbing
+        # is hash-gated end-to-end. Per-dim double columns (the round-1 gate
+        # crashed on array cells).
+        from etl_processes_spark.ops.multimodal import extract_features, media_from_documents
 
-        # features array joined to a string (driver canonicalizer can't hash
-        # array cells — round-1 gate error); rounded so the text is stable
-        feats = extract_features(make_fake_media_df(spark, n=64))
+        media = media_from_documents(_t(spark, sf, "documents"))
+        feats = extract_features(media, dim=16)
         return feats.select(
             "media_id",
             "kind",
             "n_bytes",
-            F.array_join(
-                F.transform(F.col("features"), lambda x: F.round(x, 6).cast("string")), ","
-            ).alias("features_str"),
+            *[F.round(F.col("features")[i], ND).alias(f"f{i}") for i in range(16)],
         )
 
     def q_multimodal_frame_plan(spark, sf):
@@ -883,6 +884,26 @@ FROM m2 GROUP BY kind
 WITH {_MEDIA_CTE}
 SELECT media_id, CAST(unnest(range(0, duration_ms, 1000)) AS BIGINT) AS frame_ts_ms
 FROM m WHERE kind = 'video'
+"""
+
+    def _feat(d: int) -> str:
+        s1, s2 = 2 * (d // 8) + 1, 2 * (d // 8) + 2
+        j = d % 8
+        u1 = (
+            f"(CAST(concat('0x', substr(md5(text || chr({s1})), {j * 4 + 1}, 4)) AS INT) + 0.5) / 65536.0"
+        )
+        u2 = (
+            f"(CAST(concat('0x', substr(md5(text || chr({s2})), {j * 4 + 1}, 4)) AS INT) + 0.5) / 65536.0"
+        )
+        return f"round(sqrt(-2 * ln({u1})) * cos(2 * pi() * {u2}), 6) AS f{d}"
+
+    _feat_cols = ",\n       ".join(_feat(d) for d in range(16))
+    sql["multimodal_features"] = f"""
+SELECT doc_id AS media_id,
+       (['image','audio','video'])[(doc_id % 3) + 1] AS kind,
+       CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+       {_feat_cols}
+FROM documents
 """
 
     sql["dedup_exact"] = """

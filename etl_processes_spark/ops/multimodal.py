@@ -101,13 +101,28 @@ def _decode_image_real(content: bytes) -> np.ndarray:
 
 
 def _fake_features(content: bytes, dim: int) -> np.ndarray:
-    """Deterministic stand-in for decode→feature-extract: hash-seeded
-    pseudo-features of the payload bytes. Same signature/shape as a real
-    embedding kernel."""
+    """Deterministic stand-in for decode→feature-extract: Box-Muller normals
+    over md5 hex slices of the payload (+1-byte block markers). Same
+    signature/shape as a real embedding kernel — and computable identically
+    in DuckDB when the payload is utf-8 text (md5(text || chr(k)) over
+    VARCHAR hashes the same bytes), which is what hash-gates the
+    multimodal_features query against the oracle."""
+    import math
+
     if content is None:
         return np.zeros(dim)
-    seed = struct.unpack("<I", hashlib.md5(bytes(content)).digest()[:4])[0]
-    return np.random.RandomState(seed).randn(dim)
+    b = bytes(content)
+    out = np.empty(dim)
+    h1 = h2 = None
+    for c in range(dim):
+        block, j = divmod(c, 8)
+        if j == 0:
+            h1 = hashlib.md5(b + bytes([2 * block + 1])).hexdigest()
+            h2 = hashlib.md5(b + bytes([2 * block + 2])).hexdigest()
+        u1 = (int(h1[4 * j : 4 * j + 4], 16) + 0.5) / 65536.0
+        u2 = (int(h2[4 * j : 4 * j + 4], 16) + 0.5) / 65536.0
+        out[c] = math.sqrt(-2.0 * math.log(u1)) * math.cos(2.0 * math.pi * u2)
+    return out
 
 
 FEATURE_DIM = 16
