@@ -73,7 +73,11 @@ def _py_decide(values):
     if len(nums) / len(vals) >= 0.9:
         ints = sum(1 for x in nums if float(x).is_integer())
         return "integer" if ints / len(nums) >= 0.95 else "float"
-    is_date = lambda v: any(p.match(v) for p in _DATE_FMTS)
+    # Spark's try_to_timestamp (like pandas to_datetime) also parses bare
+    # 4-6 digit strings as years — hypothesis found this divergence
+    is_date = lambda v: bool(
+        any(p.match(v) for p in _DATE_FMTS) or re.fullmatch(r"\d{4,6}", v)
+    )
     if sum(map(is_date, vals)) / len(vals) >= 0.8:
         return "datetime"
     distinct = len(set(vals))
@@ -94,7 +98,7 @@ _VALUE = st.one_of(
 )
 
 
-@settings(max_examples=12, deadline=None)
+@settings(max_examples=25, deadline=None, derandomize=True)
 @given(st.lists(_VALUE, min_size=1, max_size=25), st.integers(0, 6))
 def test_decide_type_matches_python_reference_tree(spark, values, homogenize):
     # bias half the examples toward one value family so every branch fires
@@ -129,7 +133,7 @@ def _py_jaccard_pairs(rows, k=3, threshold=0.2):
     return out
 
 
-@settings(max_examples=8, deadline=None)
+@settings(max_examples=8, deadline=None, derandomize=True)
 @given(
     st.lists(
         st.lists(st.sampled_from(["alpha", "beta", "gamma", "delta", "eps"]),
