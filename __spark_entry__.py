@@ -242,33 +242,62 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # -- row ops (rows-only) ---------------------------------------------------
 
     def q_sample_n(spark, sf):
+        # hash-ranked sample: smallest 1000 rows by md5(key:seed) — the
+        # distributed-deterministic analog of the reference's seeded uniform
+        # sample (df.sample(1000, random_state=42)); a top-n by hash is a
+        # TakeOrdered at scale (no full sort), and DuckDB reproduces it
+        # exactly, so sampling gets a hash gate. profile() itself keeps
+        # sample_frame (reference-parity seeded Bernoulli).
         o = _t(spark, sf, "orders")
-        from etl_processes_spark.profile import sample_frame
-
-        return sample_frame(o, 1000, seed=42)
+        rank = F.md5(F.concat(F.col("o_orderkey").cast("string"), F.lit(":42")))
+        return o.orderBy(rank, F.col("o_orderkey")).limit(1000)
 
     # -- generators (rows-only: seeded, non-SQL) -------------------------------
 
     def q_gen_columns(spark, sf):
         # all five §2.8 non-text generators over ONE spark.range seed frame —
         # the column_zip design (no joins) AND one driver-gate row for all of
-        # them (50-query gate budget). __r is materialized first: F.rand()
-        # referenced from several when-branches re-draws per branch.
-        from etl_processes_spark.profile import cat_profile, datetime_profile, numeric_profile
+        # them (50-query gate budget). Stats are pulled through the EXACT
+        # decimal profilers (deterministic to 6dp in both engines) and the
+        # generators draw md5-derived uniforms/normals, so the oracle SQL
+        # regenerates the IDENTICAL table — seeded generation itself is
+        # hash-gated.
         from etl_processes_spark.generate.generators import (
             gen_boolean,
             gen_categorical,
             gen_datetime,
             gen_numeric,
             gen_unknown,
+            u_expr,
         )
 
-        stats_num = numeric_profile(_t(spark, sf, "lineitem"), "l_extendedprice")
-        stats_cat = cat_profile(_t(spark, sf, "orders"), "o_orderpriority")
-        stats_dt = datetime_profile(_t(spark, sf, "orders"), "o_orderdate")
+        li = _t(spark, sf, "lineitem")
+        nrow = numeric_profile_exact_df(
+            li.filter(F.col("l_extendedprice").isNotNull()),
+            F.round(F.col("l_extendedprice") * 100, 0),
+            out_mult=0.01,
+        ).collect()[0]
+        stats_num = {
+            "mean": nrow["mean"], "std": nrow["std"],
+            "min": nrow["min_val"], "max": nrow["max_val"],
+        }
+        o = _t(spark, sf, "orders")
+        days = F.col("o_orderdate").cast("timestamp").cast("double") / 86400
+        drow = numeric_profile_exact_df(
+            o.filter(F.col("o_orderdate").isNotNull()), days, out_mult=86400.0
+        ).collect()[0]
+        stats_dt = {
+            "mean": drow["mean"], "std": drow["std"],
+            "min": drow["min_val"], "max": drow["max_val"],
+        }
+        crows = cat_profile_df(o, "o_orderpriority", ndigits=ND).collect()
+        stats_cat = {
+            "categories": [r["category"] for r in crows],
+            "probabilities": [float(r["probability"]) for r in crows],
+        }
         return (
             spark.range(1000)
-            .withColumn("__r", F.rand(17))
+            .withColumn("__r", u_expr(17, "cat"))
             .select(
                 gen_numeric(stats_num, False, 11).alias("value"),
                 gen_boolean({"true_probability": 0.25}, "yes_no", 13).alias("flag"),
@@ -279,8 +308,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     def q_bootstrap_resample(spark, sf):
+        # entries deterministically ordered (doc_id) so the oracle sees the
+        # same list; md5-uniform indices regenerate identically in DuckDB
         docs = _t(spark, sf, "documents")
-        entries = [r[0] for r in docs.select("text").limit(200).collect()]
+        entries = [
+            r[0] for r in docs.orderBy("doc_id").select("text").limit(200).collect()
+        ]
         return spark.range(1000).select(bootstrap_resample(entries, 23).alias("text"))
 
     def q_synthesize_orders(spark, sf):
@@ -1072,6 +1105,69 @@ h AS (SELECT id, tf,
       FROM tf),
 sums AS (SELECT id, {_bitsums} FROM h GROUP BY id)
 SELECT id, CAST({_fp} AS BIGINT) AS simhash FROM sums
+"""
+
+    # gen_columns: seeded generation itself is reproducible — generators
+    # draw md5-derived uniforms (bit-identical cross-engine; e0 literals
+    # force double arithmetic, plain decimals would round differently) and
+    # stats come from the exact-decimal profilers. round_even = Spark bround.
+    def _usql(seed: int, salt: str) -> str:
+        return (
+            f"(CAST(concat('0x', substr(md5('{seed}:{salt}:' || CAST(id AS VARCHAR)), 1, 13)) AS BIGINT)"
+            " + 0.5e0) / 4503599627370496e0"
+        )
+
+    def _zsql(seed: int, salt: str) -> str:
+        return (
+            f"sqrt(-2.0e0 * ln({_usql(seed, salt + 'a')})) * "
+            f"cos(6.283185307179586e0 * {_usql(seed, salt + 'b')})"
+        )
+
+    _gc_ns = NUMERIC_PROFILE_EXACT_SQL.format(
+        y="round(l_extendedprice * 100)", tbl="lineitem",
+        notnull="l_extendedprice", mult="CAST(0.01 AS DOUBLE)",
+    )
+    _gc_ds = NUMERIC_PROFILE_EXACT_SQL.format(
+        y="epoch(o_orderdate) / 86400", tbl="orders",
+        notnull="o_orderdate", mult="CAST(86400 AS DOUBLE)",
+    )
+    _gc_cat = _CAT_SQL.format(col="o_orderpriority", tbl="orders", limit="")
+    sql["gen_columns"] = f"""
+WITH ids AS (SELECT CAST(unnest(range(0, 1000)) AS BIGINT) AS id),
+ns AS ({_gc_ns}),
+ds AS ({_gc_ds}),
+cdf AS (SELECT category,
+               sum(probability) OVER (ORDER BY cnt DESC, category ASC ROWS UNBOUNDED PRECEDING) AS hi,
+               row_number() OVER (ORDER BY cnt DESC, category ASC) AS rn,
+               count(*) OVER () AS nc
+        FROM ({_gc_cat}))
+SELECT
+  round_even(least(greatest({_zsql(11, 'num')} * (SELECT std FROM ns) + (SELECT mean FROM ns),
+                            (SELECT min_val FROM ns)), (SELECT max_val FROM ns)), 2) AS value,
+  CASE WHEN {_usql(13, 'bool')} < 0.25e0 THEN 'Yes' ELSE 'No' END AS flag,
+  coalesce((SELECT category FROM cdf WHERE {_usql(17, 'cat')} < hi AND rn < nc ORDER BY rn LIMIT 1),
+           (SELECT category FROM cdf WHERE rn = nc)) AS priority,
+  strftime(make_timestamp(CAST(least(greatest(
+      {_zsql(19, 'dt')} * (SELECT CASE WHEN std > 0 THEN std ELSE 2592000e0 END FROM ds)
+        + (SELECT mean FROM ds),
+      (SELECT min_val FROM ds)), (SELECT max_val FROM ds)) * 1000000e0 AS BIGINT)), '%Y-%m-%d') AS orderdate,
+  '' AS unknown_col
+FROM ids
+"""
+
+    sql["bootstrap_resample"] = f"""
+WITH ids AS (SELECT CAST(unnest(range(0, 1000)) AS BIGINT) AS id),
+entries AS (SELECT text, row_number() OVER (ORDER BY doc_id) AS rn
+            FROM (SELECT doc_id, text FROM documents ORDER BY doc_id LIMIT 200))
+SELECT (SELECT text FROM entries
+        WHERE rn = CAST(floor({_usql(23, 'bs')} * 200) + 1 AS BIGINT)) AS text
+FROM ids
+"""
+
+    sql["sample_n"] = """
+SELECT * FROM orders
+ORDER BY md5(CAST(o_orderkey AS VARCHAR) || ':42'), o_orderkey
+LIMIT 1000
 """
 
     # winnowing (k=5 grams, window=4): same md5-derived gram hashes, list-op

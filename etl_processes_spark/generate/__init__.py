@@ -9,6 +9,7 @@ from pyspark.sql import functions as F
 
 from etl_processes_spark.generate.generators import (
     _MAX_INLINE,
+    u_expr as gen_u_expr,
     bootstrap_resample,
     gen_boolean,
     gen_categorical,
@@ -58,7 +59,7 @@ def generate(
     for i, (name, prof) in enumerate(profiles.items()):
         if prof.logical_type == CATEGORICAL:
             rc = f"__r_{i}"
-            frame = frame.withColumn(rc, F.rand(seed + 7919 * i))
+            frame = frame.withColumn(rc, gen_u_expr(seed + 7919 * i, "cat"))
             rand_cols[name] = rc
 
     join_cols: list[tuple[str, ColumnProfile, int]] = []

@@ -12,10 +12,14 @@ Semantic parity (SURVEY.md §2.11):
  - np.round is HALF-TO-EVEN → Spark ``bround`` (Q3).
  - Generation clips to the observed [min, max] (Q9) → least/greatest.
  - The reference uses the unseeded global numpy RNG; this engine seeds every
-   generator (Q12) — rand(seed)/randn(seed) per column with a stable offset.
+   generator (Q12) via md5-derived uniforms/normals (u_expr/z_expr): values
+   depend only on (seed, salt, row id) — reproducible under any partitioning
+   AND computable identically by the DuckDB correctness oracle.
 """
 
 from __future__ import annotations
+
+import math
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -27,11 +31,37 @@ from etl_processes_spark.profile.types import DATE_FORMATS, ColumnProfile
 _MAX_INLINE = 256
 
 
+def u_expr(seed: int, salt: str = "", id_col: Column | None = None) -> Column:
+    """Deterministic uniform in (0,1): a 52-bit hex slice of
+    md5("{seed}:{salt}:{id}") scaled by 2^-52 (52 bits so h+0.5 is exact in
+    float64). Replaces rand(seed) everywhere in generation:
+
+     - value depends ONLY on (seed, salt, row id) — reproducible under any
+       partitioning/scheduling (JVM rand streams are per-partition and
+       stream-position dependent);
+     - DuckDB derives the identical double (CAST '0x…' AS BIGINT), which is
+       what lets generator queries be hash-gated at the correctness oracle;
+     - deterministic expression → safe inside when-chains (F.rand is
+       re-drawn per branch)."""
+    rid = F.col("id") if id_col is None else id_col
+    key = F.concat_ws(":", F.lit(str(seed)), F.lit(salt), rid.cast("string"))
+    h = F.conv(F.substring(F.md5(key), 1, 13), 16, 10).cast("double")
+    return (h + F.lit(0.5)) / F.lit(float(1 << 52))
+
+
+def z_expr(seed: int, salt: str = "", id_col: Column | None = None) -> Column:
+    """Standard normal via Box-Muller over two independent md5 uniforms
+    (same cross-engine/partition-independence properties as u_expr)."""
+    u1 = u_expr(seed, salt + "a", id_col)
+    u2 = u_expr(seed, salt + "b", id_col)
+    return F.sqrt(F.lit(-2.0) * F.log(u1)) * F.cos(F.lit(2.0 * math.pi) * u2)
+
+
 def gen_numeric(stats: dict, is_integer: bool, seed: int) -> Column:
     """normal(mean,std) → clip[min,max] → bround (Latanova_v1.py:346-364)."""
     if stats is None:
         return F.lit(0.0) if not is_integer else F.lit(0).cast("long")
-    x = F.randn(seed) * F.lit(float(stats["std"])) + F.lit(float(stats["mean"]))
+    x = z_expr(seed, "num") * F.lit(float(stats["std"])) + F.lit(float(stats["mean"]))
     x = F.least(F.greatest(x, F.lit(float(stats["min"]))), F.lit(float(stats["max"])))
     if is_integer:
         return F.bround(x, 0).cast("long")
@@ -42,7 +72,7 @@ def gen_boolean(stats: dict | None, bool_format: str | None, seed: int) -> Colum
     """Bernoulli(true_prob) rendered in the detected spelling
     (Latanova_v1.py:366-389); default spelling 'True'/'False' strings."""
     p = 0.5 if stats is None else float(stats["true_probability"])
-    b = F.rand(seed) < F.lit(p)
+    b = u_expr(seed, "bool") < F.lit(p)
     spellings = {
         "true_false": ("True", "False"),
         "yes_no": ("Yes", "No"),
@@ -91,7 +121,7 @@ def gen_categorical_join(
         lo = hi
     rows[-1] = (rows[-1][0], 1.0 + 1e-9, rows[-1][2])
     cdf = spark.createDataFrame(rows, ["__lo", "__hi", out_col])
-    r = F.rand(seed)
+    r = u_expr(seed, "catj")
     joined = frame.withColumn("__r", r).join(  # __r materialized: see gen_categorical note
         F.broadcast(cdf), (F.col("__r") >= F.col("__lo")) & (F.col("__r") < F.col("__hi")), "left"
     )
@@ -104,7 +134,7 @@ def gen_datetime(stats: dict | None, date_format: str | None, seed: int) -> Colu
     if stats is None:
         return F.lit("")
     std = float(stats["std"]) if float(stats["std"]) > 0 else 86400.0 * 30
-    x = F.randn(seed) * F.lit(std) + F.lit(float(stats["mean"]))
+    x = z_expr(seed, "dt") * F.lit(std) + F.lit(float(stats["mean"]))
     x = F.least(F.greatest(x, F.lit(float(stats["min"]))), F.lit(float(stats["max"])))
     ts = F.timestamp_seconds(x)
     pattern = DATE_FORMATS.get(date_format or "YYYY-MM-DD", "yyyy-MM-dd")
@@ -123,7 +153,7 @@ def bootstrap_resample(entries: list[str], seed: int) -> Column:
     For entry sets too large to inline in the plan, use
     bootstrap_resample_join."""
     arr = F.array(*[F.lit(e) for e in entries])
-    idx = (F.floor(F.rand(seed) * F.lit(len(entries))) + 1).cast("int")
+    idx = (F.floor(u_expr(seed, "bs") * F.lit(len(entries))) + 1).cast("int")
     return F.element_at(arr, idx)
 
 
@@ -137,7 +167,7 @@ def bootstrap_resample_join(
     lookup = spark.createDataFrame(
         [(i, e) for i, e in enumerate(entries)], ["__idx", out_col]
     )
-    idx = F.floor(F.rand(seed) * F.lit(len(entries))).cast("long")
+    idx = F.floor(u_expr(seed, "bsj") * F.lit(len(entries))).cast("long")
     return (
         frame.withColumn("__idx", idx)
         .join(F.broadcast(lookup), "__idx")
@@ -147,14 +177,14 @@ def bootstrap_resample_join(
 
 def gen_email_fallback(seed: int) -> Column:
     """user{1000..9998}@example.com (Latanova_v1.py:312; randint high-excl)."""
-    num = (F.floor(F.rand(seed) * 8999) + 1000).cast("int")
+    num = (F.floor(u_expr(seed, "em") * 8999) + 1000).cast("int")
     return F.concat(F.lit("user"), num.cast("string"), F.lit("@example.com"))
 
 
 def gen_phone_fallback(seed: int) -> Column:
     """+7 XXX XXX-XX-XX (Latanova_v1.py:314-316; randint high-exclusive)."""
     def r(lo: int, hi_excl: int, s: int) -> Column:
-        return (F.floor(F.rand(s) * (hi_excl - lo)) + lo).cast("int").cast("string")
+        return (F.floor(u_expr(s, "ph") * (hi_excl - lo)) + lo).cast("int").cast("string")
 
     return F.concat(
         F.lit("+7 "), r(100, 999, seed), F.lit(" "), r(100, 999, seed + 1),
