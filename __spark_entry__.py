@@ -478,19 +478,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # -- dedup ------------------------------------------------------------------
 
     def q_dedup_exact(spark, sf):
+        # labeled union of the two exact-dedup modes (raw-text key and
+        # normalized-content sha key) — one gate slot covers both operators
         d = _t(spark, sf, "documents")
-        return dedup_exact_keep_min(d, "doc_id", F.col("text")).select(
-            F.col("doc_id"), F.col("__key").alias("text")
+        raw = dedup_exact_keep_min(d, "doc_id", F.col("text")).select(
+            F.lit("raw_text").alias("mode"), F.col("doc_id"), F.col("__key").alias("key")
         )
-
-    def q_dedup_exact_hash(spark, sf):
-        d = _t(spark, sf, "documents")
-        return (
-            d.select(F.col("doc_id"), content_hash_expr("text").alias("content_sha"))
-            .groupBy("content_sha")
+        sha = (
+            d.select(F.col("doc_id"), content_hash_expr("text").alias("key"))
+            .groupBy("key")
             .agg(F.min("doc_id").alias("doc_id"))
-            .select("doc_id", "content_sha")
+            .select(F.lit("content_sha").alias("mode"), F.col("doc_id"), F.col("key"))
         )
+        return raw.unionByName(sha)
+
+    def q_dedup_clusters(spark, sf):
+        # duplicate-cluster resolution: exact + near-dup edges → connected
+        # components (min-label propagation with pointer jumping); cluster_id
+        # = min doc id = the keep-one survivor
+        from etl_processes_spark.ops.dedup import dedup_clusters
+
+        d = _t(spark, sf, "documents")
+        return dedup_clusters(d, "doc_id", "text", k=3, threshold=0.06, max_df=500)
 
     def q_ngram_jaccard_pairs(spark, sf):
         # max_df caps the inverted-index join cost (sum of df(shingle)^2):
@@ -631,7 +640,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "infer_types_customer": q_infer_types_customer,
         "type_summary": q_type_summary,
         "dedup_exact": q_dedup_exact,
-        "dedup_exact_hash": q_dedup_exact_hash,
+        "dedup_clusters": q_dedup_clusters,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "cosine_topk": q_cosine_topk,
         "embedding_near_dup": q_embedding_near_dup,
@@ -939,13 +948,51 @@ SELECT doc_id AS media_id,
 FROM documents
 """
 
-    sql["dedup_exact"] = """
-SELECT CAST(min(doc_id) AS BIGINT) AS doc_id, text FROM documents GROUP BY text
+    sql["dedup_exact"] = f"""
+SELECT 'raw_text' AS mode, CAST(min(doc_id) AS BIGINT) AS doc_id, text AS key
+FROM documents GROUP BY text
+UNION ALL
+SELECT 'content_sha' AS mode, CAST(min(doc_id) AS BIGINT) AS doc_id, content_sha AS key
+FROM (SELECT doc_id, sha256({_NORM_TEXT}) AS content_sha FROM documents)
+GROUP BY content_sha
 """
 
-    sql["dedup_exact_hash"] = f"""
-WITH h AS (SELECT doc_id, sha256({_NORM_TEXT}) AS content_sha FROM documents)
-SELECT CAST(min(doc_id) AS BIGINT) AS doc_id, content_sha FROM h GROUP BY content_sha
+    # connected components via recursive min-label closure: cc holds every
+    # (node, label) where label is a smaller cluster member that reaches node;
+    # the component min always survives the c.label < e.d guard (every hop
+    # from the min goes to a larger id), so min(label) per node is the
+    # cluster id — the same fixpoint the Spark pointer-jumping loop computes.
+    sql["dedup_clusters"] = f"""
+WITH RECURSIVE toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+sh0 AS (SELECT doc_id,
+               CASE WHEN len(t) >= 3
+                    THEN list_transform(range(1, len(t) - 3 + 2), i -> array_to_string(t[i:i+2], ' '))
+                    ELSE [array_to_string(t, ' ')] END AS shs
+        FROM toks),
+sh_all AS (SELECT DISTINCT doc_id, unnest(shs) AS shingle FROM sh0),
+keep AS (SELECT shingle FROM sh_all GROUP BY shingle HAVING count(*) <= 500),
+sh AS (SELECT sh_all.* FROM sh_all JOIN keep USING (shingle)),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+common AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+           FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
+near AS (SELECT id_a, id_b FROM common
+         JOIN sizes sa ON sa.doc_id = id_a
+         JOIN sizes sb ON sb.doc_id = id_b
+         WHERE round(CAST(c AS DOUBLE) / (sa.sz + sb.sz - c), 6) >= 0.06),
+keepmin AS (SELECT text, min(doc_id) AS id_a FROM documents GROUP BY text),
+exact AS (SELECT k.id_a, d.doc_id AS id_b
+          FROM documents d JOIN keepmin k USING (text)
+          WHERE k.id_a < d.doc_id),
+alledges AS (SELECT * FROM near UNION SELECT * FROM exact),
+edges AS (SELECT id_a AS s, id_b AS d FROM alledges
+          UNION ALL SELECT id_b, id_a FROM alledges),
+cc(node, label) AS (
+    SELECT DISTINCT s, s FROM edges
+    UNION
+    SELECT e.d, c.label FROM cc c JOIN edges e ON e.s = c.node WHERE c.label < e.d
+)
+SELECT node AS doc_id, CAST(min(label) AS BIGINT) AS cluster_id FROM cc GROUP BY node
 """
 
     sql["ngram_jaccard_pairs"] = f"""

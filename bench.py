@@ -35,7 +35,8 @@ def main() -> None:
         "cat_profile",
         "infer_predicates",
         "synthesize_orders",
-        "dedup_exact_hash",
+        "dedup_exact",
+        "dedup_clusters",
         "ngram_jaccard_pairs",
         "minhash_lsh_pairs",
         "cosine_topk",

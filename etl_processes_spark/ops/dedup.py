@@ -251,6 +251,105 @@ def minhash_lsh_pairs(
 
 
 # ---------------------------------------------------------------------------
+# duplicate-cluster resolution (connected components over near-dup pairs)
+# ---------------------------------------------------------------------------
+
+
+def connected_components(
+    pairs: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iterations: int = 25,
+) -> DataFrame:
+    """Connected components over an undirected edge list → (node, cluster_id)
+    with cluster_id = min node id in the component.
+
+    Min-label propagation with pointer jumping: each iteration (a) pulls the
+    smallest neighbor label along edges (one shuffle on node id), then (b)
+    shortcuts ``label ← label_of(label)`` (a second self-join), which squares
+    the propagation distance per round — O(log diameter) iterations instead
+    of O(diameter), the same convergence bound as the large-star/small-star
+    family (Kiveris et al., "Connected Components in MapReduce and Beyond").
+    Dedup components are shallow (dup groups), so this converges in a handful
+    of rounds; ``localCheckpoint`` truncates lineage so the iterative plan
+    never snowballs. Per-iteration cost: two equi-joins keyed on node id —
+    no all-pairs stage anywhere.
+    """
+    edges = pairs.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+    und = edges.union(edges.select(F.col("d").alias("s"), F.col("s").alias("d")))
+    und = und.localCheckpoint(eager=True)
+    labels = (
+        und.select(F.col("s").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iterations):
+        nbr = (
+            und.join(labels.withColumnRenamed("node", "s"), "s")
+            .groupBy(F.col("d").alias("node"))
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        stepped = labels.join(nbr, "node", "left").select(
+            "node",
+            F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias("label"),
+        )
+        # pointer jumping: follow the label's own label one hop
+        hop = stepped.select(
+            F.col("node").alias("label"), F.col("label").alias("label2")
+        ).groupBy("label").agg(F.min("label2").alias("label2"))
+        jumped = (
+            stepped.join(hop, "label", "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce("label2", "label")).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            jumped.withColumnRenamed("label", "new_label")
+            .join(labels, "node")
+            .filter(F.col("new_label") != F.col("label"))
+            .count()
+        )
+        labels = jumped
+        if changed == 0:
+            break
+    return labels.select("node", F.col("label").alias("cluster_id"))
+
+
+def dedup_clusters(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    threshold: float = 0.5,
+    max_df: int | None = 500,
+) -> DataFrame:
+    """Full duplicate-cluster resolution: exact-dup edges (identical raw
+    text) ∪ n-gram-Jaccard near-dup edges → connected components →
+    (doc_id, cluster_id) for every doc that has at least one duplicate
+    relation. cluster_id = min doc id of the cluster = the survivor a
+    keep-one policy retains. Pair generation is the bucketed/inverted-index
+    path (never all-pairs); clustering is the O(log d) label propagation
+    above."""
+    base = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__t"))
+    keep = base.groupBy("__t").agg(F.min("id").alias("id_a"))
+    # star edges duplicate → group-min: one groupBy + one equi-join on the
+    # text key; no per-key list materialization (hot dup groups stay flat)
+    exact = (
+        base.join(keep, "__t")
+        .filter(F.col("id_a") < F.col("id"))
+        .select("id_a", F.col("id").alias("id_b"))
+    )
+    near = ngram_jaccard_pairs(
+        df, id_col, text_col, k=k, threshold=threshold, max_df=max_df
+    ).select("id_a", "id_b")
+    cc = connected_components(exact.union(near))
+    return cc.select(F.col("node").alias("doc_id"), "cluster_id")
+
+
+# ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
 

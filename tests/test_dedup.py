@@ -119,3 +119,30 @@ def test_simhash_identical_for_dups(docs):
         for r in simhash_near_dup_pairs(docs, "doc_id", "text", band_bits=16).collect()
     }
     assert (0, 1) in cand
+
+
+def test_connected_components_chain_and_islands(spark):
+    from etl_processes_spark.ops.dedup import connected_components
+
+    # a 9-node chain (exercises pointer jumping: diameter 8 must converge
+    # well under max_iterations), a triangle, and a 2-node island
+    edges = [(i, i + 1) for i in range(8)] + [(20, 21), (21, 22), (20, 22), (30, 31)]
+    pairs = spark.createDataFrame(edges, ["id_a", "id_b"])
+    got = {
+        r["node"]: r["cluster_id"]
+        for r in connected_components(pairs, max_iterations=6).collect()
+    }
+    assert got == {**{i: 0 for i in range(9)}, 20: 20, 21: 20, 22: 20, 30: 30, 31: 30}
+
+
+def test_dedup_clusters_exact_and_near(docs):
+    from etl_processes_spark.ops.dedup import dedup_clusters
+
+    out = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup_clusters(docs, "doc_id", "text", threshold=0.5).collect()
+    }
+    # docs 0/1 exact dups, 3 near-dup of 0; 2 near-dup of 0 at j=0.7 — all
+    # one cluster with survivor 0; unrelated docs 4/5 form no cluster
+    assert out[0] == out[1] == out[3] == 0
+    assert 4 not in out and 5 not in out
