@@ -28,14 +28,13 @@ def test_extract_features_shape_and_determinism(media):
     assert [r["features"] for r in a] == [r["features"] for r in b]
 
 
-def test_real_decoder_is_stubbed(media):
-    import pyspark.errors
-
-    with pytest.raises(Exception) as exc_info:
-        extract_features(media, fake_decode=False).collect()
-    assert "NotImplementedError" in str(exc_info.value) or "real image decode" in str(
-        exc_info.value
-    )
+def test_real_decoder_survives_undecodable_payloads(media):
+    # the fake media table carries md5-noise payloads — no valid BMP/PPM/WAV
+    # headers — so the REAL kernel must decode none of them and still finish
+    # the job (zero vectors), matching the corrupt-blob-at-scale contract
+    rows = extract_features(media, fake_decode=False).collect()
+    assert len(rows) == media.count()
+    assert all(r["features"] == [0.0] * 16 for r in rows)
 
 
 def test_frame_sample_plan(media):
@@ -76,3 +75,91 @@ def test_kernel_contract_and_swap(media):
     rows = extract_features(media, dim=4, kernel=ramp_kernel).orderBy("media_id").collect()
     for r in rows:
         assert r["features"] == [float(r["n_bytes"]) + i for i in range(4)]
+
+
+def _make_bmp(w, h, rgb):
+    """Minimal 24-bit bottom-up BMP with constant color."""
+    import struct
+
+    row = (w * 3 + 3) // 4 * 4
+    pixels = (bytes(rgb[::-1]) * w + b"\x00" * (row - w * 3)) * h
+    header = b"BM" + struct.pack("<IHHI", 54 + len(pixels), 0, 0, 54)
+    dib = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(pixels), 2835, 2835, 0, 0)
+    return header + dib + pixels
+
+
+def _make_ppm(w, h, rgb):
+    return b"P6\n# test\n%d %d\n255\n" % (w, h) + bytes(rgb) * (w * h)
+
+
+def _make_wav(rate, samples):
+    """PCM16 mono WAV from a float array in [-1, 1]."""
+    import struct
+
+    import numpy as np
+
+    data = (np.asarray(samples) * 32767).astype("<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+    return (
+        b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+
+
+def test_real_kernel_decodes_bmp_ppm_wav():
+    import numpy as np
+
+    from etl_processes_spark.ops.multimodal import (
+        decode_bmp,
+        decode_ppm,
+        decode_wav_pcm16,
+        real_feature_kernel,
+    )
+
+    bmp = _make_bmp(5, 3, (255, 0, 0))
+    img = decode_bmp(bmp)
+    assert img.shape == (3, 5, 3) and img[0, 0].tolist() == [255, 0, 0]
+    f = real_feature_kernel(bmp)
+    assert f[0] == 1.0 and f[1] == 5 and f[2] == 3          # kind, w, h
+    assert abs(f[4] - 1.0) < 1e-9 and abs(f[5]) < 1e-9      # mean R=1, G=0
+
+    ppm = _make_ppm(4, 2, (0, 128, 255))
+    img2 = decode_ppm(ppm)
+    assert img2.shape == (2, 4, 3) and img2[1, 3].tolist() == [0, 128, 255]
+    assert real_feature_kernel(ppm)[0] == 1.0
+
+    t = np.arange(8000) / 8000.0
+    wav = _make_wav(8000, 0.5 * np.sin(2 * np.pi * 440 * t))
+    wave, rate = decode_wav_pcm16(wav)
+    assert rate == 8000 and wave.shape == (8000, 1)
+    fa = real_feature_kernel(wav)
+    assert fa[0] == 2.0 and fa[1] == 8000 and abs(fa[3] - 1.0) < 1e-6  # 1 s
+    assert abs(fa[4] - 0.5 / np.sqrt(2)) < 1e-3                        # sine rms
+
+    # undecodable / None → zero vector, never an exception
+    assert not real_feature_kernel(b"\x89PNG garbage").any()
+    assert not real_feature_kernel(None).any()
+
+
+def test_real_kernel_through_spark_plumbing(spark):
+    import numpy as np
+
+    from etl_processes_spark.ops.multimodal import MEDIA_SCHEMA, extract_features
+
+    t = np.arange(4000) / 8000.0
+    rows = [
+        (0, "image", "image/bmp", 5, 3, None, bytearray(_make_bmp(5, 3, (0, 255, 0)))),
+        (1, "image", "image/x-portable-pixmap", 4, 2, None, bytearray(_make_ppm(4, 2, (9, 9, 9)))),
+        (2, "audio", "audio/wav", None, None, 500, bytearray(_make_wav(8000, 0.25 * np.sin(880 * t)))),
+        (3, "image", "image/png", 8, 8, None, bytearray(b"\x89PNG not really")),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    feats = {
+        r["media_id"]: r["features"]
+        for r in extract_features(media, fake_decode=False).collect()
+    }
+    assert feats[0][0] == 1.0 and feats[0][1] == 5.0
+    assert feats[1][0] == 1.0 and abs(feats[1][4] - 9 / 255) < 1e-9
+    assert feats[2][0] == 2.0 and feats[2][1] == 8000.0
+    assert feats[3] == [0.0] * 16  # corrupt payload → zeros, job survives
