@@ -278,12 +278,19 @@ def connected_components(
     edges = pairs.select(F.col(src).alias("s"), F.col(dst).alias("d"))
     und = edges.union(edges.select(F.col("d").alias("s"), F.col("s").alias("d")))
     und = und.localCheckpoint(eager=True)
+    # size the iteration's shuffle to the edge count (post-checkpoint count is
+    # a cheap cached scan): tiny dup graphs iterate in one partition instead
+    # of paying 32-task scheduling per round; huge graphs keep full width
+    n_edges = und.count()
+    npart = max(1, min(und.rdd.getNumPartitions(), n_edges // 100_000 + 1))
+    und = und.repartition(npart, "s").localCheckpoint(eager=True)
     labels = (
         und.select(F.col("s").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
         .localCheckpoint(eager=True)
     )
+    prev_sum = None
     for _ in range(max_iterations):
         nbr = (
             und.join(labels.withColumnRenamed("node", "s"), "s")
@@ -306,15 +313,13 @@ def connected_components(
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            jumped.withColumnRenamed("label", "new_label")
-            .join(labels, "node")
-            .filter(F.col("new_label") != F.col("label"))
-            .count()
-        )
+        # labels only ever decrease, so an unchanged label-sum IS the
+        # fixpoint — one small aggregate instead of a join + count per round
+        s = jumped.agg(F.sum("label")).collect()[0][0]
         labels = jumped
-        if changed == 0:
+        if s == prev_sum:
             break
+        prev_sum = s
     return labels.select("node", F.col("label").alias("cluster_id"))
 
 
