@@ -332,16 +332,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return _t(spark, sf, "documents").select("*")
 
     def q_csv_roundtrip(spark, sf):
+        # sink → scan roundtrip across ALL the engine's interchange formats
+        # (csv / json-lines / orc), one labeled row each: any format that
+        # mangles a value on the way through breaks that row's oracle hash
         import tempfile
 
-        out = tempfile.mkdtemp(prefix="csv_sink_", dir="/tmp")
+        from etl_processes_spark.io import json_scan, json_sink, orc_scan, orc_sink
+
         docs = _t(spark, sf, "documents").select("doc_id", "lang", "source", "n_chars")
+
+        def agg_of(df, fmt):
+            return df.agg(
+                F.lit(fmt).alias("fmt"),
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum("n_chars").cast("long").alias("sum_chars"),
+            )
+
+        out = tempfile.mkdtemp(prefix="csv_sink_", dir="/tmp")
         docs.coalesce(1).write.mode("overwrite").csv(out, header=True)
-        back = spark.read.csv(out, header=True, inferSchema=True)
-        return back.agg(
-            F.count(F.lit(1)).alias("n_rows"),
-            F.sum("n_chars").alias("sum_chars"),
-        )
+        res = agg_of(spark.read.csv(out, header=True, inferSchema=True), "csv")
+
+        outj = tempfile.mkdtemp(prefix="json_sink_", dir="/tmp")
+        json_sink(docs, outj, single_file=True)
+        res = res.unionByName(agg_of(json_scan(spark, outj), "json"))
+
+        outo = tempfile.mkdtemp(prefix="orc_sink_", dir="/tmp")
+        orc_sink(docs, outo)
+        res = res.unionByName(agg_of(orc_scan(spark, outo), "orc"))
+        return res
 
     def q_histogram_bins(spark, sf):
         from etl_processes_spark.profile.profilers import histogram_df
@@ -890,9 +908,11 @@ SELECT logical_type, CAST(count(*) AS BIGINT) AS n_columns,
 FROM ({_types_union}) GROUP BY logical_type
 """
 
-    sql["csv_roundtrip"] = (
-        "SELECT CAST(count(*) AS BIGINT) AS n_rows, CAST(sum(n_chars) AS BIGINT) AS sum_chars FROM documents"
-    )
+    sql["csv_roundtrip"] = """
+SELECT fmt, CAST(count(*) AS BIGINT) AS n_rows, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM documents, (SELECT unnest(['csv','json','orc']) AS fmt) f
+GROUP BY fmt
+"""
 
     from etl_processes_spark.profile.profilers import HISTOGRAM_SQL
 

@@ -43,6 +43,31 @@ def parquet_sink(df: DataFrame, path: str, partition_by: list[str] | None = None
     w.parquet(path)
 
 
+def json_scan(spark: SparkSession, path: str, schema=None) -> DataFrame:
+    """JSON-lines source. Pass an explicit schema at scale — schema inference
+    is a full extra pass over the data."""
+    r = spark.read
+    if schema is not None:
+        r = r.schema(schema)
+    return r.json(path)
+
+
+def json_sink(df: DataFrame, path: str, single_file: bool = False) -> None:
+    out = df.coalesce(1) if single_file else df
+    out.write.mode("overwrite").json(path)
+
+
+def orc_scan(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.orc(path)
+
+
+def orc_sink(df: DataFrame, path: str, partition_by: list[str] | None = None) -> None:
+    w = df.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.orc(path)
+
+
 def profile_sink(profiles: dict[str, ColumnProfile], path: str) -> None:
     """Persist the profile artifact as one JSON document."""
     with open(path, "w") as f:

@@ -92,3 +92,19 @@ def test_plots_when_matplotlib_present():
             assert p and os.path.getsize(p) > 0
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_json_orc_roundtrip_preserve_values(spark, tmp_path):
+    from etl_processes_spark.io import json_scan, json_sink, orc_scan, orc_sink
+
+    df = spark.createDataFrame(
+        [(1, "a", 2.5), (2, "b", -1.0), (3, None, 0.0)], ["id", "s", "x"]
+    )
+    json_sink(df, str(tmp_path / "j"))
+    back_j = json_scan(spark, str(tmp_path / "j"), schema=df.schema)
+    assert sorted(map(tuple, back_j.collect())) == sorted(map(tuple, df.collect()))
+
+    orc_sink(df, str(tmp_path / "o"))
+    back_o = orc_scan(spark, str(tmp_path / "o"))
+    assert back_o.schema == df.schema  # orc is typed; exact schema survives
+    assert sorted(map(tuple, back_o.collect())) == sorted(map(tuple, df.collect()))
