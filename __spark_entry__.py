@@ -317,7 +317,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return spark.range(1000).select(bootstrap_resample(entries, 23).alias("text"))
 
     def q_synthesize_orders(spark, sf):
-        profs = profile(_t(spark, sf, "orders"))
+        # THE flagship pipeline (reference main(): profile → generate),
+        # hash-gated end-to-end: deterministic mode = hash-ranked sample +
+        # value-ordered bootstrap entries + exact-decimal moments, so the
+        # DuckDB twin regenerates the IDENTICAL synthetic table. text_stats
+        # off: the embedding profile doesn't feed non-text generation.
+        profs = profile(
+            _t(spark, sf, "orders"),
+            deterministic=True,
+            sample_key="o_orderkey",
+            text_stats=False,
+        )
         return generate(spark, profs, 500, seed=29)
 
     def q_infer_types_customer(spark, sf):
@@ -1235,6 +1245,71 @@ FROM ids
 SELECT * FROM orders
 ORDER BY md5(CAST(o_orderkey AS VARCHAR) || ':42'), o_orderkey
 LIMIT 1000
+"""
+
+    # synthesize_orders: the ENTIRE reference pipeline (hash-ranked profile
+    # sample → per-column stats → seeded generation) regenerated in DuckDB.
+    # Deterministic profile mode makes every input to the generators
+    # bit-stable: exact-decimal moments (rounded 6dp), 6dp cat probabilities
+    # with sequential cumulative sums, value-ordered bootstrap entry lists.
+    # Column seeds are seed + 7919*i over the orders column order (i=0..5).
+    _so_ks = NUMERIC_PROFILE_EXACT_SQL.format(
+        y="o_orderkey", tbl="samp", notnull="o_orderkey", mult="CAST(1.0 AS DOUBLE)"
+    )
+    _so_cs = NUMERIC_PROFILE_EXACT_SQL.format(
+        y="o_custkey", tbl="samp", notnull="o_custkey", mult="CAST(1.0 AS DOUBLE)"
+    )
+    _so_st = _CAT_SQL.format(col="o_orderstatus", tbl="samp", limit="")
+    _so_pr = _CAT_SQL.format(col="o_orderpriority", tbl="samp", limit="")
+
+    def _so_gen_int(seed: int, ns: str) -> str:
+        return (
+            f"CAST(round_even(least(greatest({_zsql(seed, 'num')} * (SELECT std FROM {ns})"
+            f" + (SELECT mean FROM {ns}), (SELECT min_val FROM {ns})),"
+            f" (SELECT max_val FROM {ns})), 0) AS BIGINT)"
+        )
+
+    def _so_gen_cat(seed: int, cdf: str) -> str:
+        return (
+            f"coalesce((SELECT category FROM {cdf} WHERE {_usql(seed, 'cat')} < hi AND rn < nc"
+            f" ORDER BY rn LIMIT 1), (SELECT category FROM {cdf} WHERE rn = nc))"
+        )
+
+    def _so_gen_boot(seed: int, ent: str) -> str:
+        return (
+            f"(SELECT v FROM {ent} WHERE rn = CAST(floor({_usql(seed, 'bs')}"
+            f" * (SELECT CAST(count(*) AS DOUBLE) FROM samp)) + 1 AS BIGINT))"
+        )
+
+    _so_cdf = """(SELECT category,
+               sum(probability) OVER (ORDER BY cnt DESC, category ASC ROWS UNBOUNDED PRECEDING) AS hi,
+               row_number() OVER (ORDER BY cnt DESC, category ASC) AS rn,
+               count(*) OVER () AS nc
+        FROM ({src}))"""
+
+    sql["synthesize_orders"] = f"""
+WITH samp AS (SELECT * FROM orders
+              ORDER BY md5(CAST(o_orderkey AS VARCHAR) || ':42'), o_orderkey
+              LIMIT 1000),
+ks AS ({_so_ks}),
+cs AS ({_so_cs}),
+st_cdf AS {_so_cdf.format(src=_so_st)},
+pr_cdf AS {_so_cdf.format(src=_so_pr)},
+tp_ent AS (SELECT CAST(o_totalprice AS VARCHAR) AS v,
+                  row_number() OVER (ORDER BY CAST(o_totalprice AS VARCHAR)) AS rn
+           FROM samp),
+od_ent AS (SELECT CAST(o_orderdate AS VARCHAR) AS v,
+                  row_number() OVER (ORDER BY CAST(o_orderdate AS VARCHAR)) AS rn
+           FROM samp),
+ids AS (SELECT CAST(unnest(range(0, 500)) AS BIGINT) AS id)
+SELECT
+  {_so_gen_int(29, 'ks')} AS o_orderkey,
+  {_so_gen_int(29 + 7919, 'cs')} AS o_custkey,
+  {_so_gen_cat(29 + 7919 * 2, 'st_cdf')} AS o_orderstatus,
+  {_so_gen_boot(29 + 7919 * 3, 'tp_ent')} AS o_totalprice,
+  {_so_gen_boot(29 + 7919 * 4, 'od_ent')} AS o_orderdate,
+  {_so_gen_cat(29 + 7919 * 5, 'pr_cdf')} AS o_orderpriority
+FROM ids
 """
 
     # winnowing (k=5 grams, window=4): same md5-derived gram hashes, list-op

@@ -64,11 +64,32 @@ DEFAULT_SAMPLE_ROWS = 1000  # Latanova_v1.py:632
 DEFAULT_SEED = 42           # Latanova_v1.py:633
 
 
-def sample_frame(df: DataFrame, sample_rows: int | None, seed: int = DEFAULT_SEED) -> DataFrame:
-    """Seeded uniform sample of ~``sample_rows`` rows (reference df.sample).
-    Oversample by 20% then limit for an exact cap; one scan, no shuffle."""
+def sample_frame(
+    df: DataFrame,
+    sample_rows: int | None,
+    seed: int = DEFAULT_SEED,
+    mode: str = "bernoulli",
+    key: str | None = None,
+) -> DataFrame:
+    """Seeded uniform sample of ~``sample_rows`` rows.
+
+    mode="bernoulli" (default): reference-parity df.sample — one scan, no
+    shuffle, but partition-order dependent (NOT reproducible across engines
+    or repartitionings).
+
+    mode="hash": the smallest ``sample_rows`` rows by md5(key || ':' || seed)
+    — a deterministic uniform sample that depends only on (key values, seed):
+    reproducible under any partitioning AND computable identically by the
+    DuckDB oracle. A top-n by hash is a TakeOrdered (per-partition heap +
+    driver merge of n rows), not a full sort — still one scan at scale.
+    Requires ``key`` (a unique column)."""
     if sample_rows is None:
         return df
+    if mode == "hash":
+        if key is None:
+            raise ValueError("sample_frame(mode='hash') requires a key column")
+        rank = F.md5(F.concat(F.col(key).cast("string"), F.lit(f":{seed}")))
+        return df.orderBy(rank, F.col(key)).limit(sample_rows)
     n = df.count()
     if n <= sample_rows:
         return df
@@ -84,10 +105,26 @@ def profile(
     max_retained_entries: int = 10000,
     text_stats: bool = True,
     text_vector_size: int | None = None,
+    deterministic: bool = False,
+    sample_key: str | None = None,
 ) -> dict[str, ColumnProfile]:
+    """``deterministic=True`` (requires ``sample_key``, a unique column)
+    makes the whole profile→generate round-trip bit-reproducible across
+    engines/partitionings: hash-ranked sampling, value-ordered retained
+    entries, and exact-decimal power-sum moments for integer/datetime (and
+    cents-valued float) columns instead of order-dependent double sums.
+    This is what lets the full synthetic pipeline be hash-gated against the
+    DuckDB oracle; the default mode keeps reference-parity Bernoulli
+    sampling."""
     if drop_null_rows:
         df = df.na.drop("any")  # Latanova_v1.py:14
-    frame = sample_frame(df, sample_rows, seed)
+    frame = sample_frame(
+        df,
+        sample_rows,
+        seed,
+        mode="hash" if deterministic else "bernoulli",
+        key=sample_key,
+    )
     frame = frame.persist()
     try:
         types = infer_types(frame)
@@ -120,6 +157,38 @@ def profile(
                     )
                 )
         wide = frame.agg(*exprs).collect()[0].asDict() if exprs else {}
+
+        # Deterministic mode: replace the order-dependent double-sum moments
+        # with exact decimal power sums (bit-stable across engines and
+        # partitionings; see numeric_profile_exact_df). Integer columns scale
+        # by 1, datetimes by epoch-days, floats by cents (valid for ≤2dp
+        # data — money-style columns; wider fractions keep double moments).
+        if deterministic:
+            from etl_processes_spark.profile.profilers import numeric_profile_exact_df
+
+            for c, t in types.items():
+                if t == INTEGER:
+                    y, mult = F.col(c), 1.0
+                elif t == FLOAT:
+                    y, mult = F.round(F.col(c) * 100, 0), 0.01
+                elif t == DATETIME:
+                    y = F.floor(ts_expr(frame, c).cast("double") / 86400)
+                    mult = 86400.0
+                else:
+                    continue
+                row = numeric_profile_exact_df(
+                    frame.filter(F.col(c).isNotNull()), y, out_mult=mult
+                ).collect()[0]
+                p = f"{c}__"
+                wide[f"{p}mean"] = row["mean"]
+                wide[f"{p}std"] = row["std"]
+                wide[f"{p}median"] = row["median"]
+                wide[f"{p}min_val"] = row["min_val"]
+                wide[f"{p}max_val"] = row["max_val"]
+                wide[f"{p}skew"] = row["skew"]
+                wide[f"{p}kurt"] = row["kurt"]
+                wide[f"{p}q1"] = row["q1"]
+                wide[f"{p}q3"] = row["q3"]
 
         # Text-ish columns' embedding profiles run CONCURRENTLY (Spark's
         # scheduler interleaves the per-column jobs; each is several small
@@ -181,13 +250,14 @@ def profile(
                 # Retain sample-bounded raw entries: bootstrap source for
                 # email/phone (Latanova_v1.py:307-309) and embedding-model
                 # input for text (:640-641). Bounded — never the full column.
-                entries = [
-                    r[0]
-                    for r in frame.select(F.col(c).cast("string"))
-                    .filter(F.col(c).isNotNull())
-                    .limit(max_retained_entries)
-                    .collect()
-                ]
+                # Deterministic mode orders by value so the entry list (and
+                # therefore bootstrap output) is engine-independent.
+                ent = frame.select(F.col(c).cast("string").alias("v")).filter(
+                    F.col("v").isNotNull()
+                )
+                if deterministic:
+                    ent = ent.orderBy("v")
+                entries = [r[0] for r in ent.limit(max_retained_entries).collect()]
                 stats = {"raw_entries": entries, "n_samples": len(entries)}
                 tp = text_profiles.get(c)
                 if tp:

@@ -88,3 +88,23 @@ def test_generate_full_table_deterministic(spark):
     assert a.equals(b)
     assert list(a.columns) == ["amount", "flag", "seg", "note"]
     assert (a.note == "").all()
+
+
+def test_deterministic_profile_is_partition_invariant(spark):
+    """profile(deterministic=True) + generate must produce the identical
+    table regardless of input partitioning — the property that lets the
+    whole pipeline be hash-gated cross-engine."""
+    from etl_processes_spark.generate import generate
+    from etl_processes_spark.profile import profile
+
+    df = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    outs = []
+    for parts in (1, 7):
+        profs = profile(
+            df.repartition(parts),
+            deterministic=True,
+            sample_key="o_orderkey",
+            text_stats=False,
+        )
+        outs.append(sorted(map(tuple, generate(spark, profs, 100, seed=5).collect())))
+    assert outs[0] == outs[1]
