@@ -483,24 +483,64 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             *[F.round(F.col("features")[i], ND).alias(f"f{i}") for i in range(16)],
         )
 
-    def q_multimodal_frame_plan(spark, sf):
-        # media table derived from documents parquet → SQL-expressible,
-        # hash-gated (the in-session fake table was invisible to the oracle)
-        from etl_processes_spark.ops.multimodal import frame_sample_plan, media_from_documents
+    def q_media_inventory(spark, sf):
+        # frame-sample plan + per-kind stats in ONE long-format gate slot
+        # (part, key, metric, value) — media derived from documents parquet
+        # so both halves stay SQL-expressible and hash-gated
+        from etl_processes_spark.ops.multimodal import (
+            frame_sample_plan,
+            media_from_documents,
+            media_stats,
+        )
 
         media = media_from_documents(_t(spark, sf, "documents"))
-        return frame_sample_plan(media, every_ms=1000)
+        plan = frame_sample_plan(media, every_ms=1000).select(
+            F.lit("frame_plan").alias("part"),
+            F.col("media_id").cast("string").alias("key"),
+            F.lit("frame_ts_ms").alias("metric"),
+            F.col("frame_ts_ms").cast("double").alias("value"),
+        )
+        st = media_stats(media).select(
+            F.lit("media_stats").alias("part"),
+            F.col("kind").alias("key"),
+            F.explode(
+                F.map_from_arrays(
+                    F.array(
+                        F.lit("n_items"), F.lit("total_bytes"),
+                        F.lit("avg_bytes"), F.lit("avg_duration_ms"),
+                    ),
+                    F.array(
+                        F.col("n_items").cast("double"),
+                        F.col("total_bytes").cast("double"),
+                        F.round(F.col("avg_bytes"), ND),
+                        F.round(F.col("avg_duration_ms"), ND),
+                    ),
+                )
+            ).alias("metric", "value"),
+        )
+        return plan.unionByName(st)
 
-    def q_media_stats(spark, sf):
-        from etl_processes_spark.ops.multimodal import media_from_documents, media_stats
+    def q_asof_join_events(spark, sf):
+        # as-of join: attach each event's most recent 'purchase' (same user,
+        # ts <= event ts) — one key shuffle + one window pass, no range-join
+        # candidate explosion; DuckDB's native ASOF JOIN is the oracle
+        from etl_processes_spark.ops.asof import asof_join
 
-        media = media_from_documents(_t(spark, sf, "documents"))
-        return media_stats(media).select(
-            "kind",
-            "n_items",
-            "total_bytes",
-            F.round(F.col("avg_bytes"), ND).alias("avg_bytes"),
-            F.round(F.col("avg_duration_ms"), ND).alias("avg_duration_ms"),
+        ev = _t(spark, sf, "events")
+        purch = ev.filter(F.col("event_type") == "purchase").select(
+            "user_id", "ts", F.col("value").alias("purchase_value")
+        )
+        out = asof_join(
+            ev.select("event_id", "user_id", "ts", "event_type"),
+            purch,
+            on="user_id",
+        )
+        return out.select(
+            "event_id",
+            "user_id",
+            "event_type",
+            "purchase_value_r",
+            (F.unix_micros(F.col("ts")) - F.col("ts_r")).alias("gap_us"),
         )
 
     # -- dedup ------------------------------------------------------------------
@@ -695,8 +735,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reference_pipeline": q_reference_pipeline,
         "knn_decode": q_knn_decode,
         "multimodal_features": q_multimodal_features,
-        "multimodal_frame_plan": q_multimodal_frame_plan,
-        "media_stats": q_media_stats,
+        "media_inventory": q_media_inventory,
+        "asof_join_events": q_asof_join_events,
         "sample_n": q_sample_n,
         "gen_columns": q_gen_columns,
         "bootstrap_resample": q_bootstrap_resample,
@@ -940,22 +980,35 @@ m AS (SELECT doc_id AS media_id,
       FROM documents)
 """
 
-    sql["media_stats"] = f"""
+    sql["media_inventory"] = f"""
 WITH {_MEDIA_CTE},
 m2 AS (SELECT kind, nbytes,
               CASE WHEN kind <> 'image' THEN duration_ms END AS duration_ms
-       FROM m)
-SELECT kind, CAST(count(*) AS BIGINT) AS n_items,
-       CAST(sum(nbytes) AS BIGINT) AS total_bytes,
-       round(avg(nbytes), 6) AS avg_bytes,
-       round(avg(duration_ms), 6) AS avg_duration_ms
-FROM m2 GROUP BY kind
+       FROM m),
+st AS (SELECT kind, CAST(count(*) AS DOUBLE) AS n_items,
+              CAST(sum(nbytes) AS DOUBLE) AS total_bytes,
+              round(avg(nbytes), 6) AS avg_bytes,
+              round(avg(duration_ms), 6) AS avg_duration_ms
+       FROM m2 GROUP BY kind)
+SELECT 'frame_plan' AS part, CAST(media_id AS VARCHAR) AS key,
+       'frame_ts_ms' AS metric,
+       CAST(CAST(unnest(range(0, duration_ms, 1000)) AS BIGINT) AS DOUBLE) AS value
+FROM m WHERE kind = 'video'
+UNION ALL
+SELECT 'media_stats', kind, metric,
+       CASE metric WHEN 'n_items' THEN n_items
+                   WHEN 'total_bytes' THEN total_bytes
+                   WHEN 'avg_bytes' THEN avg_bytes
+                   ELSE avg_duration_ms END AS value
+FROM st, (SELECT unnest(['n_items','total_bytes','avg_bytes','avg_duration_ms']) AS metric) ms
 """
 
-    sql["multimodal_frame_plan"] = f"""
-WITH {_MEDIA_CTE}
-SELECT media_id, CAST(unnest(range(0, duration_ms, 1000)) AS BIGINT) AS frame_ts_ms
-FROM m WHERE kind = 'video'
+    sql["asof_join_events"] = """
+WITH p AS (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase')
+SELECT e.event_id, e.user_id, e.event_type,
+       p.value AS purchase_value_r,
+       epoch_us(e.ts) - epoch_us(p.ts) AS gap_us
+FROM events e ASOF LEFT JOIN p ON e.user_id = p.user_id AND e.ts >= p.ts
 """
 
     def _feat(d: int) -> str:
