@@ -601,14 +601,50 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # -- text analysis -------------------------------------------------------------
 
-    def q_token_count(spark, sf):
-        return token_count(_t(spark, sf, "documents"), "doc_id", "text")
+    def q_text_analysis(spark, sf):
+        # token counting + language ID + quality scoring in one wide per-doc
+        # gate slot (all three operators stay standalone functions; the
+        # doc_id equi-joins are over projections of the same scan)
+        d = _t(spark, sf, "documents")
+        return (
+            token_count(d, "doc_id", "text")
+            .join(lang_id(d, "doc_id", "text"), "doc_id")
+            .join(quality_features(d, "doc_id", "text", ndigits=ND), "doc_id")
+        )
 
-    def q_lang_id(spark, sf):
-        return lang_id(_t(spark, sf, "documents"), "doc_id", "text")
+    def q_range_join_bands(spark, sf):
+        # bucketized interval join: parts -> overlapping retail-price bands
+        # (width 100, stride 50 — each part hits <=2 bands); equi-join on
+        # bucket + residual filter, never a BroadcastNestedLoopJoin
+        from etl_processes_spark.ops.rangejoin import range_join_bucketized
 
-    def q_quality_score(spark, sf):
-        return quality_features(_t(spark, sf, "documents"), "doc_id", "text", ndigits=ND)
+        bands = spark.range(28).select(
+            F.col("id").cast("int").alias("band_id"),
+            (800 + F.col("id") * 50).cast("double").alias("lo"),
+            (900 + F.col("id") * 50).cast("double").alias("hi"),
+        )
+        pts = _t(spark, sf, "part").select("p_partkey", "p_retailprice")
+        return range_join_bucketized(
+            pts, bands, "p_retailprice", granularity=100.0
+        ).select("p_partkey", "band_id")
+
+    def q_salted_join_agg(spark, sf):
+        # the skew utility certified against a plain join: salting must be
+        # result-invariant — same aggregate hash as DuckDB's unsalted join
+        from etl_processes_spark.ops.skew import salted_join
+
+        li = _t(spark, sf, "lineitem").select(
+            F.col("l_orderkey").alias("okey"),
+            F.col("l_quantity").cast("decimal(18,2)").alias("qty"),
+        )
+        o = _t(spark, sf, "orders").select(
+            F.col("o_orderkey").alias("okey"), "o_orderpriority"
+        )
+        j = salted_join(li, o, "okey", salt_buckets=8)
+        return j.groupBy("o_orderpriority").agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum("qty").cast("double").alias("sum_qty"),
+        )
 
     def q_fingerprint(spark, sf):
         return fingerprint(_t(spark, sf, "documents"), "doc_id", "text")
@@ -712,9 +748,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "cosine_topk": q_cosine_topk,
         "embedding_near_dup": q_embedding_near_dup,
-        "token_count": q_token_count,
-        "lang_id": q_lang_id,
-        "quality_score": q_quality_score,
+        "text_analysis": q_text_analysis,
+        "range_join_bands": q_range_join_bands,
+        "salted_join_agg": q_salted_join_agg,
         "fingerprint": q_fingerprint,
         "hourly_event_rollup": q_hourly_event_rollup,
         "sessionize": q_sessionize,
@@ -1445,7 +1481,7 @@ SELECT query_id, neighbor_id, cosine_sim, CAST(rk AS INTEGER) AS rank FROM r WHE
 
     # -- text analysis -------------------------------------------------------------
 
-    sql["token_count"] = f"""
+    _tc_sql = f"""
 SELECT doc_id,
        CAST(len({_TOKS}) AS INTEGER) AS n_tokens,
        CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS INTEGER) AS n_tokens_bpe,
@@ -1462,7 +1498,7 @@ FROM documents
     _scores = ", ".join(
         f"len(list_filter({_TOKS}, t -> t IN {m})) AS s_{l}" for l, m in _MARKERS.items()
     )
-    sql["lang_id"] = f"""
+    _li_sql = f"""
 WITH s AS (SELECT doc_id, {_scores} FROM documents),
 g AS (SELECT *, greatest(s_en, s_de, s_es, s_fr) AS best FROM s)
 SELECT doc_id,
@@ -1476,7 +1512,7 @@ FROM g
 """
 
     _STOP = "('the','a','an','of','and','or','to','in','is','it','on','for','with','as','at','by','be')"
-    sql["quality_score"] = f"""
+    _qs_sql = f"""
 WITH b AS (
   SELECT doc_id,
          {_TOKS} AS toks,
@@ -1501,6 +1537,28 @@ SELECT doc_id,
              + 0.3 * (CASE WHEN n_chars > 0 THEN alpha_chars / n_chars ELSE 0.0 END)
              + 0.3 * least((CASE WHEN n_tok > 0 THEN stop_hits / n_tok ELSE 0.0 END) * 5, 1.0), 6) AS quality_score
 FROM f
+"""
+
+    sql["text_analysis"] = f"""
+WITH tc AS ({_tc_sql}), li AS ({_li_sql}), qs AS ({_qs_sql})
+SELECT * FROM tc JOIN li USING (doc_id) JOIN qs USING (doc_id)
+"""
+
+    sql["range_join_bands"] = """
+WITH bands AS (SELECT CAST(i AS INTEGER) AS band_id,
+                      CAST(800 + i * 50 AS DOUBLE) AS lo,
+                      CAST(900 + i * 50 AS DOUBLE) AS hi
+               FROM (SELECT unnest(range(0, 28)) AS i))
+SELECT p_partkey, band_id
+FROM part JOIN bands ON p_retailprice >= lo AND p_retailprice < hi
+"""
+
+    sql["salted_join_agg"] = """
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_items,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
 """
 
     sql["fingerprint"] = f"""

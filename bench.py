@@ -42,8 +42,9 @@ def main() -> None:
         "cosine_topk",
         "text_profile_stats",
         "gen_text_mvn",
-        "token_count",
-        "quality_score",
+        "text_analysis",
+        "asof_join_events",
+        "salted_join_agg",
         "hourly_event_rollup",
         "sessionize",
         "pricing_summary",

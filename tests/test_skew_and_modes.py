@@ -43,3 +43,35 @@ def test_sane_inference_order(spark):
     df = spark.createDataFrame([("2020-01-15",), ("2021-03-04",)] * 10, ["d"])
     assert infer_types(df)["d"] == "phone"
     assert infer_types(df, strict_reference_order=False)["d"] == "datetime"
+
+
+def test_range_join_bucketized_matches_naive(spark):
+    from etl_processes_spark.ops.rangejoin import range_join_bucketized
+
+    pts = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate([0.0, 49.9, 50.0, 99.9, 100.0, 125.0, 250.0])],
+        ["pid", "v"],
+    )
+    # overlapping bands: [0,100), [50,150), [200,220)
+    bands = spark.createDataFrame(
+        [(0, 0.0, 100.0), (1, 50.0, 150.0), (2, 200.0, 220.0)], ["band_id", "lo", "hi"]
+    )
+    got = {
+        (r["pid"], r["band_id"])
+        for r in range_join_bucketized(pts, bands, "v", granularity=64.0).collect()
+    }
+    naive = {
+        (p["pid"], b["band_id"])
+        for p in pts.collect()
+        for b in bands.collect()
+        if b["lo"] <= p["v"] < b["hi"]
+    }
+    assert got == naive
+    assert (2, 1) in got and (4, 0) not in got  # boundary: hi is exclusive
+
+    # plan shape: hash equi-join on the bucket, not a nested-loop join
+    plan = (
+        range_join_bucketized(pts, bands, "v", granularity=64.0)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "NestedLoop" not in plan
