@@ -64,3 +64,64 @@ def test_asof_single_shuffle_plan(spark):
     # one window pass over a union — no join operator anywhere in the plan
     assert "Window" in plan
     assert "Join" not in plan
+
+
+# hypothesis: asof_join vs pandas.merge_asof ---------------------------------
+
+from hypothesis import given, settings, strategies as st
+
+
+@settings(max_examples=8, deadline=None, derandomize=True)
+@given(
+    st.lists(  # left: (key, ts_seconds)
+        st.tuples(st.integers(0, 2), st.integers(0, 50)), min_size=1, max_size=20
+    ),
+    st.lists(  # right: (key, ts_seconds, value)
+        st.tuples(st.integers(0, 2), st.integers(0, 50), st.integers(-5, 5)),
+        min_size=0,
+        max_size=20,
+        unique_by=lambda t: (t[0], t[1]),  # merge_asof tie rules need unique ts
+    ),
+)
+def test_asof_matches_pandas_merge_asof(spark, lefts, rights):
+    import pandas as pd
+
+    lpdf = pd.DataFrame(
+        {
+            "eid": range(len(lefts)),
+            "k": [t[0] for t in lefts],
+            "ts": pd.to_datetime([t[1] for t in lefts], unit="s"),
+        }
+    )
+    rpdf = pd.DataFrame(
+        {
+            "k": pd.array([t[0] for t in rights], dtype="int64"),
+            "ts": pd.to_datetime([t[1] for t in rights], unit="s"),
+            "val": pd.array([float(t[2]) for t in rights], dtype="float64"),
+        }
+    )
+    left = spark.createDataFrame(lpdf)
+    right = (
+        spark.createDataFrame(rpdf)
+        if len(rpdf)
+        else spark.createDataFrame([], "k long, ts timestamp, val double")
+    )
+    got = (
+        asof_join(left, right, on="k")
+        .select("eid", "val_r")
+        .toPandas()
+        .set_index("eid")["val_r"]
+        .to_dict()
+    )
+    exp_df = pd.merge_asof(
+        lpdf.sort_values("ts", kind="stable"),
+        rpdf.sort_values("ts", kind="stable"),
+        on="ts",
+        by="k",
+        direction="backward",
+    )
+    exp = exp_df.set_index("eid")["val"].to_dict()
+    for eid in exp:
+        g, e = got[eid], exp[eid]
+        g_null = g is None or g != g  # toPandas renders SQL NULL as NaN
+        assert (g_null and e != e) or g == e

@@ -146,3 +146,44 @@ def test_dedup_clusters_exact_and_near(docs):
     # one cluster with survivor 0; unrelated docs 4/5 form no cluster
     assert out[0] == out[1] == out[3] == 0
     assert 4 not in out and 5 not in out
+
+
+# hypothesis: connected components vs python union-find ----------------------
+
+from hypothesis import given, settings, strategies as st
+
+
+@settings(max_examples=8, deadline=None, derandomize=True)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 25), st.integers(0, 25)).filter(lambda t: t[0] != t[1]),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_connected_components_matches_union_find(spark, edges):
+    from etl_processes_spark.ops.dedup import connected_components
+
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in edges:
+        union(a, b)
+    expected = {n: find(n) for n in parent}
+
+    pairs = spark.createDataFrame(edges, ["id_a", "id_b"])
+    got = {
+        r["node"]: r["cluster_id"] for r in connected_components(pairs).collect()
+    }
+    assert got == expected
