@@ -130,3 +130,38 @@ def test_stateful_sessionize_stream_matches_batch(spark):
         shutil.rmtree(src, ignore_errors=True)
         shutil.rmtree(out, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_stream_static_dim_join_matches_batch(spark, event_dir):
+    """Stream-static enrichment: a streaming fact joined to a static
+    broadcast dim must produce exactly the batch join's rows. The static
+    side re-resolves per micro-batch — the standard pattern for slowly
+    refreshed dims at scale (no state store involved)."""
+    out = tempfile.mkdtemp(prefix="ss_out_")
+    ckpt = tempfile.mkdtemp(prefix="ss_ckpt_")
+    try:
+        dim = spark.createDataFrame(
+            [(i, f"tier_{i % 2}") for i in range(5)], ["user_id", "tier"]
+        )
+        schema = spark.read.parquet(event_dir).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .parquet(event_dir)
+            .join(F.broadcast(dim), "user_id")
+            .select("event_id", "user_id", "tier", "value")
+        )
+        run_stream_once(stream, out, ckpt)
+        got = sorted(map(tuple, spark.read.parquet(out).collect()))
+        batch = sorted(
+            map(
+                tuple,
+                spark.read.parquet(event_dir)
+                .join(dim, "user_id")
+                .select("event_id", "user_id", "tier", "value")
+                .collect(),
+            )
+        )
+        assert got == batch
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
