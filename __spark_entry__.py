@@ -420,12 +420,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     def q_validate_roundtrip(spark, sf):
+        # profile → generate → VALIDATE, hash-gated end-to-end: deterministic
+        # profile + exact-decimal re-profiling make the error values
+        # bit-reproducible, so DuckDB regenerates the synth table AND its
+        # validation report. Text-typed (phone) columns are exercised by
+        # reference_pipeline and pytest tolerance tests instead — their
+        # embedding-moment diff is ML-bound, not SQL.
         from etl_processes_spark.validate import validate
 
-        o = _t(spark, sf, "orders")
-        profs = profile(o)
+        o = _t(spark, sf, "orders").select(
+            "o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"
+        )
+        profs = profile(o, deterministic=True, sample_key="o_orderkey", text_stats=False)
         synth = generate(spark, profs, 500, seed=29).persist()
-        report = validate(profs, synth)
+        report = validate(profs, synth, exact=True)
         rows = []
         for col, res in report.items():
             for metric, val in res.items():
@@ -1399,6 +1407,62 @@ SELECT
   {_so_gen_boot(29 + 7919 * 4, 'od_ent')} AS o_orderdate,
   {_so_gen_cat(29 + 7919 * 5, 'pr_cdf')} AS o_orderpriority
 FROM ids
+"""
+
+    # validate_roundtrip: regenerate the 4-column synthetic table (non-text
+    # columns of orders — seeds follow the PROJECTED column order i=0..3),
+    # re-profile it with the same exact-decimal sums, and diff against the
+    # sample stats — the validation report itself is the hashed output.
+    _vr_sk = NUMERIC_PROFILE_EXACT_SQL.format(
+        y="o_orderkey", tbl="synth", notnull="o_orderkey", mult="CAST(1.0 AS DOUBLE)"
+    )
+    _vr_sc = NUMERIC_PROFILE_EXACT_SQL.format(
+        y="o_custkey", tbl="synth", notnull="o_custkey", mult="CAST(1.0 AS DOUBLE)"
+    )
+
+    def _vr_cat_rows(col: str, cdf: str, scdf: str) -> str:
+        return f"""
+SELECT '{col}' AS column_name, 'n_categories_error' AS metric,
+       abs((SELECT CAST(count(DISTINCT {col}) AS DOUBLE) FROM synth)
+           - (SELECT CAST(max(nc) AS DOUBLE) FROM {cdf})) AS value
+UNION ALL
+SELECT '{col}', 'most_common_match',
+       CASE WHEN (SELECT {col} FROM synth GROUP BY 1 ORDER BY count(*) DESC, {col} ASC LIMIT 1)
+                 = (SELECT category FROM {cdf} WHERE rn = 1)
+            THEN 1.0e0 ELSE 0.0e0 END
+"""
+
+    def _vr_num_rows(col: str, sprof: str, oprof: str) -> str:
+        return " UNION ALL ".join(
+            f"SELECT '{col}' AS column_name, '{m}_error' AS metric, "
+            f"abs((SELECT {f} FROM {sprof}) - (SELECT {f} FROM {oprof})) AS value"
+            for m, f in (("mean", "mean"), ("std", "std"), ("median", "median"))
+        )
+
+    sql["validate_roundtrip"] = f"""
+WITH samp AS (SELECT * FROM orders
+              ORDER BY md5(CAST(o_orderkey AS VARCHAR) || ':42'), o_orderkey
+              LIMIT 1000),
+ks AS ({_so_ks}),
+cs AS ({_so_cs}),
+st_cdf AS {_so_cdf.format(src=_so_st)},
+pr_cdf AS {_so_cdf.format(src=_so_pr)},
+ids AS (SELECT CAST(unnest(range(0, 500)) AS BIGINT) AS id),
+synth AS (SELECT
+  {_so_gen_int(29, 'ks')} AS o_orderkey,
+  {_so_gen_int(29 + 7919, 'cs')} AS o_custkey,
+  {_so_gen_cat(29 + 7919 * 2, 'st_cdf')} AS o_orderstatus,
+  {_so_gen_cat(29 + 7919 * 3, 'pr_cdf')} AS o_orderpriority
+FROM ids),
+sk AS ({_vr_sk}),
+sc AS ({_vr_sc})
+{_vr_num_rows('o_orderkey', 'sk', 'ks')}
+UNION ALL
+{_vr_num_rows('o_custkey', 'sc', 'cs')}
+UNION ALL
+{_vr_cat_rows('o_orderstatus', 'st_cdf', 'sst')}
+UNION ALL
+{_vr_cat_rows('o_orderpriority', 'pr_cdf', 'spr')}
 """
 
     # winnowing (k=5 grams, window=4): same md5-derived gram hashes, list-op

@@ -32,9 +32,26 @@ from etl_processes_spark.profile.types import (
 )
 
 
-def validate_numeric(prof: ColumnProfile, df: DataFrame, c: str) -> dict:
-    """abs errors of mean/std/median (Latanova_v1.py:455-472)."""
-    synth = numeric_profile(df, c)
+def validate_numeric(
+    prof: ColumnProfile, df: DataFrame, c: str, exact: bool = False
+) -> dict:
+    """abs errors of mean/std/median (Latanova_v1.py:455-472).
+
+    ``exact=True`` re-profiles via the exact-decimal power sums (integer
+    columns ×1, float columns in cents) so the error values are
+    bit-reproducible cross-engine — the validate twin of
+    profile(deterministic=True)."""
+    if exact:
+        from etl_processes_spark.profile.profilers import numeric_profile_exact_df
+
+        is_int = prof.logical_type == INTEGER
+        y = F.col(c) if is_int else F.round(F.col(c) * 100, 0)
+        row = numeric_profile_exact_df(
+            df.filter(F.col(c).isNotNull()), y, out_mult=1.0 if is_int else 0.01
+        ).collect()[0]
+        synth = {"mean": row["mean"], "std": row["std"], "median": row["median"]}
+    else:
+        synth = numeric_profile(df, c)
     if synth is None:
         return {"error": "empty synthetic column"}
     return {
@@ -111,10 +128,12 @@ def validate_categorical(prof: ColumnProfile, df: DataFrame, c: str) -> dict:
     }
 
 
-def _validate_one(prof: ColumnProfile, synthetic: DataFrame, c: str) -> dict:
+def _validate_one(
+    prof: ColumnProfile, synthetic: DataFrame, c: str, exact: bool = False
+) -> dict:
     t = prof.logical_type
     if t in (INTEGER, FLOAT):
-        return validate_numeric(prof, synthetic, c)
+        return validate_numeric(prof, synthetic, c, exact=exact)
     if t == DATETIME:
         return validate_datetime(prof, synthetic, c)
     if t == BOOLEAN:
@@ -126,9 +145,13 @@ def _validate_one(prof: ColumnProfile, synthetic: DataFrame, c: str) -> dict:
     return {"skipped": t}
 
 
-def validate(profiles: dict[str, ColumnProfile], synthetic: DataFrame) -> dict[str, dict]:
+def validate(
+    profiles: dict[str, ColumnProfile], synthetic: DataFrame, exact: bool = False
+) -> dict[str, dict]:
     """Per-column validations are independent Spark jobs — submitted
-    concurrently (wall-clock is job-count bound at sample scale)."""
+    concurrently (wall-clock is job-count bound at sample scale).
+    ``exact=True``: numeric re-profiling uses exact decimal power sums
+    (cross-engine-stable error values; pair with profile(deterministic))."""
     from concurrent.futures import ThreadPoolExecutor
 
     results: dict[str, dict] = {}
@@ -140,7 +163,10 @@ def validate(profiles: dict[str, ColumnProfile], synthetic: DataFrame) -> dict[s
             todo[c] = prof
     if todo:
         with ThreadPoolExecutor(max_workers=min(4, len(todo))) as ex:
-            futures = {c: ex.submit(_validate_one, p, synthetic, c) for c, p in todo.items()}
+            futures = {
+                c: ex.submit(_validate_one, p, synthetic, c, exact)
+                for c, p in todo.items()
+            }
             for c, f in futures.items():
                 results[c] = f.result()
     return {c: results[c] for c in list(profiles)}
