@@ -1,0 +1,43 @@
+"""Stratified sampling + token-budget packing (ops/pack.py)."""
+
+from pyspark.sql import functions as F
+
+from etl_processes_spark.ops.pack import pack_documents, stratified_sample
+
+
+def test_stratified_sample_exact_and_partition_invariant(spark):
+    df = spark.createDataFrame(
+        [(i, ["en", "de", "fr"][i % 3]) for i in range(90)], ["doc_id", "lang"]
+    )
+    s1 = stratified_sample(df, "lang", 5, "doc_id", seed=7)
+    counts = {r["lang"]: r["n"] for r in s1.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert counts == {"en": 5, "de": 5, "fr": 5}
+
+    # small stratum: takes all of it, never errors
+    few = df.filter((F.col("lang") != "fr") | (F.col("doc_id") < 9))
+    sf = stratified_sample(few, "lang", 5, "doc_id", seed=7)
+    assert sf.filter("lang = 'fr'").count() == 3
+
+    # deterministic under repartitioning
+    a = sorted(r["doc_id"] for r in s1.collect())
+    b = sorted(
+        r["doc_id"]
+        for r in stratified_sample(df.repartition(13), "lang", 5, "doc_id", seed=7).collect()
+    )
+    assert a == b
+
+
+def test_pack_documents_contiguous_budget_bins(spark):
+    toks = [30, 50, 40, 80, 10, 10, 120, 5]
+    df = spark.createDataFrame(list(enumerate(toks)), ["doc_id", "n_tokens"])
+    rows = {r["doc_id"]: r for r in pack_documents(df, "doc_id", "n_tokens", 100).collect()}
+
+    # bin = floor(tokens_before / 100): cumulative-before = 0,30,80,120,200,210,220,340
+    assert [rows[i]["bin_id"] for i in range(8)] == [0, 0, 0, 1, 2, 2, 2, 3]
+    assert rows[3]["offset_in_bin"] == 20  # straddles: starts 20 into bin 1
+    # bins are contiguous runs in order
+    seq = [rows[i]["bin_id"] for i in range(8)]
+    assert seq == sorted(seq)
+    # each bin's START tokens stay under budget (only a straddler overflows)
+    for i in range(8):
+        assert rows[i]["offset_in_bin"] < 100
