@@ -117,3 +117,13 @@ def test_ngram_jaccard_join_keyed_on_shingle(spark):
     plan = _plan(ngram_jaccard_pairs(df, "doc_id", "text", k=3, threshold=0.1, max_df=10))
     assert "CartesianProduct" not in plan
     assert "shingle" in plan
+
+
+def test_hash_sample_is_take_ordered(spark):
+    """The deterministic profile sample must plan as TakeOrderedAndProject
+    (per-partition heap + driver merge of n rows), never a global Sort."""
+    from etl_processes_spark.profile import sample_frame
+
+    df = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    plan = _plan(sample_frame(df, 100, seed=42, mode="hash", key="o_orderkey"))
+    assert "TakeOrderedAndProject" in plan
