@@ -66,3 +66,31 @@ def test_running_totals_monotone_per_user(events):
     rows = user_running_totals(events).collect()
     u1 = [r["running_value"] for r in sorted(rows, key=lambda r: r["event_id"]) if r["user_id"] == 1]
     assert u1 == [1.0, 3.0, 6.0, 10.0]
+
+
+def test_cascading_rollup_daily_equals_from_raw(spark):
+    import datetime as dt
+
+    from etl_processes_spark.streaming.windows import cascading_rollup
+
+    rows = [
+        (i, dt.datetime(2024, 1, 1 + i % 3, i % 24, i % 60, 0), i % 7,
+         ["click", "view"][i % 2], float(i % 11))
+        for i in range(500)
+    ]
+    ev = spark.createDataFrame(rows, ["event_id", "ts", "user_id", "event_type", "value"])
+    _, daily = cascading_rollup(ev)
+    got = {
+        (r["day"], r["event_type"]): (r["n_events"], r["sum_value"], r["min_value"], r["max_value"])
+        for r in daily.collect()
+    }
+    from_raw = {
+        (r["day"], r["event_type"]): (r["n"], round(r["s"], 6), r["mn"], r["mx"])
+        for r in ev.groupBy(
+            F.date_trunc("day", "ts").alias("day"), "event_type"
+        ).agg(
+            F.count(F.lit(1)).alias("n"), F.sum("value").alias("s"),
+            F.min("value").alias("mn"), F.max("value").alias("mx"),
+        ).collect()
+    }
+    assert got == from_raw
