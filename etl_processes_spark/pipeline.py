@@ -46,3 +46,67 @@ def run_reference_pipeline(
     if output_csv:
         csv_sink(synthetic, output_csv)
     return synthetic, validation, report
+
+
+def run_training_data_pipeline(
+    spark: SparkSession,
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_quality: float = 0.3,
+    langs: tuple[str, ...] = ("en",),
+    per_lang_cap: int | None = None,
+    pack_budget: int | None = 2048,
+    near_dup_threshold: float = 0.5,
+    max_df: int | None = 500,
+    seed: int = 42,
+) -> DataFrame:
+    """The LLM training-data assembly flow, composed from the extension
+    operators — what a user runs over raw documents before tokenization:
+
+      1. duplicate-cluster resolution (exact ∪ n-gram near-dup edges →
+         connected components) — keep one survivor (min id) per cluster;
+      2. language ID + quality scoring (pure codegen expressions, one pass);
+      3. filter to wanted languages above the quality floor;
+      4. optional per-language stratified cap (md5-ranked, deterministic);
+      5. optional token-budget sequence packing.
+
+    Returns (doc_id, text, pred_lang, quality_score, n_tokens
+    [, bin_id, offset_in_bin]). Every stage is the bucketed/inverted-index/
+    window formulation documented in SCALING.md — no all-pairs or
+    driver-side loops anywhere; the whole flow is deterministic for a given
+    (corpus, seed)."""
+    from pyspark.sql import functions as F
+
+    from etl_processes_spark.ops.dedup import dedup_clusters
+    from etl_processes_spark.ops.pack import pack_documents, stratified_sample
+    from etl_processes_spark.ops.textstats import lang_id, quality_features, token_count
+
+    clusters = dedup_clusters(
+        docs, id_col, text_col, threshold=near_dup_threshold, max_df=max_df
+    )
+    losers = clusters.filter(F.col(id_col) != F.col("cluster_id")).select(id_col)
+    kept = docs.join(losers, id_col, "left_anti")
+
+    scored = (
+        kept.select(id_col, text_col)
+        .join(lang_id(kept, id_col, text_col).select(id_col, "pred_lang"), id_col)
+        .join(
+            quality_features(kept, id_col, text_col).select(id_col, "quality_score"),
+            id_col,
+        )
+        .join(
+            token_count(kept, id_col, text_col).select(id_col, "n_tokens"), id_col
+        )
+    )
+    filtered = scored.filter(
+        F.col("pred_lang").isin(*langs) & (F.col("quality_score") >= min_quality)
+    )
+    if per_lang_cap is not None:
+        filtered = stratified_sample(filtered, "pred_lang", per_lang_cap, id_col, seed)
+    if pack_budget is None:
+        return filtered
+    packed = pack_documents(filtered, id_col, "n_tokens", pack_budget)
+    return filtered.join(
+        packed.select(id_col, "bin_id", "offset_in_bin"), id_col
+    )

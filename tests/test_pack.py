@@ -41,3 +41,28 @@ def test_pack_documents_contiguous_budget_bins(spark):
     # each bin's START tokens stay under budget (only a straddler overflows)
     for i in range(8):
         assert rows[i]["offset_in_bin"] < 100
+
+
+def test_training_data_pipeline_end_to_end(spark):
+    from etl_processes_spark.pipeline import run_training_data_pipeline
+
+    a = "the quick brown fox jumps over the lazy dog in the autumn morning light"
+    b = "a tall ship sails across the wide ocean to the harbor of the old city"
+    rows = (
+        [(0, a), (1, a), (2, a)]                       # exact dups → survivor 0
+        + [(3, b), (4, b + " at dawn")]                # near-dups → survivor 3
+        + [(5, "music and painting are the arts that people love to share in the town")]
+        + [(6, "cooking is the craft of turning simple things into a meal for the family")]
+        + [(20 + i, f"der hund ist nicht ein tier nummer {i} und so weiter") for i in range(3)]
+        + [(30, "zz")]                                 # too short / low quality
+    )
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = run_training_data_pipeline(
+        spark, docs, min_quality=0.2, langs=("en",), pack_budget=24,
+        near_dup_threshold=0.5,
+    ).collect()
+    ids = sorted(r["doc_id"] for r in out)
+    assert ids == [0, 3, 5, 6]                         # survivors + unique en docs
+    assert all(r["pred_lang"] == "en" for r in out)    # german + junk filtered
+    assert all(r["offset_in_bin"] < 24 for r in out)
+    assert len({r["bin_id"] for r in out}) >= 2        # actually packed
