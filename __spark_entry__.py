@@ -1420,7 +1420,7 @@ FROM ids
         y="o_custkey", tbl="synth", notnull="o_custkey", mult="CAST(1.0 AS DOUBLE)"
     )
 
-    def _vr_cat_rows(col: str, cdf: str, scdf: str) -> str:
+    def _vr_cat_rows(col: str, cdf: str) -> str:
         return f"""
 SELECT '{col}' AS column_name, 'n_categories_error' AS metric,
        abs((SELECT CAST(count(DISTINCT {col}) AS DOUBLE) FROM synth)
@@ -1460,9 +1460,9 @@ sc AS ({_vr_sc})
 UNION ALL
 {_vr_num_rows('o_custkey', 'sc', 'cs')}
 UNION ALL
-{_vr_cat_rows('o_orderstatus', 'st_cdf', 'sst')}
+{_vr_cat_rows('o_orderstatus', 'st_cdf')}
 UNION ALL
-{_vr_cat_rows('o_orderpriority', 'pr_cdf', 'spr')}
+{_vr_cat_rows('o_orderpriority', 'pr_cdf')}
 """
 
     # winnowing (k=5 grams, window=4): same md5-derived gram hashes, list-op

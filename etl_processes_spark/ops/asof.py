@@ -66,10 +66,16 @@ def asof_join(
     )
     u = r.unionByName(l)
 
+    # Right-side value columns join the ordering as tiebreakers: without
+    # them, equal-(key, ts) right rows would be matched nondeterministically
+    # (shuffle-order dependent). With them, ties resolve to the sort-last
+    # (backward) / sort-first (forward) value tuple — deterministic under
+    # any partitioning.
+    tiebreak = [F.col(r_names[c]).asc_nulls_first() for c in val_cols]
     if direction == "backward":
-        order = [F.col("__ts").asc(), F.col("__side").asc()]
+        order = [F.col("__ts").asc(), F.col("__side").asc(), *tiebreak]
     else:
-        order = [F.col("__ts").desc(), F.col("__side").asc()]
+        order = [F.col("__ts").desc(), F.col("__side").asc(), *tiebreak]
     w = (
         Window.partitionBy(*keys)
         .orderBy(*order)

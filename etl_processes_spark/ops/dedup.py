@@ -351,7 +351,7 @@ def dedup_clusters(
         df, id_col, text_col, k=k, threshold=threshold, max_df=max_df
     ).select("id_a", "id_b")
     cc = connected_components(exact.union(near))
-    return cc.select(F.col("node").alias("doc_id"), "cluster_id")
+    return cc.select(F.col("node").alias(id_col), "cluster_id")
 
 
 # ---------------------------------------------------------------------------

@@ -181,6 +181,8 @@ def decode_wav_pcm16(b: bytes) -> tuple[np.ndarray, int] | None:
     if rate is None or data is None or not channels:
         return None
     n = len(data) // (2 * channels)
+    if n == 0:
+        return None  # empty/truncated data chunk: undecodable, NOT NaN features
     wave = np.frombuffer(data, "<i2", n * channels).reshape(n, channels)
     return wave, rate
 
@@ -247,8 +249,6 @@ def real_feature_kernel(content: bytes | None, dim: int = 16) -> np.ndarray:
     return np.zeros(dim)
 
 
-def _decode_image_real(content: bytes) -> np.ndarray:
-    return real_feature_kernel(content, FEATURE_DIM)
 
 
 def _fake_features(content: bytes, dim: int) -> np.ndarray:
@@ -313,7 +313,9 @@ def extract_features(
     Arrow batching, and partitioning are kernel-agnostic."""
     if kernel is None:
         kernel = (
-            (lambda c: _fake_features(c, dim)) if fake_decode else _decode_image_real
+            (lambda c: _fake_features(c, dim))
+            if fake_decode
+            else (lambda c: real_feature_kernel(c, dim))
         )
 
     def run(batches):

@@ -53,10 +53,13 @@ def pack_documents(
     standard streaming-pack tradeoff (exact first-fit is inherently
     sequential; this is one window pass).
 
-    Output: (id, bin_id, offset_in_bin, n_tokens). Oversized documents
-    (> budget) get a bin of their own. One shuffle (the window sort);
-    at scale, partition by a coarse split (date/shard) first and pack
-    within partitions to keep the sort bounded."""
+    Output: (id, bin_id, offset_in_bin, n_tokens). An oversized document
+    (> budget) starts in whatever bin its cumulative position lands in and
+    spills across the following bin indices (bin boundaries are cumulative,
+    so subsequent documents continue after it — no bin is ever assigned
+    twice out of order). One shuffle (the window sort); at scale, partition
+    by a coarse split (date/shard) first and pack within partitions to keep
+    the sort bounded."""
     order = order_col or id_col
     w = Window.orderBy(F.col(order), F.col(id_col)).rowsBetween(
         Window.unboundedPreceding, Window.currentRow - 1

@@ -84,7 +84,7 @@ def run_training_data_pipeline(
 
     clusters = dedup_clusters(
         docs, id_col, text_col, threshold=near_dup_threshold, max_df=max_df
-    )
+    )  # output keyed by id_col (see dedup_clusters)
     losers = clusters.filter(F.col(id_col) != F.col("cluster_id")).select(id_col)
     kept = docs.join(losers, id_col, "left_anti")
 

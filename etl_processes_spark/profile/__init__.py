@@ -160,35 +160,60 @@ def profile(
 
         # Deterministic mode: replace the order-dependent double-sum moments
         # with exact decimal power sums (bit-stable across engines and
-        # partitionings; see numeric_profile_exact_df). Integer columns scale
-        # by 1, datetimes by epoch-days, floats by cents (valid for ≤2dp
-        # data — money-style columns; wider fractions keep double moments).
+        # partitionings; see numeric_profile_exact_df). Integer columns
+        # scale by 1, datetimes by epoch-days, floats by cents. Columns the
+        # exact profiler can't represent keep their double moments: floats
+        # with >2 decimal places (cents-rounding would corrupt them) and
+        # integers outside ±1e9 (the decimal(9,0) domain) — the override is
+        # guarded, never assumed. Per-column exact jobs run concurrently on
+        # the persisted sample (same pattern as the text profiles).
         if deterministic:
+            from concurrent.futures import ThreadPoolExecutor
+
             from etl_processes_spark.profile.profilers import numeric_profile_exact_df
 
-            for c, t in types.items():
+            def _exact_row(c: str, t: str):
                 if t == INTEGER:
                     y, mult = F.col(c), 1.0
                 elif t == FLOAT:
                     y, mult = F.round(F.col(c) * 100, 0), 0.01
-                elif t == DATETIME:
+                else:  # DATETIME: epoch days — always within decimal(9,0)
                     y = F.floor(ts_expr(frame, c).cast("double") / 86400)
                     mult = 86400.0
-                else:
-                    continue
-                row = numeric_profile_exact_df(
-                    frame.filter(F.col(c).isNotNull()), y, out_mult=mult
-                ).collect()[0]
-                p = f"{c}__"
-                wide[f"{p}mean"] = row["mean"]
-                wide[f"{p}std"] = row["std"]
-                wide[f"{p}median"] = row["median"]
-                wide[f"{p}min_val"] = row["min_val"]
-                wide[f"{p}max_val"] = row["max_val"]
-                wide[f"{p}skew"] = row["skew"]
-                wide[f"{p}kurt"] = row["kurt"]
-                wide[f"{p}q1"] = row["q1"]
-                wide[f"{p}q3"] = row["q3"]
+                nn = frame.filter(F.col(c).isNotNull())
+                if t in (INTEGER, FLOAT):
+                    guard = nn.agg(
+                        F.max(F.abs(y)).alias("mx"),
+                        F.max(F.abs(F.col(c) * 100 - F.round(F.col(c) * 100, 0))).alias(
+                            "frac"
+                        ),
+                    ).collect()[0]
+                    if guard["mx"] is None or float(guard["mx"]) >= 1e9:
+                        return None  # out of exact-decimal range
+                    if t == FLOAT and float(guard["frac"] or 0.0) > 0:
+                        return None  # >2dp values: cents scaling would corrupt
+                return numeric_profile_exact_df(nn, y, out_mult=mult).collect()[0]
+
+            todo_exact = {
+                c: t for c, t in types.items() if t in (INTEGER, FLOAT, DATETIME)
+            }
+            if todo_exact:
+                with ThreadPoolExecutor(max_workers=min(4, len(todo_exact))) as ex:
+                    futs = {
+                        c: ex.submit(_exact_row, c, t) for c, t in todo_exact.items()
+                    }
+                    for c, fut in futs.items():
+                        row = fut.result()
+                        if row is None:
+                            continue
+                        p = f"{c}__"
+                        for k_out, k_row in (
+                            ("mean", "mean"), ("std", "std"), ("median", "median"),
+                            ("min_val", "min_val"), ("max_val", "max_val"),
+                            ("skew", "skew"), ("kurt", "kurt"),
+                            ("q1", "q1"), ("q3", "q3"),
+                        ):
+                            wide[f"{p}{k_out}"] = row[k_row]
 
         # Text-ish columns' embedding profiles run CONCURRENTLY (Spark's
         # scheduler interleaves the per-column jobs; each is several small

@@ -46,10 +46,20 @@ def validate_numeric(
 
         is_int = prof.logical_type == INTEGER
         y = F.col(c) if is_int else F.round(F.col(c) * 100, 0)
-        row = numeric_profile_exact_df(
-            df.filter(F.col(c).isNotNull()), y, out_mult=1.0 if is_int else 0.01
+        nn = df.filter(F.col(c).isNotNull())
+        guard = nn.agg(
+            F.max(F.abs(y)).alias("mx"),
+            F.max(F.abs(F.col(c) * 100 - F.round(F.col(c) * 100, 0))).alias("frac"),
         ).collect()[0]
-        synth = {"mean": row["mean"], "std": row["std"], "median": row["median"]}
+        if guard["mx"] is None:
+            return {"error": "empty synthetic column"}
+        if float(guard["mx"]) >= 1e9 or (not is_int and float(guard["frac"] or 0.0) > 0):
+            # outside the exact-decimal domain (or >2dp floats): the
+            # double-moment path is correct, just not hash-stable
+            synth = numeric_profile(df, c)
+        else:
+            row = numeric_profile_exact_df(nn, y, out_mult=1.0 if is_int else 0.01).collect()[0]
+            synth = {"mean": row["mean"], "std": row["std"], "median": row["median"]}
     else:
         synth = numeric_profile(df, c)
     if synth is None:

@@ -125,3 +125,19 @@ def test_asof_matches_pandas_merge_asof(spark, lefts, rights):
         g, e = got[eid], exp[eid]
         g_null = g is None or g != g  # toPandas renders SQL NULL as NaN
         assert (g_null and e != e) or g == e
+
+
+def test_asof_right_ts_ties_are_deterministic(spark):
+    from datetime import datetime
+
+    t = datetime.fromisoformat("2024-01-01T00:00:05")
+    left = spark.createDataFrame([(1, "u", datetime.fromisoformat("2024-01-01T00:00:09"))],
+                                 ["event_id", "user", "ts"])
+    right = spark.createDataFrame(
+        [("u", t, 1.0), ("u", t, 2.0)], ["user", "ts", "px"]
+    )
+    # tied right timestamps: ties break on the value columns (sort-last wins
+    # backward), identically under any partitioning
+    for parts in (1, 5):
+        got = asof_join(left, right.repartition(parts), on="user").collect()
+        assert got[0]["px_r"] == 2.0

@@ -108,3 +108,27 @@ def test_deterministic_profile_is_partition_invariant(spark):
         )
         outs.append(sorted(map(tuple, generate(spark, profs, 100, seed=5).collect())))
     assert outs[0] == outs[1]
+
+
+def test_deterministic_profile_guards_fractional_floats(spark):
+    """FLOAT columns with >2 decimal places must KEEP their double moments
+    in deterministic mode (cents-rounding would corrupt them to ~0)."""
+    from etl_processes_spark.profile import profile
+
+    df = spark.createDataFrame(
+        [(i, 0.001 + i * 0.0001) for i in range(50)], ["id", "x"]
+    )
+    profs = profile(
+        df, deterministic=True, sample_key="id", text_stats=False, sample_rows=None
+    )
+    m = profs["x"].stats["mean"]
+    assert abs(m - (0.001 + 0.0001 * 49 / 2)) < 1e-6  # true mean, not 0.0
+
+
+def test_validate_exact_empty_column_returns_error(spark):
+    from etl_processes_spark.profile.types import ColumnProfile
+    from etl_processes_spark.validate import validate_numeric
+
+    empty = spark.createDataFrame([], "x double")
+    prof = ColumnProfile("x", "float", None, {"mean": 1.0, "std": 0.0, "median": 1.0})
+    assert "error" in validate_numeric(prof, empty, "x", exact=True)

@@ -163,3 +163,24 @@ def test_real_kernel_through_spark_plumbing(spark):
     assert feats[1][0] == 1.0 and abs(feats[1][4] - 9 / 255) < 1e-9
     assert feats[2][0] == 2.0 and feats[2][1] == 8000.0
     assert feats[3] == [0.0] * 16  # corrupt payload → zeros, job survives
+
+
+def test_real_kernel_dim_and_empty_wav(spark):
+    import numpy as np
+    import struct
+
+    from etl_processes_spark.ops.multimodal import MEDIA_SCHEMA, extract_features, real_feature_kernel
+
+    # empty data chunk: undecodable -> zeros, never NaN
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    wav = (b"RIFF" + struct.pack("<I", 36) + b"WAVE"
+           + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+           + b"data" + struct.pack("<I", 0))
+    v = real_feature_kernel(wav)
+    assert not np.isnan(v).any() and not v.any()
+
+    # the dim argument reaches the real kernel through extract_features
+    rows = [(0, "image", "image/bmp", 5, 3, None, bytearray(_make_bmp(5, 3, (1, 2, 3))))]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = extract_features(media, dim=8, fake_decode=False).collect()[0]
+    assert len(out["features"]) == 8

@@ -66,3 +66,17 @@ def test_training_data_pipeline_end_to_end(spark):
     assert all(r["pred_lang"] == "en" for r in out)    # german + junk filtered
     assert all(r["offset_in_bin"] < 24 for r in out)
     assert len({r["bin_id"] for r in out}) >= 2        # actually packed
+
+
+def test_training_pipeline_custom_id_col(spark):
+    from etl_processes_spark.pipeline import run_training_data_pipeline
+
+    docs = spark.createDataFrame(
+        [(1, "the cat sat on the mat in the sun and the dog slept by the door"),
+         (2, "the cat sat on the mat in the sun and the dog slept by the door")],
+        ["my_id", "text"],
+    )
+    out = run_training_data_pipeline(
+        spark, docs, id_col="my_id", min_quality=0.0, pack_budget=None
+    ).collect()
+    assert [r["my_id"] for r in out] == [1]  # dedup keyed by the custom id
