@@ -165,3 +165,32 @@ def test_stream_static_dim_join_matches_batch(spark, event_dir):
     finally:
         shutil.rmtree(out, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_streaming_dedup_within_watermark(spark, event_dir):
+    """Streaming exact dedup: dropDuplicatesWithinWatermark keyed on
+    event_id — state expires with the watermark instead of growing forever
+    (the streaming twin of dedup_exact; at scale the key is the content
+    sha). Result must equal the batch distinct over the same files."""
+    out = tempfile.mkdtemp(prefix="sd_out_")
+    ckpt = tempfile.mkdtemp(prefix="sd_ckpt_")
+    try:
+        schema = spark.read.parquet(event_dir).schema
+        doubled = spark.read.parquet(event_dir)
+        dup_src = tempfile.mkdtemp(prefix="sd_src_")
+        doubled.union(doubled).write.mode("overwrite").parquet(dup_src)
+
+        stream = (
+            spark.readStream.schema(schema)
+            .parquet(dup_src)
+            .withWatermark("ts", "1 hour")
+            .dropDuplicatesWithinWatermark(["event_id"])
+            .select("event_id", "user_id", "value")
+        )
+        run_stream_once(stream, out, ckpt)
+        got = spark.read.parquet(out)
+        assert got.count() == spark.read.parquet(event_dir).count()
+        assert got.select("event_id").distinct().count() == got.count()
+    finally:
+        for d in (out, ckpt, dup_src):
+            shutil.rmtree(d, ignore_errors=True)
