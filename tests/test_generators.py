@@ -132,3 +132,21 @@ def test_validate_exact_empty_column_returns_error(spark):
     empty = spark.createDataFrame([], "x double")
     prof = ColumnProfile("x", "float", None, {"mean": 1.0, "std": 0.0, "median": 1.0})
     assert "error" in validate_numeric(prof, empty, "x", exact=True)
+
+
+def test_deterministic_profile_guards_huge_integers(spark):
+    """Integers outside the decimal(9,0) exact domain keep their correct
+    double moments (the exact override would silently null-overflow)."""
+    from etl_processes_spark.profile import profile
+
+    # 17 digits: outside the decimal(9,0) domain AND outside the 7-15-digit
+    # phone heuristic (10-digit ints faithfully type as 'phone' — Q1 quirk)
+    big = 10_000_000_000_000_000
+    df = spark.createDataFrame(
+        [(i, big + i) for i in range(50)], ["id", "x"]
+    )
+    profs = profile(
+        df, deterministic=True, sample_key="id", text_stats=False, sample_rows=None
+    )
+    m = profs["x"].stats["mean"]
+    assert abs(m - (big + 24.5)) < 8.0  # true mean (double ulp ~2 at 1e16)

@@ -80,3 +80,24 @@ def test_training_pipeline_custom_id_col(spark):
         spark, docs, id_col="my_id", min_quality=0.0, pack_budget=None
     ).collect()
     assert [r["my_id"] for r in out] == [1]  # dedup keyed by the custom id
+
+
+# hypothesis: pack invariants under random token streams ---------------------
+
+from hypothesis import given, settings, strategies as st
+
+
+@settings(max_examples=8, deadline=None, derandomize=True)
+@given(st.lists(st.integers(1, 300), min_size=1, max_size=30), st.integers(50, 200))
+def test_pack_documents_invariants(spark, toks, budget):
+    df = spark.createDataFrame(list(enumerate(toks)), ["doc_id", "n_tokens"])
+    rows = sorted(
+        pack_documents(df, "doc_id", "n_tokens", budget).collect(),
+        key=lambda r: r["doc_id"],
+    )
+    cum = 0
+    for r in rows:
+        assert r["bin_id"] == cum // budget       # cumulative bin assignment
+        assert r["offset_in_bin"] == cum % budget
+        cum += r["n_tokens"]
+    assert [r["bin_id"] for r in rows] == sorted(r["bin_id"] for r in rows)
