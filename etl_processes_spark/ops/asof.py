@@ -66,24 +66,31 @@ def asof_join(
     )
     u = r.unionByName(l)
 
-    # Right-side value columns join the ordering as tiebreakers: without
-    # them, equal-(key, ts) right rows would be matched nondeterministically
-    # (shuffle-order dependent). With them, ties resolve to the sort-last
-    # (backward) / sort-first (forward) value tuple — deterministic under
+    # All right-side columns travel as ONE struct (null on left rows), and
+    # last(struct, ignorenulls) carries the single matched row forward —
+    # never a chimera of columns from different right rows (a per-column
+    # last(col, ignorenulls) would backfill a NULL value column from an
+    # OLDER right row). The struct is also the tiebreaker: equal-(key, ts)
+    # right rows resolve to one total struct order — deterministic under
     # any partitioning.
-    tiebreak = [F.col(r_names[c]).asc_nulls_first() for c in val_cols]
+    payload = F.when(
+        F.col("__side") == 0,
+        F.struct(F.col(ts_out), *[F.col(r_names[c]) for c in val_cols]),
+    ).alias("__payload")
+    u = u.select("*", payload)
     if direction == "backward":
-        order = [F.col("__ts").asc(), F.col("__side").asc(), *tiebreak]
+        order = [F.col("__ts").asc(), F.col("__side").asc(), F.col("__payload").asc_nulls_first()]
     else:
-        order = [F.col("__ts").desc(), F.col("__side").asc(), *tiebreak]
+        order = [F.col("__ts").desc(), F.col("__side").asc(), F.col("__payload").asc_nulls_first()]
     w = (
         Window.partitionBy(*keys)
         .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
 
-    carried = [F.last(ts_out, ignorenulls=True).over(w).alias(ts_out)] + [
-        F.last(r_names[c], ignorenulls=True).over(w).alias(r_names[c]) for c in val_cols
+    matched = F.last("__payload", ignorenulls=True).over(w)
+    carried = [matched.getField(ts_out).alias(ts_out)] + [
+        matched.getField(r_names[c]).alias(r_names[c]) for c in val_cols
     ]
     out = (
         u.select(*keys, "__ts", "__side", *[f"__l_{c}" for c in left.columns], *carried)

@@ -127,6 +127,25 @@ def test_asof_matches_pandas_merge_asof(spark, lefts, rights):
         assert (g_null and e != e) or g == e
 
 
+def test_asof_null_value_col_not_backfilled(spark):
+    # Matched right row has a NULL in one value column: that NULL must
+    # survive — never be backfilled from an OLDER right row (chimera bug).
+    left = spark.createDataFrame(
+        [(1, "u", _ts("2024-01-01T00:00:10"))], ["event_id", "user", "ts"]
+    )
+    right = spark.createDataFrame(
+        [
+            ("u", _ts("2024-01-01T00:00:01"), 1.0, 2.0),
+            ("u", _ts("2024-01-01T00:00:05"), 3.0, None),
+        ],
+        "user string, ts timestamp, a double, b double",
+    )
+    row = asof_join(left, right, on="user").collect()[0]
+    assert row["a_r"] == 3.0
+    assert row["b_r"] is None  # from the SAME matched row, not ts=1's 2.0
+    assert row["ts_r"] == 1704067205000000
+
+
 def test_asof_right_ts_ties_are_deterministic(spark):
     from datetime import datetime
 
