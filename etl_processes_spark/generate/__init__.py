@@ -53,6 +53,12 @@ def generate(
         if num_partitions
         else spark.range(n_samples)
     )
+    # Generated columns are built under reserved temp names and renamed to
+    # their profile names only in the final select: the range "id" column
+    # (which u_expr/z_expr and gen_text_column key their RNG off) must stay
+    # the ONLY column named "id" through every intermediate stage, or a
+    # profiled column named "id" makes each reference AMBIGUOUS.
+    tmp_of = {name: f"__etl_gen_{i}__" for i, name in enumerate(profiles)}
     # Materialize one uniform column per categorical target FIRST: a raw
     # F.rand() inside a when-chain re-draws per branch (see gen_categorical).
     rand_cols: dict[str, str] = {}
@@ -66,63 +72,64 @@ def generate(
     exprs = []
     for i, (name, prof) in enumerate(profiles.items()):
         col_seed = seed + 7919 * i  # stable per-column offset
+        tmp = tmp_of[name]
         t = prof.logical_type
         s = prof.stats
         if t in (INTEGER, FLOAT):
-            exprs.append(gen_numeric(s, t == INTEGER, col_seed).alias(name))
+            exprs.append(gen_numeric(s, t == INTEGER, col_seed).alias(tmp))
         elif t == BOOLEAN:
-            exprs.append(gen_boolean(s, prof.format, col_seed).alias(name))
+            exprs.append(gen_boolean(s, prof.format, col_seed).alias(tmp))
         elif t == CATEGORICAL:
             if s.get("categories") and len(s["categories"]) > _MAX_INLINE:
-                join_cols.append((name, prof, col_seed))
+                join_cols.append((tmp, prof, col_seed))
             else:
-                exprs.append(gen_categorical(s, F.col(rand_cols[name])).alias(name))
+                exprs.append(gen_categorical(s, F.col(rand_cols[name])).alias(tmp))
         elif t == DATETIME:
-            exprs.append(gen_datetime(s, prof.format, col_seed).alias(name))
+            exprs.append(gen_datetime(s, prof.format, col_seed).alias(tmp))
         elif t in (EMAIL, PHONE):
             entries = s.get("raw_entries") or []
             if entries and len(entries) > 4 * _MAX_INLINE:
-                join_cols.append((name, prof, col_seed))  # broadcast-join path
+                join_cols.append((tmp, prof, col_seed))  # broadcast-join path
             elif entries:
-                exprs.append(bootstrap_resample(entries, col_seed).alias(name))
+                exprs.append(bootstrap_resample(entries, col_seed).alias(tmp))
             elif t == EMAIL:
-                exprs.append(gen_email_fallback(col_seed).alias(name))
+                exprs.append(gen_email_fallback(col_seed).alias(tmp))
             else:
-                exprs.append(gen_phone_fallback(col_seed).alias(name))
+                exprs.append(gen_phone_fallback(col_seed).alias(tmp))
         elif t == TEXT:
             if "mean_vector" in s:
                 # Embedding-backed MVN path — attached by
                 # etl_processes_spark.text.gen_text_column post-hoc.
-                join_cols.append((name, prof, col_seed))
+                join_cols.append((tmp, prof, col_seed))
             else:
                 entries = s.get("raw_entries") or []
                 if entries and len(entries) > 4 * _MAX_INLINE:
-                    join_cols.append((name, prof, col_seed))
+                    join_cols.append((tmp, prof, col_seed))
                 elif entries:
-                    exprs.append(bootstrap_resample(entries, col_seed).alias(name))
+                    exprs.append(bootstrap_resample(entries, col_seed).alias(tmp))
                 else:
-                    exprs.append(gen_unknown().alias(name))
+                    exprs.append(gen_unknown().alias(tmp))
         else:
-            exprs.append(gen_unknown().alias(name))
+            exprs.append(gen_unknown().alias(tmp))
 
     # keep the range id through the post-hoc stages: gen_text_column seeds
     # its per-row RNG by (seed, id) — deterministic under any partitioning
     out = frame.select(F.col("id"), *exprs) if exprs else frame
-    for name, prof, col_seed in join_cols:
+    for tmp, prof, col_seed in join_cols:
         if prof.logical_type == CATEGORICAL:
-            out = gen_categorical_join(spark, out, name, prof.stats, col_seed)
+            out = gen_categorical_join(spark, out, tmp, prof.stats, col_seed)
         elif prof.logical_type == TEXT and "mean_vector" in prof.stats:
             from etl_processes_spark.text import gen_text_column
 
-            out = gen_text_column(spark, out, name, prof, col_seed)
+            out = gen_text_column(spark, out, tmp, prof, col_seed)
         else:
             from etl_processes_spark.generate.generators import bootstrap_resample_join
 
             out = bootstrap_resample_join(
-                spark, out, name, prof.stats["raw_entries"], col_seed
+                spark, out, tmp, prof.stats["raw_entries"], col_seed
             )
-    # output columns in profile order, id dropped
-    return out.select(*[name for name in profiles])
+    # output columns in profile order under their real names; id + temps dropped
+    return out.select(*[F.col(tmp_of[name]).alias(name) for name in profiles])
 
 
 __all__ = ["generate", "DEFAULT_GEN_SEED"]

@@ -90,6 +90,31 @@ def test_generate_full_table_deterministic(spark):
     assert (a.note == "").all()
 
 
+def test_generate_with_column_named_id(spark):
+    # A profiled column named "id" must not collide with the internal
+    # spark.range id (regression: AMBIGUOUS_REFERENCE in the final select
+    # and in u_expr's F.col("id")).
+    profiles = {
+        "id": ColumnProfile("id", "integer", None, NUM_STATS),
+        "seg": ColumnProfile(
+            "seg", "categorical", None,
+            {"categories": ["A", "B"], "probabilities": [0.7, 0.3]},
+        ),
+    }
+    out = generate(spark, profiles, 100, seed=31).toPandas()
+    assert list(out.columns) == ["id", "seg"]
+    assert len(out) == 100
+    # and the values match a same-seed run where the column has a safe name,
+    # i.e. the collision-proofing does not change the generated stream
+    safe = {
+        "amount": ColumnProfile("amount", "integer", None, NUM_STATS),
+        "seg": profiles["seg"],
+    }
+    ref = generate(spark, safe, 100, seed=31).toPandas()
+    assert (out["id"].to_numpy() == ref["amount"].to_numpy()).all()
+    assert (out["seg"] == ref["seg"]).all()
+
+
 def test_deterministic_profile_is_partition_invariant(spark):
     """profile(deterministic=True) + generate must produce the identical
     table regardless of input partitioning — the property that lets the
