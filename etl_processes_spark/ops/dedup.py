@@ -260,6 +260,7 @@ def connected_components(
     src: str = "id_a",
     dst: str = "id_b",
     max_iterations: int = 25,
+    initial_labels: DataFrame | None = None,
 ) -> DataFrame:
     """Connected components over an undirected edge list → (node, cluster_id)
     with cluster_id = min node id in the component.
@@ -274,6 +275,16 @@ def connected_components(
     of rounds; ``localCheckpoint`` truncates lineage so the iterative plan
     never snowballs. Per-iteration cost: two equi-joins keyed on node id —
     no all-pairs stage anywhere.
+
+    ``initial_labels`` (node, label) optionally seeds the propagation with
+    labels already known to be component-minima candidates (e.g. exact-dup
+    group minima) — the label must be a node id inside the same component;
+    nodes not covered default to their own id. Cuts a round or two when
+    large known groups would otherwise collapse via edge propagation.
+
+    Exhausting ``max_iterations`` before the label-sum fixpoint means some
+    components may still carry split labels; that raises RuntimeError rather
+    than silently returning unconverged clusters.
     """
     edges = pairs.select(F.col(src).alias("s"), F.col(dst).alias("d"))
     und = edges.union(edges.select(F.col("d").alias("s"), F.col("s").alias("d")))
@@ -284,13 +295,21 @@ def connected_components(
     n_edges = und.count()
     npart = max(1, min(und.rdd.getNumPartitions(), n_edges // 100_000 + 1))
     und = und.repartition(npart, "s").localCheckpoint(eager=True)
-    labels = (
-        und.select(F.col("s").alias("node"))
-        .distinct()
-        .withColumn("label", F.col("node"))
-        .localCheckpoint(eager=True)
-    )
+    nodes = und.select(F.col("s").alias("node")).distinct()
+    if initial_labels is None:
+        labels = nodes.withColumn("label", F.col("node"))
+    else:
+        seeds = initial_labels.select(
+            F.col(initial_labels.columns[0]).alias("node"),
+            F.col(initial_labels.columns[1]).alias("__seed"),
+        )
+        labels = nodes.join(seeds, "node", "left").select(
+            "node",
+            F.least(F.col("node"), F.coalesce("__seed", "node")).alias("label"),
+        )
+    labels = labels.localCheckpoint(eager=True)
     prev_sum = None
+    converged = False
     for _ in range(max_iterations):
         nbr = (
             und.join(labels.withColumnRenamed("node", "s"), "s")
@@ -318,8 +337,15 @@ def connected_components(
         s = jumped.agg(F.sum("label")).collect()[0][0]
         labels = jumped
         if s == prev_sum:
+            converged = True
             break
         prev_sum = s
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not reach the label fixpoint within "
+            f"{max_iterations} iterations — components may be split; raise "
+            f"max_iterations (graph diameter exceeds 2^{max_iterations})"
+        )
     return labels.select("node", F.col("label").alias("cluster_id"))
 
 
@@ -350,7 +376,13 @@ def dedup_clusters(
     near = ngram_jaccard_pairs(
         df, id_col, text_col, k=k, threshold=threshold, max_df=max_df
     ).select("id_a", "id_b")
-    cc = connected_components(exact.union(near))
+    # seed propagation with the exact-group min: every doc's exact group is
+    # inside its component (star edges above), so large exact-dup groups
+    # collapse at round 0 instead of via edge propagation
+    seeds = base.join(keep, "__t").select(
+        F.col("id").alias("node"), F.col("id_a").alias("label")
+    )
+    cc = connected_components(exact.union(near), initial_labels=seeds)
     return cc.select(F.col("node").alias(id_col), "cluster_id")
 
 

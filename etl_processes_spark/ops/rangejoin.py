@@ -18,6 +18,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+# A single band wider than this many buckets explodes to that many join
+# rows — almost always a mis-chosen granularity, not a real workload.
+MAX_BUCKETS_PER_BAND = 1_000_000
+
 
 def range_join_bucketized(
     points: DataFrame,
@@ -26,19 +30,37 @@ def range_join_bucketized(
     lo_col: str = "lo",
     hi_col: str = "hi",
     granularity: float = 1.0,
+    max_buckets_per_band: int = MAX_BUCKETS_PER_BAND,
 ) -> DataFrame:
     """Inner interval join: every (point, band) pair with
-    lo <= point.value < hi. Output = point columns + band columns."""
+    lo <= point.value < hi. Output = point columns + band columns.
+
+    Raises ValueError on granularity <= 0 (would yield NaN/garbage bucket
+    ids and a silently wrong join). A band spanning more than
+    ``max_buckets_per_band`` buckets fails the job with raise_error rather
+    than exploding to millions of rows unnoticed."""
     g = float(granularity)
-    b = bands.withColumn(
-        "__bucket",
-        F.explode(
-            F.sequence(
-                F.floor(F.col(lo_col) / g).cast("long"),
-                F.floor(F.col(hi_col) / g).cast("long"),
+    if not g > 0:
+        raise ValueError(f"granularity must be > 0, got {granularity}")
+    lo_b = F.floor(F.col(lo_col) / g).cast("long")
+    hi_b = F.floor(F.col(hi_col) / g).cast("long")
+    # guarded upper bound: a band wider than the cap fails loudly instead of
+    # exploding; the when-branch only evaluates raise_error on offenders
+    hi_guarded = F.when(
+        hi_b - lo_b >= int(max_buckets_per_band),
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    f"range_join_bucketized: band spans >= "
+                    f"{int(max_buckets_per_band)} buckets at granularity {g} — "
+                    f"raise granularity or max_buckets_per_band (band ["
+                ),
+                F.col(lo_col).cast("string"), F.lit(", "),
+                F.col(hi_col).cast("string"), F.lit("))"),
             )
-        ),
-    )
+        ).cast("long"),
+    ).otherwise(hi_b)
+    b = bands.withColumn("__bucket", F.explode(F.sequence(lo_b, hi_guarded)))
     p = points.withColumn("__bucket", F.floor(F.col(value_col) / g).cast("long"))
     v = F.col(value_col)
     return (

@@ -135,6 +135,34 @@ def test_connected_components_chain_and_islands(spark):
     assert got == {**{i: 0 for i in range(9)}, 20: 20, 21: 20, 22: 20, 30: 30, 31: 30}
 
 
+def test_connected_components_raises_when_unconverged(spark):
+    from etl_processes_spark.ops.dedup import connected_components
+
+    import pytest
+
+    # a 20-node chain cannot reach + confirm the fixpoint in 2 iterations
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(19)], ["id_a", "id_b"])
+    with pytest.raises(RuntimeError, match="fixpoint"):
+        connected_components(pairs, max_iterations=2)
+
+
+def test_connected_components_initial_labels_same_result(spark):
+    from etl_processes_spark.ops.dedup import connected_components
+
+    edges = [(i, i + 1) for i in range(8)] + [(20, 21), (30, 31)]
+    pairs = spark.createDataFrame(edges, ["id_a", "id_b"])
+    # seed a known group min (nodes 4..8 pre-labeled 4; correct final is 0)
+    seeds = spark.createDataFrame([(n, 4) for n in range(4, 9)], ["node", "label"])
+    plain = {
+        r["node"]: r["cluster_id"] for r in connected_components(pairs).collect()
+    }
+    seeded = {
+        r["node"]: r["cluster_id"]
+        for r in connected_components(pairs, initial_labels=seeds).collect()
+    }
+    assert plain == seeded
+
+
 def test_dedup_clusters_exact_and_near(docs):
     from etl_processes_spark.ops.dedup import dedup_clusters
 

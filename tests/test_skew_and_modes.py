@@ -75,3 +75,22 @@ def test_range_join_bucketized_matches_naive(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "NestedLoop" not in plan
+
+
+def test_range_join_bucketized_guards(spark):
+    import pytest
+    from py4j.protocol import Py4JJavaError
+    from etl_processes_spark.ops.rangejoin import range_join_bucketized
+
+    pts = spark.createDataFrame([(0, 10.0)], ["pid", "v"])
+    bands = spark.createDataFrame([(0, 0.0, 100.0)], ["band_id", "lo", "hi"])
+    with pytest.raises(ValueError, match="granularity"):
+        range_join_bucketized(pts, bands, "v", granularity=0.0)
+    with pytest.raises(ValueError, match="granularity"):
+        range_join_bucketized(pts, bands, "v", granularity=-1.0)
+    # a band wider than the bucket cap fails loudly instead of exploding
+    with pytest.raises(Exception, match="buckets") as exc:
+        range_join_bucketized(
+            pts, bands, "v", granularity=1.0, max_buckets_per_band=10
+        ).collect()
+    assert isinstance(exc.value, Py4JJavaError) or "buckets" in str(exc.value)
