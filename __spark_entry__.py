@@ -395,11 +395,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return spark.createDataFrame([row])
 
     def q_gen_text_mvn(spark, sf):
+        # full MVN path, hash-gated: profile (distributed) → driver Cholesky →
+        # md5 Box-Muller z per (seed,row,dim) → x = mu + Lz → cosine decode.
+        # The oracle recomputes mu/L via a numpy twin profile and replays the
+        # identical draws + GEMM + decode in DuckDB.
         from etl_processes_spark.profile.types import ColumnProfile
         from etl_processes_spark.text import gen_text_column
 
         cp = ColumnProfile("text", "text", None, _text_profile_cached(spark, sf))
-        return gen_text_column(spark, spark.range(50), "text", cp, seed=37).select("text")
+        return gen_text_column(spark, spark.range(50), "text", cp, seed=37).select(
+            "id", "text"
+        )
 
     def q_pca_2d(spark, sf):
         from pyspark.ml.feature import PCA
@@ -874,6 +880,94 @@ _CUSTOMER_KINDS = (
     ("c_name", "varchar"),
     ("c_nationkey", "integral"),
 )
+
+
+def _mvn_oracle_sql(
+    sf_dir: str = "/root/testdata/sf0.01",
+    seed: int = 37,
+    n_rows: int = 50,
+    vector_size: int = 4,
+) -> str:
+    """DuckDB twin of q_gen_text_mvn: profile → x = mu + Lz → cosine decode.
+
+    mu and the Cholesky factor L are driver-side constants in the engine
+    itself (gen_text_column computes L once and broadcasts it), so they
+    enter the oracle the same way — as literal tables, recomputed here by
+    an independent numpy twin of text_profile (same md5 Box-Muller
+    embeddings, plain numpy moments — no Spark involved). Everything
+    per-row is recomputed natively in DuckDB: z draws from md5 hex slices
+    keyed (seed,row,dim) (bit-identical to mvn_z_matrix), the matvec as a
+    join-aggregate, and the per-slot argmax-cosine decode against the
+    document vocabulary. The driver's gate runs at sf0.01 — the literals
+    are derived from that same fixture."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from etl_processes_spark.text.embedding import vectorise_entry
+
+    d = 32 * vector_size
+    texts = [
+        t
+        for t in pq.read_table(f"{sf_dir}/documents.parquet", columns=["text"])
+        .column("text")
+        .to_pylist()
+        if t is not None
+    ]
+    X = np.stack([vectorise_entry(t, vector_size) for t in texts])
+    n = X.shape[0]
+    mu = X.mean(axis=0)
+    cov = (X.T @ X - n * np.outer(mu, mu)) / (n - 1) + np.eye(d) * 1e-6
+    L = np.linalg.cholesky(cov)
+
+    mu_vals = ", ".join(f"({i}, {float(mu[i])!r})" for i in range(d))
+    l_vals = ", ".join(
+        f"({i}, {j}, {float(L[i, j])!r})"
+        for i in range(d)
+        for j in range(i + 1)
+        if L[i, j] != 0.0
+    )
+    _toks = (
+        "list_filter(string_split_regex(lower(text), '[^\\pL_]+'), "
+        "s -> length(s) BETWEEN 2 AND 15)"
+    )
+    zsql = (
+        f"sqrt(-2e0 * ln((CAST(concat('0x', substr(md5('{seed}:mvn:' || CAST(rid AS VARCHAR)"
+        f" || ':' || CAST((j // 8) AS VARCHAR)), (j % 8) * 4 + 1, 4)) AS INT) + 0.5e0) / 65536.0e0))"
+        f" * cos(2e0 * pi() * (CAST(concat('0x', substr(md5('{seed}:mvn:' || CAST(rid AS VARCHAR)"
+        f" || ':' || CAST((j // 8) AS VARCHAR) || chr(1)), (j % 8) * 4 + 1, 4)) AS INT) + 0.5e0) / 65536.0e0)"
+    )
+    ztok = (
+        "sqrt(-2 * ln((CAST(concat('0x', substr(md5(tok), c * 4 + 1, 4)) AS INT) + 0.5) / 65536.0))"
+        " * cos(2 * pi() * (CAST(concat('0x', substr(md5(tok || chr(1)), c * 4 + 1, 4)) AS INT) + 0.5) / 65536.0)"
+    )
+    return f"""
+WITH mu(i, m) AS (VALUES {mu_vals}),
+lmat(i, j, v) AS (VALUES {l_vals}),
+z AS (SELECT rid, j, {zsql} AS zv
+      FROM (SELECT unnest(range(0, {n_rows})) AS rid), (SELECT unnest(range(0, {d})) AS j)),
+x AS (SELECT z.rid, l.i AS dim, any_value(mu.m) + sum(l.v * z.zv) AS xv
+      FROM z JOIN lmat l ON l.j = z.j JOIN mu ON mu.i = l.i
+      GROUP BY z.rid, l.i),
+slotv AS (SELECT rid, CAST(dim // {vector_size} AS INT) AS slot, list(xv ORDER BY dim) AS sv
+          FROM x GROUP BY rid, dim // {vector_size}),
+base AS (SELECT {_toks} AS full_t FROM documents WHERE text IS NOT NULL),
+vocab AS (SELECT DISTINCT unnest(full_t) AS tok FROM base),
+vvec AS (SELECT tok, list_transform(range(0, {vector_size}), c -> {ztok}) AS v FROM vocab),
+sims AS (SELECT s.rid, s.slot, w.tok, list_cosine_similarity(s.sv, w.v) AS cs
+         FROM slotv s CROSS JOIN vvec w),
+ranked AS (SELECT rid, slot, tok,
+                  row_number() OVER (PARTITION BY rid, slot ORDER BY cs DESC, tok) AS rk
+           FROM sims),
+pick AS (SELECT rid, slot, min(rk) AS rk FROM ranked
+         WHERE rk <= 3 AND regexp_matches(tok, '^[a-zA-Z0-9]+$')
+         GROUP BY rid, slot),
+wordpick AS (SELECT r.rid, r.slot, r.tok
+             FROM ranked r JOIN pick p ON p.rid = r.rid AND p.slot = r.slot AND p.rk = r.rk)
+SELECT r.rid AS id, coalesce(array_to_string(list(w.tok ORDER BY w.slot), ' '), '') AS text
+FROM (SELECT unnest(range(0, {n_rows})) AS rid) r
+LEFT JOIN wordpick w ON w.rid = r.rid
+GROUP BY r.rid
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1771,5 +1865,7 @@ SELECT p.p_type,
 FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
 GROUP BY p.p_type
 """
+
+    sql["gen_text_mvn"] = _mvn_oracle_sql()
 
     return sql

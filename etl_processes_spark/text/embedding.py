@@ -298,6 +298,38 @@ def text_profile(
 # ---------------------------------------------------------------------------
 
 
+def mvn_z_matrix(seed: int, ids, d: int) -> np.ndarray:
+    """(len(ids), d) standard normals via Box-Muller over md5 hex slices,
+    keyed by (seed, row id, dim) — the same cross-engine primitive as
+    token_vector, so DuckDB reproduces every draw bit-identically:
+
+        block b of row r: h1 = md5("{seed}:mvn:{r}:{b}"), h2 = md5(same + 0x01)
+        dim j in block:   u = (int(h[4j:4j+4], 16) + 0.5) / 65536
+                          z = sqrt(-2 ln u1) * cos(2 pi u2)
+
+    Each md5 yields eight 16-bit slices, so a d-dim row costs 2*ceil(d/8)
+    hashes. Values depend ONLY on (seed, id, dim): reproducible under any
+    partitioning, and the MVN text path x = mu + L z becomes oracle-gateable
+    (scalar libm math, not numpy ufuncs, for bit parity)."""
+    import math
+
+    ids = np.asarray(ids)
+    n_blocks = (d + 7) // 8
+    Z = np.empty((len(ids), d))
+    for r, rid in enumerate(ids):
+        for blk in range(n_blocks):
+            key = f"{seed}:mvn:{int(rid)}:{blk}".encode("utf-8")
+            h1 = hashlib.md5(key).hexdigest()
+            h2 = hashlib.md5(key + b"\x01").hexdigest()
+            for j in range(min(8, d - blk * 8)):
+                u1 = (int(h1[4 * j : 4 * j + 4], 16) + 0.5) / 65536.0
+                u2 = (int(h2[4 * j : 4 * j + 4], 16) + 0.5) / 65536.0
+                Z[r, blk * 8 + j] = math.sqrt(-2.0 * math.log(u1)) * math.cos(
+                    2.0 * math.pi * u2
+                )
+    return Z
+
+
 def _vocab_matrix(vocab: list[str], vector_size: int) -> np.ndarray:
     return np.stack([token_vector(t, vector_size) for t in vocab]) if vocab else np.zeros((0, vector_size))
 
@@ -340,10 +372,14 @@ def gen_text_column(
     nearest alphanumeric vocabulary word, space-join.
 
     Spark shape: Cholesky L of the d×d covariance is computed ONCE on the
-    driver and broadcast with the vocabulary matrix; each executor draws
-    z ~ N(0, I) from an RNG seeded by (seed, row id) — deterministic under
-    any partitioning — and decodes with a vectorised cosine k-NN. Falls back
-    to iid N(overall_mean, overall_std) when Cholesky fails (:327-332)."""
+    driver and broadcast with the vocabulary matrix. Each Arrow batch draws
+    its whole Z block from md5 Box-Muller normals keyed (seed, row id, dim)
+    (mvn_z_matrix — deterministic under any partitioning AND reproducible in
+    DuckDB, which is what hash-gates this path), applies ONE
+    (batch×d)@(d×d) GEMM for x = mu + Z Lᵀ, and decodes all batch·32 slots
+    in ONE vectorised cosine k-NN call — no per-row Python RNG or matvec.
+    Falls back to iid N(overall_mean, overall_std) when Cholesky fails
+    (:327-332), drawing from the same Z block."""
     s = prof.stats
     d = int(s["vector_dim"])
     vector_size = int(s.get("vector_size", VECTOR_SIZE))
@@ -370,16 +406,25 @@ def gen_text_column(
         chol_, fb, mu_, vocab_, vmat = b.value
         for pdf in batches:
             ids = pdf["id"].to_numpy()
-            texts = []
-            for rid in ids:
-                rng = np.random.RandomState((seed * 1_000_003 + int(rid)) % (2**32))
-                if chol_ is not None:
-                    x = mu_ + chol_ @ rng.randn(len(mu_))
-                else:
-                    x = rng.normal(fb[0], fb[1], size=len(mu_))
-                slots = x.reshape(MAX_TOKENS_PER_ENTRY, vector_size)
-                words = knn_decode(slots, vocab_, vmat, topn=3)
-                texts.append(" ".join(w for w in words if w).strip())
+            n = len(ids)
+            if n == 0:
+                yield pdf.assign(**{out_col: pd.Series([], dtype=str)})
+                continue
+            Z = mvn_z_matrix(seed, ids, len(mu_))
+            if chol_ is not None:
+                X = mu_[None, :] + Z @ chol_.T  # one GEMM per batch
+            else:
+                X = fb[0] + fb[1] * Z
+            slots = X.reshape(n * MAX_TOKENS_PER_ENTRY, vector_size)
+            words = knn_decode(slots, vocab_, vmat, topn=3)  # one batched k-NN
+            texts = [
+                " ".join(
+                    w
+                    for w in words[r * MAX_TOKENS_PER_ENTRY : (r + 1) * MAX_TOKENS_PER_ENTRY]
+                    if w
+                ).strip()
+                for r in range(n)
+            ]
             pdf = pdf.copy()
             pdf[out_col] = texts
             yield pdf
