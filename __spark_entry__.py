@@ -447,11 +447,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return spark.createDataFrame(rows, ["column_name", "metric", "value"])
 
     def q_reference_pipeline(spark, sf):
-        # the reference's whole main() on its own fixture CSV (rows-only)
+        # the reference's whole main() on its own fixture CSV, hash-gated:
+        # deterministic profile mode (value-ordered entries, exact-decimal
+        # moments) + md5-derived generators make the 13-column synthetic
+        # table a pure function of (fixture, seed) that DuckDB regenerates
+        # from read_csv of the same file.
         from etl_processes_spark.pipeline import run_reference_pipeline
 
         synth, _, _ = run_reference_pipeline(
-            spark, "/root/reference/customer_data_test.csv", n_samples=100, seed=41
+            spark,
+            "/root/reference/customer_data_test.csv",
+            n_samples=100,
+            seed=41,
+            deterministic=True,
+            sample_key="customer_id",
         )
         return synth
 
@@ -916,7 +925,12 @@ def _mvn_oracle_sql(
     X = np.stack([vectorise_entry(t, vector_size) for t in texts])
     n = X.shape[0]
     mu = X.mean(axis=0)
-    cov = (X.T @ X - n * np.outer(mu, mu)) / (n - 1) + np.eye(d) * 1e-6
+    cov = (X.T @ X - n * np.outer(mu, mu)) / (n - 1)
+    # same 9dp parameter quantization as gen_text_column: the Spark profile
+    # and this numpy twin agree to ~1e-13, so the quantized mu/cov — and
+    # therefore the Cholesky factor — are bit-identical on both sides
+    mu = np.round(mu, 9)
+    cov = np.round(cov, 9) + np.eye(d) * 1e-6
     L = np.linalg.cholesky(cov)
 
     mu_vals = ", ".join(f"({i}, {float(mu[i])!r})" for i in range(d))
@@ -945,7 +959,7 @@ WITH mu(i, m) AS (VALUES {mu_vals}),
 lmat(i, j, v) AS (VALUES {l_vals}),
 z AS (SELECT rid, j, {zsql} AS zv
       FROM (SELECT unnest(range(0, {n_rows})) AS rid), (SELECT unnest(range(0, {d})) AS j)),
-x AS (SELECT z.rid, l.i AS dim, any_value(mu.m) + sum(l.v * z.zv) AS xv
+x AS (SELECT z.rid, l.i AS dim, round(any_value(mu.m) + sum(l.v * z.zv), 9) AS xv
       FROM z JOIN lmat l ON l.j = z.j JOIN mu ON mu.i = l.i
       GROUP BY z.rid, l.i),
 slotv AS (SELECT rid, CAST(dim // {vector_size} AS INT) AS slot, list(xv ORDER BY dim) AS sv

@@ -20,10 +20,27 @@ from etl_processes_spark.profile.types import ColumnProfile
 
 
 def csv_scan(
-    spark: SparkSession, path: str, header: bool = True, infer_schema: bool = True
+    spark: SparkSession,
+    path: str,
+    header: bool = True,
+    infer_schema: bool = True,
+    multiline: bool = True,
 ) -> DataFrame:
-    """spark.read.csv with pandas-like inference (Latanova_v1.py:12)."""
-    return spark.read.csv(path, header=header, inferSchema=infer_schema)
+    """spark.read.csv with pandas-parity parsing (Latanova_v1.py:12):
+    RFC4180 doubled-quote escapes (escape='\"', not Spark's backslash
+    default) and quoted fields that span newlines. Spark's multiLine=false
+    default silently TRUNCATES such fields at the newline and sheds the
+    continuation as a malformed row — measured on the reference fixture: 27
+    of 500 feedback values came back truncated.
+
+    Scale note: multiLine makes a single CSV file non-splittable (one task
+    per file). Pass multiline=False for known newline-free data that must
+    split, or better, land bulk data as parquet."""
+    return (
+        spark.read.option("multiLine", multiline)
+        .option("escape", '"')
+        .csv(path, header=header, inferSchema=infer_schema)
+    )
 
 
 def parquet_scan(spark: SparkSession, path: str) -> DataFrame:
@@ -31,9 +48,10 @@ def parquet_scan(spark: SparkSession, path: str) -> DataFrame:
 
 
 def csv_sink(df: DataFrame, path: str, single_file: bool = True) -> None:
-    """to_csv(index=False) equivalent (Latanova_v1.py:705)."""
+    """to_csv(index=False) equivalent (Latanova_v1.py:705). Writes RFC4180
+    doubled-quote escapes so csv_scan (and pandas) read back verbatim."""
     out = df.coalesce(1) if single_file else df
-    out.write.mode("overwrite").csv(path, header=True)
+    out.write.mode("overwrite").option("escape", '"').csv(path, header=True)
 
 
 def parquet_sink(df: DataFrame, path: str, partition_by: list[str] | None = None) -> None:

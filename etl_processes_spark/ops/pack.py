@@ -44,6 +44,7 @@ def pack_documents(
     tokens_col: str,
     budget: int,
     order_col: str | None = None,
+    num_shards: int | None = None,
 ) -> DataFrame:
     """Assign documents to contiguous bins of ~``budget`` tokens (sequence
     packing for fixed-context training). Greedy cumulative packing in
@@ -57,22 +58,55 @@ def pack_documents(
     (> budget) starts in whatever bin its cumulative position lands in and
     spills across the following bin indices (bin boundaries are cumulative,
     so subsequent documents continue after it — no bin is ever assigned
-    twice out of order). One shuffle (the window sort); at scale, partition
-    by a coarse split (date/shard) first and pack within partitions to keep
-    the sort bounded."""
+    twice out of order).
+
+    Scale shape — two-phase prefix sum, no global single-partition sort:
+    the frame is RANGE-partitioned on the pack order into ``num_shards``
+    order-contiguous shards; phase 1 computes each row's shard-local
+    cumulative sum (window partitioned BY SHARD — every shard sorts in
+    parallel); phase 2 adds the total tokens of all earlier shards, a
+    shard-indexed prefix computed from the tiny per-shard totals (one
+    ``num_shards``-row aggregate, broadcast back). The result is the exact
+    global cumulative sum. spark_partition_id() is safe as the shard key
+    precisely because repartitionByRange makes shards order-contiguous and
+    index-ordered: the global cumsum is invariant to WHERE the shard
+    boundaries fall, so the output is deterministic even though the range
+    sampler is not."""
     order = order_col or id_col
-    w = Window.orderBy(F.col(order), F.col(id_col)).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow - 1
-    )
-    before = F.coalesce(F.sum(tokens_col).over(w), F.lit(0)).alias("__before")
-    out = df.select(
+    base = df.select(
         F.col(id_col),
         F.col(tokens_col).alias("n_tokens"),
-        before,
+        F.col(order).alias("__ord"),
     )
+    if num_shards is None:
+        num_shards = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    sh = base.repartitionByRange(num_shards, F.col("__ord"), F.col(id_col)).withColumn(
+        "__shard", F.spark_partition_id()
+    )
+    w_local = (
+        Window.partitionBy("__shard")
+        .orderBy(F.col("__ord"), F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow - 1)
+    )
+    local_before = F.coalesce(F.sum("n_tokens").over(w_local), F.lit(0))
+    # per-shard totals → prefix of earlier shards (num_shards rows: the
+    # single-partition window here is over the TINY aggregate, never the data)
+    w_pref = Window.orderBy("__shard").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow - 1
+    )
+    prefix = (
+        sh.groupBy("__shard")
+        .agg(F.sum("n_tokens").alias("__tot"))
+        .select(
+            "__shard",
+            F.coalesce(F.sum("__tot").over(w_pref), F.lit(0)).alias("__prefix"),
+        )
+    )
+    out = sh.withColumn("__lb", local_before).join(F.broadcast(prefix), "__shard")
+    before = F.col("__lb") + F.col("__prefix")
     return out.select(
         id_col,
-        F.floor(F.col("__before") / budget).cast("long").alias("bin_id"),
-        (F.col("__before") % budget).cast("long").alias("offset_in_bin"),
+        F.floor(before / budget).cast("long").alias("bin_id"),
+        (before % budget).cast("long").alias("offset_in_bin"),
         "n_tokens",
     )

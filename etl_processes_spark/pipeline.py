@@ -26,8 +26,15 @@ def run_reference_pipeline(
     n_samples: int = DEFAULT_N_SAMPLES,
     seed: int = 2025,
     sample_rows: int | None = 1000,
+    deterministic: bool = False,
+    sample_key: str | None = None,
 ) -> tuple[DataFrame, dict, str]:
-    """Returns (synthetic_df, validation, report_text)."""
+    """Returns (synthetic_df, validation, report_text).
+
+    ``deterministic=True`` (with ``sample_key``) runs the profile stage in
+    its bit-reproducible mode (hash-ranked sample, value-ordered retained
+    entries, exact-decimal moments) so the whole pipeline output is a pure
+    function of (input, seed) — reproducible across engines/partitionings."""
     if isinstance(input_path, DataFrame):
         df = input_path
     elif input_path.endswith(".csv"):
@@ -35,7 +42,9 @@ def run_reference_pipeline(
     else:
         df = spark.read.parquet(input_path)
 
-    profiles = profile(df, sample_rows=sample_rows)
+    profiles = profile(
+        df, sample_rows=sample_rows, deterministic=deterministic, sample_key=sample_key
+    )
     # persist: the synthetic frame is re-read by every per-column validation
     # job (submitted concurrently) and again by the sinks
     synthetic = generate(spark, profiles, n_samples, seed=seed).persist()

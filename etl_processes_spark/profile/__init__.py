@@ -190,7 +190,11 @@ def profile(
                     ).collect()[0]
                     if guard["mx"] is None or float(guard["mx"]) >= 1e9:
                         return None  # out of exact-decimal range
-                    if t == FLOAT and float(guard["frac"] or 0.0) > 0:
+                    # tolerance: a 2dp value stored as double leaves ~1e-9
+                    # representation noise in c*100 (4755.8*100 =
+                    # 475579.99999...); only genuine >2dp data (frac >= 0.1
+                    # after cents scaling) must keep double moments
+                    if t == FLOAT and float(guard["frac"] or 0.0) > 1e-6:
                         return None  # >2dp values: cents scaling would corrupt
                 return numeric_profile_exact_df(nn, y, out_mult=mult).collect()[0]
 

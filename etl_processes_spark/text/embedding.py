@@ -384,8 +384,14 @@ def gen_text_column(
     d = int(s["vector_dim"])
     vector_size = int(s.get("vector_size", VECTOR_SIZE))
     vocab = list(s.get("vocab") or [])
-    mu = np.asarray(s["mean_vector"], dtype=float)
-    cov = np.asarray(s["cov_matrix"], dtype=float) + np.eye(d) * 1e-6
+    # Quantize the model parameters (and below, the generated x) to 9dp:
+    # profile moments computed by different engines/summation orders agree
+    # to ~1e-13, so after quantization they are bit-identical — which makes
+    # generation a pure function of the quantized stats (Cholesky of an
+    # ill-conditioned cov would otherwise amplify 1e-13 input noise into
+    # visibly different draws). 1e-9 is far below statistical noise.
+    mu = np.round(np.asarray(s["mean_vector"], dtype=float), 9)
+    cov = np.round(np.asarray(s["cov_matrix"], dtype=float), 9) + np.eye(d) * 1e-6
     try:
         chol = np.linalg.cholesky(cov)
         fallback = None
@@ -415,6 +421,7 @@ def gen_text_column(
                 X = mu_[None, :] + Z @ chol_.T  # one GEMM per batch
             else:
                 X = fb[0] + fb[1] * Z
+            X = np.round(X, 9)  # quantized x: engine-independent decode input
             slots = X.reshape(n * MAX_TOKENS_PER_ENTRY, vector_size)
             words = knn_decode(slots, vocab_, vmat, topn=3)  # one batched k-NN
             texts = [
