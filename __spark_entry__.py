@@ -63,14 +63,23 @@ def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     exceed 2^53). Falls back to an Arrow-side conversion if the flag is
     static in the driver's session."""
     path = f"{sf_dir}/events.parquet"
-    try:
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    except Exception:
-        pass
+    import os
+
+    if os.environ.get("SPARK_GRAFT_NTZ_MODE") != "1":  # gate mimics driver session
+        try:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        except Exception:
+            pass
     try:
         df = spark.read.parquet(path)
-        if dict(df.dtypes).get("ts") == "bigint":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            # Driver sessions without the nanosAsLong flag read TIMESTAMP(NANOS)
+            # as TIMESTAMP_NTZ. The session is pinned UTC (_t), so the cast
+            # maps naive wall time to the same instant DuckDB sees.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
     except Exception:
         import pyarrow.parquet as pq
@@ -563,7 +572,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "user_id",
             "event_type",
             "purchase_value_r",
-            (F.unix_micros(F.col("ts")) - F.col("ts_r")).alias("gap_us"),
+            (F.unix_micros(F.col("ts").cast("timestamp")) - F.col("ts_r")).alias("gap_us"),
         )
 
     # -- dedup ------------------------------------------------------------------

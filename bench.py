@@ -59,33 +59,42 @@ def main() -> None:
     # shows CPU-steal spikes that add 3-5x noise to single runs, and the
     # second run still pays full query cost (no result caching) while
     # excluding one-time JVM codegen / Python-worker spin-up.
-    timings: dict[str, float] = {}
+    # One failing query must never void the whole record (round-3 lesson:
+    # BENCH_r03 was empty because one exception escaped): each query runs
+    # under try/except recording {"err": ...}, and the JSON line is emitted
+    # unconditionally in a finally block.
+    timings: dict[str, object] = {}
     total = 0.0
-    for name in bench_queries:
-        fn = qs[name]
-        best, n = float("inf"), 0
-        for _ in range(2):
-            t0 = time.time()
-            df = fn(spark, SF_DIR)
-            n = df.count()
-            best = min(best, round(time.time() - t0, 3))
-        timings[name] = best
-        total += best
-        print(f"# {name}: {best:.2f}s ({n} rows)", file=sys.stderr, flush=True)
-
-    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": round(total, 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        ),
-        flush=True,
-    )
+    errors = 0
+    try:
+        for name in bench_queries:
+            fn = qs[name]
+            best, n = float("inf"), 0
+            try:
+                for _ in range(2):
+                    t0 = time.time()
+                    df = fn(spark, SF_DIR)
+                    n = df.count()
+                    best = min(best, round(time.time() - t0, 3))
+                timings[name] = best
+                total += best
+                print(f"# {name}: {best:.2f}s ({n} rows)", file=sys.stderr, flush=True)
+            except Exception as e:
+                errors += 1
+                timings[name] = {"err": f"{type(e).__name__}: {e}"[:500]}
+                print(f"# {name}: ERROR {type(e).__name__}: {e}", file=sys.stderr, flush=True)
+    finally:
+        sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+        out = {
+            "metric": "headline_queries_total",
+            "value": round(total, 3),
+            "unit": "sec",
+            "queries": timings,
+            "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        }
+        if errors:
+            out["errors"] = errors
+        print(json.dumps(out), flush=True)
 
 
 if __name__ == "__main__":

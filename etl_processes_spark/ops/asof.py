@@ -22,6 +22,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from etl_processes_spark.timeutil import epoch_micros
+
 
 def asof_join(
     left: DataFrame,
@@ -47,18 +49,18 @@ def asof_join(
     ts_out = f"{right_ts}{suffix}"
 
     # micros as long: exact, engine-independent arithmetic (timestamp→double
-    # loses low bits at 2024-era epochs)
+    # loses low bits at 2024-era epochs); epoch_micros is NTZ-tolerant
     r = right.select(
         *[F.col(k) for k in keys],
-        F.unix_micros(F.col(right_ts)).alias("__ts"),
+        epoch_micros(right_ts).alias("__ts"),
         F.lit(0).alias("__side"),
-        F.unix_micros(F.col(right_ts)).alias(ts_out),
+        epoch_micros(right_ts).alias(ts_out),
         *[F.col(c).alias(r_names[c]) for c in val_cols],
         *[F.lit(None).alias(f"__l_{c}") for c in left.columns],
     )
     l = left.select(
         *[F.col(k) for k in keys],
-        F.unix_micros(F.col(left_ts)).alias("__ts"),
+        epoch_micros(left_ts).alias("__ts"),
         F.lit(1).alias("__side"),
         F.lit(None).cast("long").alias(ts_out),
         *[F.lit(None).cast(dict(right.dtypes)[c]).alias(r_names[c]) for c in val_cols],

@@ -37,9 +37,6 @@ def get_spark(
         # use try_cast explicitly, but keep ANSI off to match non-strict
         # arithmetic (e.g. overflow-free unix_timestamp math).
         .config("spark.sql.ansi.enabled", "false")
-        # testdata events.parquet is TIMESTAMP(NANOS); Spark only reads it as
-        # a long (nanos) with this legacy flag — loaders convert to micros.
-        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         # UTC everywhere: NTZ casts / renders must match the DuckDB oracle's
         # naive timestamps independent of host timezone.
         .config("spark.sql.session.timeZone", "UTC")
@@ -49,6 +46,12 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
     )
+    # testdata events.parquet is TIMESTAMP(NANOS); with this legacy flag Spark
+    # reads it as long (nanos), without it as TIMESTAMP_NTZ — loaders handle
+    # both. SPARK_GRAFT_NTZ_MODE=1 drops the flag to mimic the driver's
+    # session (which reads NTZ) for local correctness runs.
+    if os.environ.get("SPARK_GRAFT_NTZ_MODE") != "1":
+        builder = builder.config("spark.sql.legacy.parquet.nanosAsLong", "true")
     # N concurrent Python workers × multithreaded BLAS = N² runnable threads.
     # Per-batch matrices in the UDF paths are small (d ≤ a few hundred), where
     # single-threaded GEMM wins anyway; parallelism comes from Spark tasks.

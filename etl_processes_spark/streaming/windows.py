@@ -13,6 +13,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from etl_processes_spark.timeutil import ensure_timestamp
+
 
 def hourly_event_rollup(events: DataFrame, ndigits: int = 6) -> DataFrame:
     """Tumbling 1-hour rollup per event_type: count, value sum/avg/min/max.
@@ -40,6 +42,7 @@ def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     session_end, n_events, sum_value). Shuffles once on user_id; the window
     sort is per-user (bounded by per-user event counts — salting only needed
     for pathological single-user skew)."""
+    events = ensure_timestamp(events, "ts")
     w = Window.partitionBy("user_id").orderBy(F.col("ts"), F.col("event_id"))
     gap = F.lit(gap_minutes * 60.0)
     prev_ts = F.lag("ts").over(w)
