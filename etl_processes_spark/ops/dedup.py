@@ -102,19 +102,29 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """All pairs (id_a < id_b) with Jaccard(shingleset_a, shingleset_b) >=
     threshold. Exact; the self-join is on the shingle key (inverted index),
-    so cost is Σ df(shingle)² — cap with ``max_df`` at scale."""
-    sh = (
-        df.select(F.col(id_col).alias("id"), F.explode(shingles_expr(text_col, k)).alias("shingle"))
-        .distinct()
-    )
+    so cost is Σ df(shingle)² — cap with ``max_df`` at scale.
+
+    Shuffle diet: ``shingles_expr`` is per-doc distinct already
+    (array_distinct), so the exploded (id, shingle) stream needs NO extra
+    distinct — that was a full extra shuffle of the widest data in the
+    pipeline. All joins/groupBys key on the 60-bit md5 of the shingle
+    (8-byte long), not the multi-word string: same pairs (collision odds
+    ~n²/2⁶⁰ per doc pair), ~3-4× narrower shuffles. The hashed stream is
+    localCheckpoint'd once and feeds the df-cap, the size count and both
+    self-join sides — without it the scan+shingle+md5 work runs 3×."""
+    sh = df.select(
+        F.col(id_col).alias("id"), F.explode(shingles_expr(text_col, k)).alias("shingle")
+    ).select("id", md5_long_expr("shingle").alias("h"))
+    sh = sh.localCheckpoint(eager=False)  # scan+shingle+md5 runs ONCE
     if max_df is not None:
-        freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
-        sh = sh.join(freq.filter(F.col("__df") <= max_df).select("shingle"), "shingle")
+        freq = sh.groupBy("h").agg(F.count(F.lit(1)).alias("__df"))
+        sh = sh.join(freq.filter(F.col("__df") <= max_df).select("h"), "h")
+        sh = sh.localCheckpoint(eager=False)
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     a = sh.alias("a")
     b = sh.alias("b")
     common = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
+        a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.id") < F.col("b.id")))
         .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .agg(F.count(F.lit(1)).alias("common"))
     )
@@ -261,6 +271,7 @@ def connected_components(
     dst: str = "id_b",
     max_iterations: int = 25,
     initial_labels: DataFrame | None = None,
+    driver_max_edges: int = 2_000_000,
 ) -> DataFrame:
     """Connected components over an undirected edge list → (node, cluster_id)
     with cluster_id = min node id in the component.
@@ -281,6 +292,18 @@ def connected_components(
     group minima) — the label must be a node id inside the same component;
     nodes not covered default to their own id. Cuts a round or two when
     large known groups would otherwise collapse via edge propagation.
+    (Seeds are propagation hints only: the min-id-per-component result is
+    identical with or without them, which is why the driver route below can
+    ignore them.)
+
+    Size-routed, like embedding_near_dup: a dedup graph is SPARSE relative
+    to the corpus (edges exist only between near-dups), so even at 100 TB
+    the edge list is usually orders of magnitude smaller than the data.
+    When it fits comfortably on the driver (≤ ``driver_max_edges``, known
+    from the count the iterative path needs anyway), a single union-find
+    pass replaces O(log d) Spark rounds whose per-round scheduling dwarfs
+    the tiny shuffles. Above the threshold, distributed min-label
+    propagation with pointer jumping handles graphs of any size.
 
     Exhausting ``max_iterations`` before the label-sum fixpoint means some
     components may still carry split labels; that raises RuntimeError rather
@@ -293,6 +316,8 @@ def connected_components(
     # a cheap cached scan): tiny dup graphs iterate in one partition instead
     # of paying 32-task scheduling per round; huge graphs keep full width
     n_edges = und.count()
+    if n_edges <= driver_max_edges:
+        return _cc_driver_union_find(und)
     npart = max(1, min(und.rdd.getNumPartitions(), n_edges // 100_000 + 1))
     und = und.repartition(npart, "s").localCheckpoint(eager=True)
     nodes = und.select(F.col("s").alias("node")).distinct()
@@ -347,6 +372,47 @@ def connected_components(
             f"max_iterations (graph diameter exceeds 2^{max_iterations})"
         )
     return labels.select("node", F.col("label").alias("cluster_id"))
+
+
+def _cc_driver_union_find(und: DataFrame) -> DataFrame:
+    """Driver route for small edge lists: path-halving union-find, then each
+    component relabelled to its min node id — bit-identical to what the
+    distributed fixpoint converges to. Input is the undirected (s, d) edge
+    frame (already checkpointed); output matches the distributed path's
+    (node, cluster_id) schema and node coverage (edge endpoints only)."""
+    node_type = und.schema["s"].dataType
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for row in und.toLocalIterator():
+        s, d = row[0], row[1]
+        if s not in parent:
+            parent[s] = s
+        if d not in parent:
+            parent[d] = d
+        rs, rd = find(s), find(d)
+        if rs != rd:
+            parent[rd] = rs
+    comp_min: dict = {}
+    for node in parent:
+        r = find(node)
+        m = comp_min.get(r)
+        if m is None or node < m:
+            comp_min[r] = node
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [T.StructField("node", node_type), T.StructField("cluster_id", node_type)]
+    )
+    rows = [(n, comp_min[find(n)]) for n in parent]
+    return und.sparkSession.createDataFrame(rows, schema)
 
 
 def dedup_clusters(

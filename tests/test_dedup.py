@@ -141,9 +141,10 @@ def test_connected_components_raises_when_unconverged(spark):
     import pytest
 
     # a 20-node chain cannot reach + confirm the fixpoint in 2 iterations
+    # (driver_max_edges=0 forces the distributed route the guard protects)
     pairs = spark.createDataFrame([(i, i + 1) for i in range(19)], ["id_a", "id_b"])
     with pytest.raises(RuntimeError, match="fixpoint"):
-        connected_components(pairs, max_iterations=2)
+        connected_components(pairs, max_iterations=2, driver_max_edges=0)
 
 
 def test_connected_components_initial_labels_same_result(spark):
@@ -215,3 +216,24 @@ def test_connected_components_matches_union_find(spark, edges):
         r["node"]: r["cluster_id"] for r in connected_components(pairs).collect()
     }
     assert got == expected
+
+
+def test_cc_driver_and_distributed_routes_agree(spark):
+    from etl_processes_spark.ops.dedup import connected_components
+
+    # chain + two small cliques + isolated pair — routes must be bit-identical
+    edges = (
+        [(i, i + 1) for i in range(12)]
+        + [(100, 101), (101, 102), (100, 102)]
+        + [(200, 201)]
+        + [(7, 300), (300, 301)]
+    )
+    pairs = spark.createDataFrame(edges, ["id_a", "id_b"])
+    driver = {
+        r["node"]: r["cluster_id"] for r in connected_components(pairs).collect()
+    }
+    dist = {
+        r["node"]: r["cluster_id"]
+        for r in connected_components(pairs, driver_max_edges=0).collect()
+    }
+    assert driver == dist and len(driver) > 0

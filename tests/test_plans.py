@@ -106,8 +106,10 @@ def test_near_dup_lsh_path_has_no_cartesian_product(spark):
 
 
 def test_ngram_jaccard_join_keyed_on_shingle(spark):
-    """The near-dup join is an inverted-index equi-join on the shingle —
-    a SortMergeJoin/ShuffledHashJoin keyed by shingle, not a cross join."""
+    """The near-dup join is an inverted-index equi-join on the hashed
+    shingle key ``h`` (8-byte long, not the multi-word string) — a
+    SortMergeJoin/ShuffledHashJoin, never a cross join; the hashed shingle
+    stream is checkpointed once and re-read by every consumer."""
     from etl_processes_spark.ops.dedup import ngram_jaccard_pairs
 
     df = spark.createDataFrame(
@@ -116,7 +118,8 @@ def test_ngram_jaccard_join_keyed_on_shingle(spark):
     )
     plan = _plan(ngram_jaccard_pairs(df, "doc_id", "text", k=3, threshold=0.1, max_df=10))
     assert "CartesianProduct" not in plan
-    assert "shingle" in plan
+    assert "hashpartitioning(h#" in plan  # shuffle keyed on the shingle hash
+    assert "Scan ExistingRDD" in plan  # single-scan checkpoint reuse
 
 
 def test_hash_sample_is_take_ordered(spark):
