@@ -993,6 +993,208 @@ GROUP BY r.rid
 """
 
 
+def _mvn_text_subquery(
+    texts: list[str],
+    col: str,
+    seed: int,
+    n_rows: int,
+    vector_size: int = 8,
+) -> str:
+    """Parenthesizable MVN-text twin for one fixture column: mu/L literals
+    from a numpy twin of text_profile over ``texts`` (same md5 Box-Muller
+    embeddings + 9dp quantization as gen_text_column — bit-identical to the
+    Spark profile), draws/matvec/decode recomputed natively in DuckDB. The
+    decode vocabulary is computed in SQL from the outer ``samp`` CTE's
+    ``col`` values, mirroring text_profile's build_vocab. Returns
+    ``(WITH ... SELECT rid, val)``."""
+    import numpy as np
+
+    from etl_processes_spark.text.embedding import vectorise_entry
+
+    d = 32 * vector_size
+    X = np.stack([vectorise_entry(t, vector_size) for t in texts])
+    n = X.shape[0]
+    mu = X.mean(axis=0)
+    cov = (X.T @ X - n * np.outer(mu, mu)) / (n - 1)
+    mu = np.round(mu, 9)
+    cov = np.round(cov, 9) + np.eye(d) * 1e-6
+    L = np.linalg.cholesky(cov)
+
+    mu_vals = ", ".join(f"({i}, {float(mu[i])!r})" for i in range(d))
+    l_vals = ", ".join(
+        f"({i}, {j}, {float(L[i, j])!r})"
+        for i in range(d)
+        for j in range(i + 1)
+        if L[i, j] != 0.0
+    )
+    _toks = (
+        f"list_filter(string_split_regex(lower(CAST({col} AS VARCHAR)), '[^\\pL_]+'), "
+        "s -> length(s) BETWEEN 2 AND 15)"
+    )
+    zsql = (
+        f"sqrt(-2e0 * ln((CAST(concat('0x', substr(md5('{seed}:mvn:' || CAST(rid AS VARCHAR)"
+        f" || ':' || CAST((j // 8) AS VARCHAR)), (j % 8) * 4 + 1, 4)) AS INT) + 0.5e0) / 65536.0e0))"
+        f" * cos(2e0 * pi() * (CAST(concat('0x', substr(md5('{seed}:mvn:' || CAST(rid AS VARCHAR)"
+        f" || ':' || CAST((j // 8) AS VARCHAR) || chr(1)), (j % 8) * 4 + 1, 4)) AS INT) + 0.5e0) / 65536.0e0)"
+    )
+    ztok = (
+        "sqrt(-2 * ln((CAST(concat('0x', substr(md5(tok), c * 4 + 1, 4)) AS INT) + 0.5) / 65536.0))"
+        " * cos(2 * pi() * (CAST(concat('0x', substr(md5(tok || chr(1)), c * 4 + 1, 4)) AS INT) + 0.5) / 65536.0)"
+    )
+    return f"""(
+WITH mu(i, m) AS (VALUES {mu_vals}),
+lmat(i, j, v) AS (VALUES {l_vals}),
+z AS (SELECT rid, j, {zsql} AS zv
+      FROM (SELECT unnest(range(0, {n_rows})) AS rid), (SELECT unnest(range(0, {d})) AS j)),
+x AS (SELECT z.rid, l.i AS dim, round(any_value(mu.m) + sum(l.v * z.zv), 9) AS xv
+      FROM z JOIN lmat l ON l.j = z.j JOIN mu ON mu.i = l.i
+      GROUP BY z.rid, l.i),
+slotv AS (SELECT rid, CAST(dim // {vector_size} AS INT) AS slot, list(xv ORDER BY dim) AS sv
+          FROM x GROUP BY rid, dim // {vector_size}),
+vbase AS (SELECT {_toks} AS full_t FROM samp WHERE {col} IS NOT NULL),
+vocab AS (SELECT DISTINCT unnest(full_t) AS tok FROM vbase),
+vvec AS (SELECT tok, list_transform(range(0, {vector_size}), c -> {ztok}) AS v FROM vocab),
+sims AS (SELECT s.rid, s.slot, w.tok, list_cosine_similarity(s.sv, w.v) AS cs
+         FROM slotv s CROSS JOIN vvec w),
+ranked AS (SELECT rid, slot, tok,
+                  row_number() OVER (PARTITION BY rid, slot ORDER BY cs DESC, tok) AS rk
+           FROM sims),
+pick AS (SELECT rid, slot, min(rk) AS rk FROM ranked
+         WHERE rk <= 3 AND regexp_matches(tok, '^[a-zA-Z0-9]+$')
+         GROUP BY rid, slot),
+wordpick AS (SELECT r.rid, r.slot, r.tok
+             FROM ranked r JOIN pick p ON p.rid = r.rid AND p.slot = r.slot AND p.rk = r.rk)
+SELECT r.rid AS rid, coalesce(array_to_string(list(w.tok ORDER BY w.slot), ' '), '') AS val
+FROM (SELECT unnest(range(0, {n_rows})) AS rid) r
+LEFT JOIN wordpick w ON w.rid = r.rid
+GROUP BY r.rid
+)"""
+
+
+_FIXTURE_CSV = "/root/reference/customer_data_test.csv"
+_FIXTURE_COLS = (
+    "customer_id name email phone address join_date last_purchase total_spent "
+    "purchase_count is_vip segment satisfaction_score feedback"
+).split()
+
+
+def _reference_pipeline_oracle_sql(n_rows: int = 100, seed: int = 41) -> str:
+    """DuckDB twin of q_reference_pipeline: regenerate the 13-column
+    synthetic table from the reference fixture CSV — read_csv + na.drop →
+    per-type profiles (exact-decimal numeric, unrounded-CDF categorical,
+    native-bool probability, value-ordered bootstrap entry lists, numpy-twin
+    MVN text) → the same md5-seeded generators, per-column seed
+    seed + 7919*i over the fixture column order. Composes the machinery
+    already proven by the gen_columns / synthesize_orders / gen_text_mvn
+    gates (Latanova_v1.py:630-742 is the flow being certified)."""
+    import duckdb
+
+    from etl_processes_spark.profile.profilers import NUMERIC_PROFILE_EXACT_SQL
+
+    notnull = " AND ".join(f"{c} IS NOT NULL" for c in _FIXTURE_COLS)
+    src = f"read_csv('{_FIXTURE_CSV}', header=true)"
+    samp_sql = f"SELECT * FROM {src} WHERE {notnull}"
+    seeds = {c: seed + 7919 * i for i, c in enumerate(_FIXTURE_COLS)}
+
+    con = duckdb.connect()
+    texts = {
+        c: [r[0] for r in con.execute(
+            f"SELECT CAST({c} AS VARCHAR) FROM ({samp_sql})"
+        ).fetchall()]
+        for c in ("name", "feedback")
+    }
+    con.close()
+
+    def _usql(s: int, salt: str) -> str:
+        return (
+            f"(CAST(concat('0x', substr(md5('{s}:{salt}:' || CAST(id AS VARCHAR)), 1, 13)) AS BIGINT)"
+            " + 0.5e0) / 4503599627370496e0"
+        )
+
+    def _zsql(s: int, salt: str) -> str:
+        return (
+            f"sqrt(-2.0e0 * ln({_usql(s, salt + 'a')})) * "
+            f"cos(6.283185307179586e0 * {_usql(s, salt + 'b')})"
+        )
+
+    def _exact(y: str, notnull_col: str, mult: str) -> str:
+        return NUMERIC_PROFILE_EXACT_SQL.format(
+            y=y, tbl="samp", notnull=notnull_col, mult=mult
+        )
+
+    def _gen_num(c: str, prof: str, is_int: bool) -> str:
+        body = (
+            f"round_even(least(greatest({_zsql(seeds[c], 'num')} * (SELECT std FROM {prof})"
+            f" + (SELECT mean FROM {prof}), (SELECT min_val FROM {prof})),"
+            f" (SELECT max_val FROM {prof})), {0 if is_int else 2})"
+        )
+        return f"CAST({body} AS BIGINT)" if is_int else body
+
+    def _gen_boot(c: str, ent: str) -> str:
+        return (
+            f"(SELECT v FROM {ent} WHERE rn = CAST(floor({_usql(seeds[c], 'bs')}"
+            f" * (SELECT CAST(count(*) AS DOUBLE) FROM {ent})) + 1 AS BIGINT))"
+        )
+
+    boot_ents = {
+        "email": "em_ent", "phone": "ph_ent", "address": "ad_ent",
+        "join_date": "jd_ent", "last_purchase": "lp_ent",
+    }
+    ent_ctes = ",\n".join(
+        f"{cte} AS (SELECT CAST({c} AS VARCHAR) AS v,"
+        f" row_number() OVER (ORDER BY CAST({c} AS VARCHAR)) AS rn FROM samp)"
+        for c, cte in boot_ents.items()
+    )
+
+    # categorical CDF: probabilities UNROUNDED (cnt / total, the same doubles
+    # gen_categorical's python accumulation adds left-to-right)
+    seg_cdf = """(SELECT category,
+        sum(p) OVER (ORDER BY cnt DESC, category ASC ROWS UNBOUNDED PRECEDING) AS hi,
+        row_number() OVER (ORDER BY cnt DESC, category ASC) AS rn,
+        count(*) OVER () AS nc
+ FROM (SELECT CAST(segment AS VARCHAR) AS category, count(*) AS cnt,
+              CAST(count(*) AS DOUBLE) / (SELECT count(*) FROM samp WHERE segment IS NOT NULL) AS p
+       FROM samp WHERE segment IS NOT NULL GROUP BY 1))"""
+    gen_seg = (
+        f"coalesce((SELECT category FROM seg_cdf WHERE {_usql(seeds['segment'], 'cat')} < hi"
+        f" AND rn < nc ORDER BY rn LIMIT 1), (SELECT category FROM seg_cdf WHERE rn = nc))"
+    )
+
+    nm_sub = _mvn_text_subquery(texts["name"], "name", seeds["name"], n_rows)
+    fb_sub = _mvn_text_subquery(texts["feedback"], "feedback", seeds["feedback"], n_rows)
+
+    return f"""
+WITH samp AS ({samp_sql}),
+ids AS (SELECT CAST(unnest(range(0, {n_rows})) AS BIGINT) AS id),
+cid AS ({_exact('customer_id', 'customer_id', 'CAST(1.0 AS DOUBLE)')}),
+tsp AS ({_exact('round(total_spent * 100)', 'total_spent', 'CAST(0.01 AS DOUBLE)')}),
+pcn AS ({_exact('purchase_count', 'purchase_count', 'CAST(1.0 AS DOUBLE)')}),
+ssn AS ({_exact('satisfaction_score', 'satisfaction_score', 'CAST(1.0 AS DOUBLE)')}),
+bp AS (SELECT avg(CASE WHEN is_vip THEN 1 ELSE 0 END) AS p FROM samp WHERE is_vip IS NOT NULL),
+seg_cdf AS {seg_cdf},
+{ent_ctes},
+nm AS {nm_sub},
+fb AS {fb_sub}
+SELECT
+  {_gen_num('customer_id', 'cid', True)} AS customer_id,
+  nm.val AS name,
+  {_gen_boot('email', 'em_ent')} AS email,
+  {_gen_boot('phone', 'ph_ent')} AS phone,
+  {_gen_boot('address', 'ad_ent')} AS address,
+  {_gen_boot('join_date', 'jd_ent')} AS join_date,
+  {_gen_boot('last_purchase', 'lp_ent')} AS last_purchase,
+  {_gen_num('total_spent', 'tsp', False)} AS total_spent,
+  {_gen_num('purchase_count', 'pcn', True)} AS purchase_count,
+  ({_usql(seeds['is_vip'], 'bool')} < (SELECT p FROM bp)) AS is_vip,
+  {gen_seg} AS segment,
+  {_gen_num('satisfaction_score', 'ssn', True)} AS satisfaction_score,
+  fb.val AS feedback
+FROM ids
+JOIN nm ON nm.rid = ids.id
+JOIN fb ON fb.rid = ids.id
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     from etl_processes_spark.profile.profilers import NUMERIC_PROFILE_EXACT_SQL
 
@@ -1890,5 +2092,13 @@ GROUP BY p.p_type
 """
 
     sql["gen_text_mvn"] = _mvn_oracle_sql()
+
+    # reference_pipeline needs the fixture CSV on disk at oracle-build time;
+    # if anything about that environment differs, fall back to rows-only
+    # rather than fail the whole oracle dict.
+    try:
+        sql["reference_pipeline"] = _reference_pipeline_oracle_sql()
+    except Exception:
+        pass
 
     return sql

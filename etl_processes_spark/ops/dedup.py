@@ -430,10 +430,15 @@ def dedup_clusters(
     keep-one policy retains. Pair generation is the bucketed/inverted-index
     path (never all-pairs); clustering is the O(log d) label propagation
     above."""
-    base = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__t"))
+    # exact-dup edges key on sha2(text), never the text body: the groupBy
+    # and the star-edge join shuffle 64-char digests instead of whole
+    # documents (at 100 TB the raw-text key ships the corpus twice)
+    base = df.select(
+        F.col(id_col).alias("id"), F.sha2(F.col(text_col).cast("string"), 256).alias("__t")
+    )
     keep = base.groupBy("__t").agg(F.min("id").alias("id_a"))
     # star edges duplicate → group-min: one groupBy + one equi-join on the
-    # text key; no per-key list materialization (hot dup groups stay flat)
+    # digest key; no per-key list materialization (hot dup groups stay flat)
     exact = (
         base.join(keep, "__t")
         .filter(F.col("id_a") < F.col("id"))
