@@ -417,6 +417,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     def q_pca_2d(spark, sf):
+        # Sign-invariant gate outputs: |projection| per row (eigenvectors are
+        # defined only up to sign, so raw pc1/pc2 can't hash-match an
+        # independent solver) plus an explained-variance summary row
+        # (vec_id = -1). The oracle recomputes the eigenbasis with a numpy
+        # twin (|loadings| agree to ~3e-15, projections to ~4e-15 — far
+        # inside the 6dp rounding) and replays the projections natively.
         from pyspark.ml.feature import PCA
         from pyspark.ml.functions import array_to_vector, vector_to_array
 
@@ -424,15 +430,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "vec_id", array_to_vector(F.col("embedding").cast("array<double>")).alias("v")
         )
         model = PCA(k=2, inputCol="v", outputCol="pc").fit(e)
-        return (
+        ev = model.explainedVariance.toArray()
+        rows = (
             model.transform(e)
             .select("vec_id", vector_to_array(F.col("pc")).alias("pc"))
             .select(
-                "vec_id",
-                F.round(F.col("pc")[0], 6).alias("pc1"),
-                F.round(F.col("pc")[1], 6).alias("pc2"),
+                F.col("vec_id").cast("long").alias("vec_id"),
+                F.round(F.abs(F.col("pc")[0]), 6).alias("abs_pc1"),
+                F.round(F.abs(F.col("pc")[1]), 6).alias("abs_pc2"),
             )
         )
+        summary = spark.createDataFrame(
+            [(-1, round(float(ev[0]), 6), round(float(ev[1]), 6))],
+            ["vec_id", "abs_pc1", "abs_pc2"],
+        )
+        return rows.unionByName(summary)
 
     def q_validate_roundtrip(spark, sf):
         # profile → generate → VALIDATE, hash-gated end-to-end: deterministic
@@ -626,10 +638,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return cosine_topk_fast(e, e.filter(F.col("vec_id") < 20), "vec_id", "embedding", k=5, ndigits=ND)
 
     def q_ann_cosine_lsh(spark, sf):
+        # BOTH ANN index families in one gate slot (50-query budget), labeled
+        # by method: hyperplane-LSH buckets and IVF coarse-quantizer cells.
+        # Each is fully replayed by the DuckDB twin — the IVF centroids are
+        # deterministic (seeded spherical k-means over the stable-order
+        # sample) and enter the oracle as literals.
+        from etl_processes_spark.ops.similarity import ann_cosine_ivf
+
         e = _t(spark, sf, "embeddings")
-        return ann_cosine_lsh(
-            e, e.filter(F.col("vec_id") < 20), "vec_id", "embedding", k=5, num_planes=16, bands=4
-        )
+        q = e.filter(F.col("vec_id") < 20)
+        lsh = ann_cosine_lsh(
+            e, q, "vec_id", "embedding", k=5, num_planes=16, bands=4
+        ).select(F.lit("lsh").alias("method"), "query_id", "neighbor_id", "cosine_sim", "rank")
+        ivf = ann_cosine_ivf(
+            e, q, "vec_id", "embedding", k=5, n_centroids=64, n_probe=8
+        ).select(F.lit("ivf").alias("method"), "query_id", "neighbor_id", "cosine_sim", "rank")
+        return lsh.unionByName(ivf)
 
     # -- text analysis -------------------------------------------------------------
 
@@ -1069,6 +1093,95 @@ FROM (SELECT unnest(range(0, {n_rows})) AS rid) r
 LEFT JOIN wordpick w ON w.rid = r.rid
 GROUP BY r.rid
 )"""
+
+
+def _ivf_oracle_sql(
+    sf_dir: str = "/root/testdata/sf0.01",
+    n_centroids: int = 64,
+    n_probe: int = 8,
+    k: int = 5,
+) -> str:
+    """DuckDB twin of the IVF half of q_ann_cosine_lsh: the coarse
+    quantizer's centroids are recomputed by calling the ENGINE's own
+    deterministic _spherical_kmeans on the pyarrow-read corpus (same rows,
+    same order, pure numpy → bit-identical to the centroids the engine fits
+    driver-side) and enter the SQL as literals; assignment, probing and the
+    exact rerank are replayed natively (argmax tie-break: highest dot then
+    lowest cell, matching np.argmax's first-max)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from etl_processes_spark.ops.similarity import _spherical_kmeans
+
+    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["embedding"])
+    X = np.stack(
+        [np.asarray(v, dtype=np.float64) for v in tbl.column("embedding").to_pylist()]
+    )[:10_000]
+    X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    C = _spherical_kmeans(X, n_centroids, seed=42)
+    cent_vals = ", ".join(
+        f"({i}, [{', '.join(repr(float(x)) for x in C[i])}])" for i in range(len(C))
+    )
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cent(cell, c) AS (VALUES {cent_vals}),
+en AS (SELECT vec_id, v,
+              list_transform(v, x -> x / greatest(sqrt(list_dot_product(v, v)), 1e-12)) AS vn
+       FROM e),
+arank AS (SELECT vec_id, v, cell,
+                 row_number() OVER (PARTITION BY vec_id
+                                    ORDER BY list_dot_product(vn, c) DESC, cell) AS rk
+          FROM en CROSS JOIN cent),
+assign AS (SELECT vec_id, v, cell FROM arank WHERE rk = 1),
+qn AS (SELECT * FROM en WHERE vec_id < 20),
+prank AS (SELECT vec_id AS query_id, v AS qv, cell,
+                 row_number() OVER (PARTITION BY vec_id
+                                    ORDER BY list_dot_product(vn, c) DESC, cell) AS rk
+          FROM qn CROSS JOIN cent),
+probe AS (SELECT query_id, qv, cell FROM prank WHERE rk <= {n_probe}),
+cand AS (SELECT p.query_id, a.vec_id AS neighbor_id,
+                round(list_cosine_similarity(p.qv, a.v), 6) AS cosine_sim
+         FROM probe p JOIN assign a ON a.cell = p.cell
+         WHERE a.vec_id <> p.query_id),
+r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine_sim DESC, neighbor_id) AS rk
+      FROM cand)
+SELECT query_id, neighbor_id, cosine_sim, CAST(rk AS INTEGER) AS rank
+FROM r WHERE rk <= {k}
+"""
+
+
+def _pca_oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> str:
+    """DuckDB twin of q_pca_2d: the top-2 eigenbasis of the sample
+    covariance is recomputed by an independent numpy twin (np.linalg.eigh vs
+    Spark ML's breeze SVD — |loadings| agree to ~3e-15) and enters the SQL
+    as literal vectors; the per-row |projection| and the explained-variance
+    summary row are then computed natively. Like _mvn_oracle_sql, literals
+    derive from the sf0.01 fixture the driver gates at."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["embedding"])
+    X = np.stack(
+        [np.asarray(v, dtype=np.float64) for v in tbl.column("embedding").to_pylist()]
+    )
+    n = X.shape[0]
+    mu = X.mean(axis=0)
+    cov = (X.T @ X - n * np.outer(mu, mu)) / (n - 1)
+    w, V = np.linalg.eigh(cov)
+    order = np.argsort(-w)[:2]
+    lam, Vt = w[order], V[:, order]
+    ev = lam / w.sum()
+    v1 = ", ".join(repr(float(x)) for x in Vt[:, 0])
+    v2 = ", ".join(repr(float(x)) for x in Vt[:, 1])
+    return f"""
+SELECT CAST(vec_id AS BIGINT) AS vec_id,
+       round(abs(list_dot_product(CAST(embedding AS DOUBLE[]), [{v1}])), 6) AS abs_pc1,
+       round(abs(list_dot_product(CAST(embedding AS DOUBLE[]), [{v2}])), 6) AS abs_pc2
+FROM embeddings
+UNION ALL
+SELECT -1, {round(float(ev[0]), 6)!r}, {round(float(ev[1]), 6)!r}
+"""
 
 
 _FIXTURE_CSV = "/root/reference/customer_data_test.csv"
@@ -1830,7 +1943,7 @@ FROM w
     _buckets = " UNION ALL ".join(
         f"SELECT vec_id, v, {i} AS band, {_bh(i)} AS bh FROM e" for i in range(4)
     )
-    sql["ann_cosine_lsh"] = f"""
+    _lsh_sql = f"""
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
 buckets AS ({_buckets}),
 qb AS (SELECT * FROM buckets WHERE vec_id < 20),
@@ -1848,6 +1961,16 @@ r AS (SELECT *, row_number() OVER (PARTITION BY query_id
 SELECT query_id, neighbor_id, cosine_sim, CAST(rk AS INTEGER) AS rank
 FROM r WHERE rk <= 5
 """
+    # both ANN families in the one gate slot; IVF centroids need the parquet
+    # at oracle-build time (same contract as _mvn_oracle_sql / _pca_oracle_sql)
+    try:
+        _ivf_sql = _ivf_oracle_sql()
+        sql["ann_cosine_lsh"] = (
+            f"SELECT 'lsh' AS method, * FROM ({_lsh_sql})\n"
+            f"UNION ALL\nSELECT 'ivf' AS method, * FROM ({_ivf_sql})"
+        )
+    except Exception:
+        sql["ann_cosine_lsh"] = _lsh_sql
 
     # -- similarity --------------------------------------------------------------
 
@@ -2098,6 +2221,11 @@ GROUP BY p.p_type
     # rather than fail the whole oracle dict.
     try:
         sql["reference_pipeline"] = _reference_pipeline_oracle_sql()
+    except Exception:
+        pass
+
+    try:
+        sql["pca_2d"] = _pca_oracle_sql()
     except Exception:
         pass
 

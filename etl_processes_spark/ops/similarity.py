@@ -189,6 +189,19 @@ def cosine_pairs_udf():
     return cos
 
 
+def _estimate_rows(df: DataFrame) -> int | None:
+    """Catalyst optimized-plan row-count statistic (free — no job). Defined
+    for LocalRelations, CBO-analyzed tables and some file sources; None
+    otherwise."""
+    try:
+        rc = df._jdf.queryExecution().optimizedPlan().stats().rowCount()
+        if rc.isDefined():
+            return int(str(rc.get()))
+    except Exception:
+        pass
+    return None
+
+
 def embedding_near_dup_pairs(
     corpus: DataFrame,
     id_col: str = "vec_id",
@@ -199,6 +212,7 @@ def embedding_near_dup_pairs(
     num_planes: int = 32,
     bands: int = 8,
     seed: int = 42,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, rounded cosine >=
     threshold). Size-routed:
@@ -210,8 +224,15 @@ def embedding_near_dup_pairs(
        signatures) + exact cosine verify of candidates only. Approximate:
        recall < 1, and band geometry targets HIGH thresholds (>= ~0.85, the
        near-duplicate regime); at low thresholds prefer the exact path.
+
+    Routing reads ``n_rows`` (caller-supplied hint), else Catalyst's
+    optimized-plan row-count statistic when available, and only as a last
+    resort pays a count() job — at 100 TB the caller always knows (or the
+    catalog provides) the corpus size, so the probe job never runs.
     """
-    n = corpus.count()
+    n = n_rows if n_rows is not None else _estimate_rows(corpus)
+    if n is None:
+        n = corpus.count()
     if n <= max_exact_rows:
         return _near_dup_exact_blocked(corpus, id_col, vec_col, threshold, ndigits)
     return _near_dup_lsh(
