@@ -51,14 +51,19 @@ def main() -> None:
         "revenue_by_nation",
     ]
 
-    # Warm-up: JVM/codegen on a trivial action so q1 isn't charged for it.
+    # Warm-up: JVM/codegen on a trivial action so q1 isn't charged for it,
+    # plus one trivial mapInPandas so Python-worker/Arrow spin-up isn't
+    # charged to the first text/embedding query.
     spark.range(1000).selectExpr("sum(id)").collect()
     spark.read.parquet(f"{SF_DIR}/lineitem.parquet").limit(1).collect()
+    spark.range(64, numPartitions=32).mapInPandas(
+        lambda it: it, schema="id long"
+    ).count()
 
-    # Each query is timed twice and the best run reported: the harness VM
-    # shows CPU-steal spikes that add 3-5x noise to single runs, and the
-    # second run still pays full query cost (no result caching) while
-    # excluding one-time JVM codegen / Python-worker spin-up.
+    # Each query is timed N times and the best run reported: the harness VM
+    # shows CPU-steal spikes that add 3-5x noise to single runs, and every
+    # repeat still pays full query cost (no result caching) while excluding
+    # one-time JVM codegen / Python-worker spin-up.
     # One failing query must never void the whole record (round-3 lesson:
     # BENCH_r03 was empty because one exception escaped): each query runs
     # under try/except recording {"err": ...}, and the JSON line is emitted
@@ -71,7 +76,7 @@ def main() -> None:
             fn = qs[name]
             best, n = float("inf"), 0
             try:
-                for _ in range(2):
+                for _ in range(3):
                     t0 = time.time()
                     df = fn(spark, SF_DIR)
                     n = df.count()

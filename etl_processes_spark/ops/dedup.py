@@ -244,9 +244,21 @@ def minhash_lsh_pairs(
     # Exact-Jaccard verify on CANDIDATES ONLY: join each candidate pair to the
     # two docs' distinct-shingle arrays and intersect. Cost is O(|candidates|),
     # not O(all-pairs) — re-running the full inverted-index join here would
-    # throw away the entire point of LSH.
-    sets = df.select(
-        F.col(id_col).alias("id"), shingles_expr(text_col, k).alias("shs")
+    # throw away the entire point of LSH. The expensive shingle arrays are
+    # computed ONLY for docs that appear in some candidate pair (semi-join
+    # BEFORE shingling — near-dup candidates are a tiny fraction of the
+    # corpus, so this skips shingling ~everything twice more; AQE broadcasts
+    # the id list at runtime when it is small); the checkpoint stops the
+    # a/b joins re-deriving them.
+    cand = cand.localCheckpoint(eager=False)
+    cand_ids = (
+        cand.select(F.explode(F.array("id_a", "id_b")).alias("id")).distinct()
+    )
+    sets = (
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__txt"))
+        .join(cand_ids, "id", "left_semi")
+        .select("id", shingles_expr("__txt", k).alias("shs"))
+        .localCheckpoint(eager=False)
     )
     a = sets.select(F.col("id").alias("id_a"), F.col("shs").alias("shs_a"))
     b = sets.select(F.col("id").alias("id_b"), F.col("shs").alias("shs_b"))
