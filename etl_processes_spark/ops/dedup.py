@@ -321,16 +321,20 @@ def connected_components(
     components may still carry split labels; that raises RuntimeError rather
     than silently returning unconverged clusters.
     """
+    # checkpoint the SINGLE-direction edge list first: a union of two
+    # branches over the same (expensive) pair pipeline materializes it
+    # twice — Spark has no cross-branch subplan reuse — so the reversal is
+    # derived from the checkpoint, not recomputed
     edges = pairs.select(F.col(src).alias("s"), F.col(dst).alias("d"))
-    und = edges.union(edges.select(F.col("d").alias("s"), F.col("s").alias("d")))
-    und = und.localCheckpoint(eager=True)
+    edges = edges.localCheckpoint(eager=True)
     # size the iteration's shuffle to the edge count (post-checkpoint count is
     # a cheap cached scan): tiny dup graphs iterate in one partition instead
     # of paying 32-task scheduling per round; huge graphs keep full width
-    n_edges = und.count()
-    if n_edges <= driver_max_edges:
-        return _cc_driver_union_find(und)
-    npart = max(1, min(und.rdd.getNumPartitions(), n_edges // 100_000 + 1))
+    n_edges = edges.count()
+    if 2 * n_edges <= driver_max_edges:
+        return _cc_driver_union_find(edges)
+    und = edges.union(edges.select(F.col("d").alias("s"), F.col("s").alias("d")))
+    npart = max(1, min(edges.rdd.getNumPartitions(), 2 * n_edges // 100_000 + 1))
     und = und.repartition(npart, "s").localCheckpoint(eager=True)
     nodes = und.select(F.col("s").alias("node")).distinct()
     if initial_labels is None:
@@ -386,13 +390,14 @@ def connected_components(
     return labels.select("node", F.col("label").alias("cluster_id"))
 
 
-def _cc_driver_union_find(und: DataFrame) -> DataFrame:
+def _cc_driver_union_find(edges: DataFrame) -> DataFrame:
     """Driver route for small edge lists: path-halving union-find, then each
     component relabelled to its min node id — bit-identical to what the
-    distributed fixpoint converges to. Input is the undirected (s, d) edge
-    frame (already checkpointed); output matches the distributed path's
+    distributed fixpoint converges to. Input is the SINGLE-direction (s, d)
+    edge frame (already checkpointed — union-find is undirected, so the
+    reversal never needs to exist); output matches the distributed path's
     (node, cluster_id) schema and node coverage (edge endpoints only)."""
-    node_type = und.schema["s"].dataType
+    node_type = edges.schema["s"].dataType
     parent: dict = {}
 
     def find(x):
@@ -403,8 +408,7 @@ def _cc_driver_union_find(und: DataFrame) -> DataFrame:
             parent[x], x = root, parent[x]
         return root
 
-    for row in und.toLocalIterator():
-        s, d = row[0], row[1]
+    for s, d in edges.collect():
         if s not in parent:
             parent[s] = s
         if d not in parent:
@@ -424,7 +428,7 @@ def _cc_driver_union_find(und: DataFrame) -> DataFrame:
         [T.StructField("node", node_type), T.StructField("cluster_id", node_type)]
     )
     rows = [(n, comp_min[find(n)]) for n in parent]
-    return und.sparkSession.createDataFrame(rows, schema)
+    return edges.sparkSession.createDataFrame(rows, schema)
 
 
 def dedup_clusters(
