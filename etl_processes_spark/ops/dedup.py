@@ -24,6 +24,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from etl_processes_spark.partitioning import widen
+
 # ---------------------------------------------------------------------------
 # normalization / shingling (shared, expression-only)
 # ---------------------------------------------------------------------------
@@ -112,10 +114,10 @@ def ngram_jaccard_pairs(
     ~n²/2⁶⁰ per doc pair), ~3-4× narrower shuffles. The hashed stream is
     localCheckpoint'd once and feeds the df-cap, the size count and both
     self-join sides — without it the scan+shingle+md5 work runs 3×."""
-    sh = df.select(
+    sh = widen(df).select(
         F.col(id_col).alias("id"), F.explode(shingles_expr(text_col, k)).alias("shingle")
     ).select("id", md5_long_expr("shingle").alias("h"))
-    sh = sh.localCheckpoint(eager=False)  # scan+shingle+md5 runs ONCE
+    sh = sh.localCheckpoint(eager=False)  # scan+shingle+md5 runs ONCE, in parallel
     if max_df is not None:
         freq = sh.groupBy("h").agg(F.count(F.lit(1)).alias("__df"))
         sh = sh.join(freq.filter(F.col("__df") <= max_df).select("h"), "h")
@@ -182,7 +184,7 @@ def minhash_signatures(
     groupBy(id) with num_hashes min-aggregates (all partial-agg'd map-side;
     the shuffle carries one row per doc)."""
     mix = minhash_mix_constants(num_hashes)
-    sh = df.select(
+    sh = widen(df).select(
         F.col(id_col).alias("id"), F.explode(shingles_expr(text_col, k)).alias("shingle")
     ).select("id", (md5_long_expr("shingle") % P31).alias("h0"))
     aggs = [
@@ -255,7 +257,7 @@ def minhash_lsh_pairs(
         cand.select(F.explode(F.array("id_a", "id_b")).alias("id")).distinct()
     )
     sets = (
-        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__txt"))
+        widen(df).select(F.col(id_col).alias("id"), F.col(text_col).alias("__txt"))
         .join(cand_ids, "id", "left_semi")
         .select("id", shingles_expr("__txt", k).alias("shs"))
         .localCheckpoint(eager=False)
@@ -485,7 +487,7 @@ def simhash_fingerprints(df: DataFrame, id_col: str, text_col: str, bits: int = 
     per doc. md5-based (not xxhash64) and 60-bit (always non-negative, no
     wrapping) so the DuckDB oracle reproduces the fingerprint bit-for-bit
     and ANSI mode is safe."""
-    tok = df.select(
+    tok = widen(df).select(
         F.col(id_col).alias("id"), F.explode(tokens_expr(text_col)).alias("token")
     ).groupBy("id", "token").agg(F.count(F.lit(1)).alias("tf"))
     tok = tok.withColumn("h", md5_long_expr("token"))

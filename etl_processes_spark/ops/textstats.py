@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from etl_processes_spark.partitioning import widen
 from etl_processes_spark.ops.dedup import normalized_text_expr, tokens_expr
 
 # ---------------------------------------------------------------------------
@@ -32,7 +33,7 @@ def bpe_ish_token_count_expr(c: str | Column) -> Column:
 
 
 def token_count(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    return df.select(
+    return widen(df).select(
         F.col(id_col),
         token_count_expr(text_col).alias("n_tokens"),
         bpe_ish_token_count_expr(text_col).alias("n_tokens_bpe"),
@@ -69,7 +70,7 @@ def lang_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     for lang in reversed(LANG_ORDER):
         pred = F.when(scores[lang] == best, F.lit(lang)).otherwise(pred)
     pred = F.when(best == 0, F.lit("und")).otherwise(pred)
-    return df.select(
+    return widen(df).select(
         F.col(id_col), pred.alias("pred_lang"), best.cast("long").alias("lang_score")
     )
 
@@ -99,7 +100,7 @@ def quality_features(df: DataFrame, id_col: str, text_col: str, ndigits: int = 6
     # map-side at scale. A synthetic row key preserves per-row semantics even
     # under duplicate ids.
     s = (F.col(text_col)).cast("string")
-    base = df.select(
+    base = widen(df).select(
         F.col(id_col),
         F.monotonically_increasing_id().alias("__rid"),
         tokens_expr(text_col).alias("__toks"),
@@ -142,7 +143,7 @@ def quality_features(df: DataFrame, id_col: str, text_col: str, ndigits: int = 6
 def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(id, md5 fingerprint of the NORMALIZED text) — whitespace/punct
     variations collapse to the same print; md5 exists in Spark and DuckDB."""
-    return df.select(
+    return widen(df).select(
         F.col(id_col), F.md5(normalized_text_expr(text_col)).alias("fingerprint")
     )
 
@@ -169,7 +170,7 @@ def winnowing_fingerprints(
     # md5-derived 60-bit gram hashes (not xxhash64): the DuckDB oracle
     # computes the identical fingerprint set, so winnowing is hash-gated.
     short_fp = F.array(md5_long_expr(F.array_join(tokens_expr(text_col), " ")))
-    base = df.select(F.col(id_col).alias("__id"), tokens_expr(text_col).alias("__toks"))
+    base = widen(df).select(F.col(id_col).alias("__id"), tokens_expr(text_col).alias("__toks"))
     # Docs with fewer than k tokens (including empty) keep the single
     # whole-doc hash — same fallback as the classic formulation.
     short = df.filter(F.size(tokens_expr(text_col)) < k).select(

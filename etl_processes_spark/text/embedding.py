@@ -126,8 +126,13 @@ def vectorise_udf(vector_size: int = VECTOR_SIZE):
 
 
 def embed_entries(df: DataFrame, c: str, vector_size: int = VECTOR_SIZE) -> DataFrame:
-    """df + ``__vec`` column of 32·V doubles."""
-    return df.withColumn("__vec", vectorise_udf(vector_size)(F.col(c).cast("string")))
+    """df + ``__vec`` column of 32·V doubles. The input is widened first:
+    a single-row-group parquet arrives as ONE task, which would serialize
+    the whole Arrow embedding pass onto one core (partitioning.widen is a
+    no-op for already-wide inputs)."""
+    from etl_processes_spark.partitioning import widen
+
+    return widen(df).withColumn("__vec", vectorise_udf(vector_size)(F.col(c).cast("string")))
 
 
 # ---------------------------------------------------------------------------
