@@ -219,6 +219,53 @@ def profile(
                         ):
                             wide[f"{p}{k_out}"] = row[k_row]
 
+        # ALL categorical columns profile in ONE exploded groupBy (one
+        # shuffle total, not one per column — in full-frame mode each
+        # per-column groupBy would be its own pass over the table). The
+        # result rows are split per column driver-side with the same
+        # (count desc, value asc) ordering and cnt/total probabilities
+        # cat_profile computes; outputs are bounded (<50 categories per
+        # column by the inference definition).
+        cat_stats: dict[str, dict | None] = {}
+        cat_cols = [c for c, t in types.items() if t == CATEGORICAL]
+        if cat_cols:
+            entries = F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("col"),
+                        F.col(c).cast("string").alias("category"),
+                    )
+                    for c in cat_cols
+                ]
+            )
+            counted = (
+                frame.select(F.explode(entries).alias("e"))
+                .select("e.col", "e.category")
+                .filter(F.col("category").isNotNull())
+                .groupBy("col", "category")
+                .agg(F.count(F.lit(1)).alias("cnt"))
+                .collect()
+            )
+            by_col: dict[str, list] = {c: [] for c in cat_cols}
+            for r in counted:
+                by_col[r["col"]].append((r["category"], int(r["cnt"])))
+            for c in cat_cols:
+                rows_c = sorted(by_col[c], key=lambda t: (-t[1], t[0]))
+                if not rows_c:
+                    cat_stats[c] = None
+                    continue
+                total = sum(cnt for _, cnt in rows_c)
+                cats = [v for v, _ in rows_c]
+                probs = [cnt / total for _, cnt in rows_c]
+                cat_stats[c] = {
+                    "n_categories": len(rows_c),
+                    "categories": cats,
+                    "probabilities": probs,
+                    "most_common": cats[0],
+                    "most_common_prob": probs[0],
+                    "n_samples": total,
+                }
+
         # Text-ish columns' embedding profiles run CONCURRENTLY (Spark's
         # scheduler interleaves the per-column jobs; each is several small
         # stages, so wall-clock is otherwise job-count bound, not data
@@ -273,8 +320,7 @@ def profile(
                 }
                 profiles[c] = ColumnProfile(c, t, fmt, stats)
             elif t == CATEGORICAL:
-                stats = cat_profile(frame, c)
-                profiles[c] = ColumnProfile(c, t, None, stats or {})
+                profiles[c] = ColumnProfile(c, t, None, cat_stats.get(c) or {})
             elif t in (EMAIL, PHONE, TEXT):
                 # Retain sample-bounded raw entries: bootstrap source for
                 # email/phone (Latanova_v1.py:307-309) and embedding-model
