@@ -330,7 +330,11 @@ def extract_features(
                 }
             )
 
-    return media.mapInPandas(run, schema=_FEATURE_SCHEMA)
+    from etl_processes_spark.partitioning import widen
+
+    # decode is per-row Python — a one-row-group source must not serialize
+    # the whole decode pass onto one core (widen is a no-op for wide inputs)
+    return widen(media).mapInPandas(run, schema=_FEATURE_SCHEMA)
 
 
 def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:

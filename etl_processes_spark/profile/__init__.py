@@ -125,7 +125,13 @@ def profile(
         mode="hash" if deterministic else "bernoulli",
         key=sample_key,
     )
-    frame = frame.persist()
+    # widen AFTER sampling (selection is over the original partitioning) so
+    # the ~dozen profile jobs that scan the persisted frame parallelize even
+    # when the source was a one-row-group file; no-op for wide inputs and
+    # for full-frame mode on real multi-row-group data
+    from etl_processes_spark.partitioning import widen
+
+    frame = widen(frame).persist()
     try:
         types = infer_types(frame)
         schema = {f.name: f.dataType for f in frame.schema.fields}
