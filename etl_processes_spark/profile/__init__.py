@@ -125,13 +125,16 @@ def profile(
         mode="hash" if deterministic else "bernoulli",
         key=sample_key,
     )
-    # widen AFTER sampling (selection is over the original partitioning) so
-    # the ~dozen profile jobs that scan the persisted frame parallelize even
-    # when the source was a one-row-group file; no-op for wide inputs and
-    # for full-frame mode on real multi-row-group data
-    from etl_processes_spark.partitioning import widen
+    # Full-frame mode only: widen AFTER sampling (selection is over the
+    # original partitioning) so the ~dozen profile jobs parallelize when the
+    # source is a one-row-group file. Sample-bounded frames stay narrow on
+    # purpose — 32 tasks per tiny job is pure scheduling overhead for
+    # ≤sample_rows rows.
+    if sample_rows is None:
+        from etl_processes_spark.partitioning import widen
 
-    frame = widen(frame).persist()
+        frame = widen(frame)
+    frame = frame.persist()
     try:
         types = infer_types(frame)
         schema = {f.name: f.dataType for f in frame.schema.fields}
