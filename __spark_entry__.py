@@ -8,12 +8,13 @@ decimal-exact) on BOTH sides so the driver's value-hash is stable.
 
 EXACTLY 50 queries are registered — the driver gate truncates at 50, so
 related operators share combined queries (see COVERAGE.md for the map).
-39 have full DuckDB twins, including the ENTIRE MinHash-LSH, SimHash,
-winnowing and hyperplane-ANN pipelines (their hash primitive is an
-md5-derived 60-bit integer both engines compute identically). The
-remaining 11 are genuinely non-SQL-expressible (seeded JVM RNG,
-hash-seeded embeddings, PCA, end-to-end pipelines) → rows-only check,
-pinned instead by pytest numpy-parity and statistical tests.
+ALL 50 have full DuckDB twins: the MinHash-LSH / SimHash / winnowing /
+hyperplane-ANN / IVF-ANN pipelines (hash primitive: an md5-derived 60-bit
+integer both engines compute identically), MVN text generation and the
+embedding statistics (md5 Box-Muller embeddings + 9dp-quantized moments,
+Cholesky/eigenbasis literals from numpy twins), PCA (sign-invariant
+projections), and both end-to-end profile→generate pipelines
+(synthesize_orders on orders, reference_pipeline on the fixture CSV).
 """
 
 from __future__ import annotations

@@ -248,6 +248,53 @@ def sessionize_stream(
     )
 
 
+def cascading_rollup_distinct(
+    events: DataFrame, lgk: int = 12, ndigits: int = 6
+) -> tuple[DataFrame, DataFrame]:
+    """Distinct-user counts THROUGH the rollup cascade via mergeable HLL
+    sketches (the one statistic ``cascading_rollup`` cannot cascade —
+    count-distinct is not decomposable without a sketch). The hourly layer
+    aggregates each hour's user ids into a Datasketches HLL sketch
+    (``hll_sketch_agg``, the only pass over raw events); the daily layer
+    UNIONS the 24 hourly sketches per day (``hll_union_agg``) and estimates
+    — never re-scanning the fact table. At 100 TB this turns daily/weekly/
+    monthly distinct-user queries into sketch unions over tiny aggregates;
+    relative error ~1.04/sqrt(2^lgk) (~1.6% at lgk=12, tunable).
+
+    Returns (hourly, daily) with ``n_users_approx`` (exact-count parity
+    within sketch error is pinned by tests/test_windows.py)."""
+    hourly = events.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour"),
+        F.col("event_type"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.hll_sketch_agg(F.col("user_id"), F.lit(lgk)).alias("user_sketch"),
+    )
+    hourly_est = hourly.select(
+        "hour",
+        "event_type",
+        "n_events",
+        F.hll_sketch_estimate("user_sketch").alias("n_users_approx"),
+    )
+    daily = (
+        hourly.groupBy(
+            F.date_trunc("day", F.col("hour")).alias("day"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.hll_union_agg(F.col("user_sketch")).alias("user_sketch"),
+        )
+        .select(
+            "day",
+            "event_type",
+            "n_events",
+            F.hll_sketch_estimate("user_sketch").alias("n_users_approx"),
+        )
+    )
+    return hourly_est, daily
+
+
 def cascading_rollup(events: DataFrame, ndigits: int = 6) -> tuple[DataFrame, DataFrame]:
     """Hypertable-style continuous-aggregate cascade: the DAILY rollup is
     computed FROM the hourly aggregates (sum of sums, min of mins, count of

@@ -94,3 +94,39 @@ def test_cascading_rollup_daily_equals_from_raw(spark):
         ).collect()
     }
     assert got == from_raw
+
+
+def test_cascading_rollup_distinct_sketch(spark, sf_dir):
+    """HLL cascade: daily distinct users estimated from UNIONED hourly
+    sketches must track the exact daily count-distinct within sketch error
+    (~1.6% at lgk=12), and the hourly estimates likewise."""
+    import __spark_entry__ as em
+    from etl_processes_spark.streaming.windows import cascading_rollup_distinct
+
+    ev = em._load_events(spark, sf_dir)
+    hourly, daily = cascading_rollup_distinct(ev, lgk=12)
+
+    exact_daily = {
+        (r["day"], r["event_type"]): r["n"]
+        for r in ev.groupBy(
+            F.date_trunc("day", "ts").alias("day"), "event_type"
+        )
+        .agg(F.count_distinct("user_id").alias("n"))
+        .collect()
+    }
+    got = daily.collect()
+    assert len(got) > 0
+    for r in got:
+        exact = exact_daily[(r["day"], r["event_type"])]
+        assert abs(r["n_users_approx"] - exact) <= max(2.0, 0.05 * exact), (
+            r["day"], r["event_type"], r["n_users_approx"], exact,
+        )
+    # n_events cascades exactly
+    exact_events = {
+        (r["day"], r["event_type"]): r["n"]
+        for r in ev.groupBy(F.date_trunc("day", "ts").alias("day"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    for r in got:
+        assert exact_events[(r["day"], r["event_type"])] == r["n_events"]
