@@ -1963,7 +1963,10 @@ SELECT query_id, neighbor_id, cosine_sim, CAST(rk AS INTEGER) AS rank
 FROM r WHERE rk <= 5
 """
     # both ANN families in the one gate slot; IVF centroids need the parquet
-    # at oracle-build time (same contract as _mvn_oracle_sql / _pca_oracle_sql)
+    # at oracle-build time (same contract as _mvn_oracle_sql / _pca_oracle_sql).
+    # On build failure OMIT the key — the Spark query always emits the
+    # lsh+ivf union, so an lsh-only oracle would guarantee a mismatch;
+    # rows-only degradation is the correct fallback.
     try:
         _ivf_sql = _ivf_oracle_sql()
         sql["ann_cosine_lsh"] = (
@@ -1971,7 +1974,7 @@ FROM r WHERE rk <= 5
             f"UNION ALL\nSELECT 'ivf' AS method, * FROM ({_ivf_sql})"
         )
     except Exception:
-        sql["ann_cosine_lsh"] = _lsh_sql
+        pass
 
     # -- similarity --------------------------------------------------------------
 

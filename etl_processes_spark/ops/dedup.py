@@ -106,6 +106,11 @@ def ngram_jaccard_pairs(
     threshold. Exact; the self-join is on the shingle key (inverted index),
     so cost is Σ df(shingle)² — cap with ``max_df`` at scale.
 
+    PRECONDITION: ``id_col`` is unique (one row per document) — the doc-id
+    contract every dedup operator here shares. Rows that duplicate an id
+    would double-count that id's shingles in both the intersection and the
+    set size (pre-dedupe such inputs with ``dedup_exact`` first).
+
     Shuffle diet: ``shingles_expr`` is per-doc distinct already
     (array_distinct), so the exploded (id, shingle) stream needs NO extra
     distinct — that was a full extra shuffle of the widest data in the
@@ -399,7 +404,11 @@ def _cc_driver_union_find(edges: DataFrame) -> DataFrame:
     edge frame (already checkpointed — union-find is undirected, so the
     reversal never needs to exist); output matches the distributed path's
     (node, cluster_id) schema and node coverage (edge endpoints only)."""
-    node_type = edges.schema["s"].dataType
+    # node type = the union coercion of BOTH endpoint columns (s int + d
+    # bigint must yield bigint, as the distributed route's union would)
+    node_type = (
+        edges.select(F.col("s")).union(edges.select(F.col("d"))).schema[0].dataType
+    )
     parent: dict = {}
 
     def find(x):

@@ -225,14 +225,21 @@ def embedding_near_dup_pairs(
        recall < 1, and band geometry targets HIGH thresholds (>= ~0.85, the
        near-duplicate regime); at low thresholds prefer the exact path.
 
-    Routing reads ``n_rows`` (caller-supplied hint), else Catalyst's
-    optimized-plan row-count statistic when available, and only as a last
-    resort pays a count() job — at 100 TB the caller always knows (or the
-    catalog provides) the corpus size, so the probe job never runs.
+    Routing reads ``n_rows`` (caller-supplied hint) first. Catalyst's
+    optimized-plan row-count statistic is trusted only in the SAFE
+    direction: a large estimate routes to LSH (correct even if stale — at
+    worst a small corpus pays bucketing overhead); a small estimate is
+    confirmed with a count() before committing to the broadcast-everything
+    exact path, because a stale low estimate would broadcast an arbitrarily
+    large matrix. At 100 TB the caller passes the size, so no probe runs.
     """
-    n = n_rows if n_rows is not None else _estimate_rows(corpus)
+    n = n_rows
     if n is None:
-        n = corpus.count()
+        est = _estimate_rows(corpus)
+        if est is not None and est > max_exact_rows:
+            n = est  # safe direction: over-threshold routes to LSH
+        else:
+            n = corpus.count()
     if n <= max_exact_rows:
         return _near_dup_exact_blocked(corpus, id_col, vec_col, threshold, ndigits)
     return _near_dup_lsh(

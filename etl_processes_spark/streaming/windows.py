@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from etl_processes_spark.timeutil import ensure_timestamp
+from etl_processes_spark.timeutil import ensure_timestamp, epoch_seconds_d
 
 
 def hourly_event_rollup(events: DataFrame, ndigits: int = 6) -> DataFrame:
@@ -46,11 +46,12 @@ def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     w = Window.partitionBy("user_id").orderBy(F.col("ts"), F.col("event_id"))
     gap = F.lit(gap_minutes * 60.0)
     prev_ts = F.lag("ts").over(w)
-    # cast-to-double keeps sub-second precision (unix_timestamp truncates,
-    # which would disagree with the DuckDB oracle's epoch() on gap boundaries)
+    # fractional epoch seconds keep sub-second precision (unix_timestamp
+    # truncates, which would disagree with the DuckDB oracle's epoch() on
+    # gap boundaries); epoch_seconds_d is the shared NTZ-safe helper
     new_sess = F.when(
         prev_ts.isNull()
-        | ((F.col("ts").cast("double") - prev_ts.cast("double")) > gap),
+        | ((epoch_seconds_d(F.col("ts")) - epoch_seconds_d(prev_ts)) > gap),
         1,
     ).otherwise(0)
     with_sess = events.withColumn(
@@ -274,7 +275,7 @@ def cascading_rollup_distinct(
         "hour",
         "event_type",
         "n_events",
-        F.hll_sketch_estimate("user_sketch").alias("n_users_approx"),
+        F.round(F.hll_sketch_estimate("user_sketch"), ndigits).alias("n_users_approx"),
     )
     daily = (
         hourly.groupBy(
@@ -289,7 +290,7 @@ def cascading_rollup_distinct(
             "day",
             "event_type",
             "n_events",
-            F.hll_sketch_estimate("user_sketch").alias("n_users_approx"),
+            F.round(F.hll_sketch_estimate("user_sketch"), ndigits).alias("n_users_approx"),
         )
     )
     return hourly_est, daily

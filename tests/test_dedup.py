@@ -154,12 +154,17 @@ def test_connected_components_initial_labels_same_result(spark):
     pairs = spark.createDataFrame(edges, ["id_a", "id_b"])
     # seed a known group min (nodes 4..8 pre-labeled 4; correct final is 0)
     seeds = spark.createDataFrame([(n, 4) for n in range(4, 9)], ["node", "label"])
+    # driver_max_edges=0 forces the DISTRIBUTED route — the seed-handling
+    # join is only on that path (the driver union-find ignores seeds)
     plain = {
-        r["node"]: r["cluster_id"] for r in connected_components(pairs).collect()
+        r["node"]: r["cluster_id"]
+        for r in connected_components(pairs, driver_max_edges=0).collect()
     }
     seeded = {
         r["node"]: r["cluster_id"]
-        for r in connected_components(pairs, initial_labels=seeds).collect()
+        for r in connected_components(
+            pairs, initial_labels=seeds, driver_max_edges=0
+        ).collect()
     }
     assert plain == seeded
 
@@ -211,9 +216,13 @@ def test_connected_components_matches_union_find(spark, edges):
         union(a, b)
     expected = {n: find(n) for n in parent}
 
+    # driver_max_edges=0: exercise the DISTRIBUTED label-propagation route
+    # (the default route is a driver union-find — comparing that against
+    # this python union-find would be near-tautological)
     pairs = spark.createDataFrame(edges, ["id_a", "id_b"])
     got = {
-        r["node"]: r["cluster_id"] for r in connected_components(pairs).collect()
+        r["node"]: r["cluster_id"]
+        for r in connected_components(pairs, driver_max_edges=0).collect()
     }
     assert got == expected
 
