@@ -28,7 +28,10 @@ def stratified_sample(
     Plan shape: one shuffle on the stratum key + per-partition sort;
     row_number stops at n so the sort is bounded per group (a windowed
     top-n, not a global sort). Deterministic: depends only on key values
-    and seed, not partitioning."""
+    and seed, not partitioning — PROVIDED ``key_col`` is unique (the doc-id
+    contract shared with the dedup family); rows duplicating a key value
+    tie on both the md5 rank and the tiebreak, and a cutoff inside the tied
+    group would select partition-order-dependently."""
     rank = F.md5(F.concat(F.col(key_col).cast("string"), F.lit(f":{seed}")))
     w = Window.partitionBy(strata_col).orderBy(rank, F.col(key_col))
     return (
@@ -72,6 +75,8 @@ def pack_documents(
     index-ordered: the global cumsum is invariant to WHERE the shard
     boundaries fall, so the output is deterministic even though the range
     sampler is not."""
+    if budget <= 0:
+        raise ValueError(f"budget must be > 0, got {budget}")  # / and % by 0 are null under non-ANSI
     order = order_col or id_col
     base = df.select(
         F.col(id_col),
@@ -79,10 +84,18 @@ def pack_documents(
         F.col(order).alias("__ord"),
     )
     if num_shards is None:
-        num_shards = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+        try:
+            num_shards = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+        except (TypeError, ValueError):  # e.g. "auto" on managed platforms
+            num_shards = df.sparkSession.sparkContext.defaultParallelism
     sh = base.repartitionByRange(num_shards, F.col("__ord"), F.col(id_col)).withColumn(
         "__shard", F.spark_partition_id()
     )
+    # the shard ids come from a SAMPLING-based range partitioner: both plan
+    # branches below (local cumsum + per-shard prefix) must observe the SAME
+    # boundaries, which exchange-reuse usually — but not contractually —
+    # guarantees. The lazy checkpoint makes it hold by construction.
+    sh = sh.localCheckpoint(eager=False)
     w_local = (
         Window.partitionBy("__shard")
         .orderBy(F.col("__ord"), F.col(id_col))

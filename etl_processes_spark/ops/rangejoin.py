@@ -60,7 +60,14 @@ def range_join_bucketized(
             )
         ).cast("long"),
     ).otherwise(hi_b)
-    b = bands.withColumn("__bucket", F.explode(F.sequence(lo_b, hi_guarded)))
+    # inverted/empty band (hi < lo): zero matches by definition — emit an
+    # empty bucket list (explode drops the row) instead of letting
+    # sequence(start > stop) generate a DESCENDING run of junk buckets that
+    # bypasses the width guard (hi_b - lo_b is negative there)
+    buckets = F.when(hi_b >= lo_b, F.sequence(lo_b, hi_guarded)).otherwise(
+        F.array().cast("array<long>")
+    )
+    b = bands.withColumn("__bucket", F.explode(buckets))
     p = points.withColumn("__bucket", F.floor(F.col(value_col) / g).cast("long"))
     v = F.col(value_col)
     return (

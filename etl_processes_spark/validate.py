@@ -50,12 +50,21 @@ def validate_numeric(
         guard = nn.agg(
             F.max(F.abs(y)).alias("mx"),
             F.max(F.abs(F.col(c) * 100 - F.round(F.col(c) * 100, 0))).alias("frac"),
+            # integer profiles over a buggy generator can contain fractional
+            # values; the decimal(9,0) cast would silently ROUND them and
+            # mask the very discrepancy validation exists to surface
+            F.max(F.abs(F.col(c) - F.round(F.col(c), 0))).alias("ifrac"),
         ).collect()[0]
         if guard["mx"] is None:
             return {"error": "empty synthetic column"}
-        if float(guard["mx"]) >= 1e9 or (not is_int and float(guard["frac"] or 0.0) > 0):
-            # outside the exact-decimal domain (or >2dp floats): the
-            # double-moment path is correct, just not hash-stable
+        if (
+            float(guard["mx"]) >= 1e9
+            or (not is_int and float(guard["frac"] or 0.0) > 0)
+            or (is_int and float(guard["ifrac"] or 0.0) > 0)
+        ):
+            # outside the exact-decimal domain (or fractional values the
+            # cast would corrupt): the double-moment path is correct, just
+            # not hash-stable
             synth = numeric_profile(df, c)
         else:
             row = numeric_profile_exact_df(nn, y, out_mult=1.0 if is_int else 0.01).collect()[0]
@@ -178,7 +187,13 @@ def validate(
                 for c, p in todo.items()
             }
             for c, f in futures.items():
-                results[c] = f.result()
+                # one column's failure must not discard every other
+                # column's result — record it as that column's error entry
+                # (the same structured shape the validators return)
+                try:
+                    results[c] = f.result()
+                except Exception as e:
+                    results[c] = {"error": f"{type(e).__name__}: {e}"}
     return {c: results[c] for c in list(profiles)}
 
 

@@ -152,3 +152,19 @@ def test_ngram_jaccard_matches_python_sets(spark, texts):
         for r in ngram_jaccard_pairs(df, "doc_id", "text", k=3, threshold=0.2).collect()
     }
     assert got == _py_jaccard_pairs(rows), texts
+
+
+def test_range_join_inverted_band_is_empty_not_explosive(spark):
+    """A band with hi < lo is an empty interval: zero matches, and the
+    bucket sequence must NOT run descending past the width guard."""
+    from pyspark.sql import functions as F
+
+    from etl_processes_spark.ops.rangejoin import range_join_bucketized
+
+    points = spark.range(10).select(F.col("id").cast("double").alias("v"))
+    bands = spark.createDataFrame(
+        [(0, 2_000_000.0, 0.0), (1, 2.0, 6.0)], ["band_id", "lo", "hi"]
+    )
+    out = range_join_bucketized(points, bands, "v", granularity=1.0).collect()
+    got = {(r["v"], r["band_id"]) for r in out}
+    assert got == {(2.0, 1), (3.0, 1), (4.0, 1), (5.0, 1)}  # inverted band: nothing

@@ -101,3 +101,12 @@ def test_pack_documents_invariants(spark, toks, budget):
         assert r["offset_in_bin"] == cum % budget
         cum += r["n_tokens"]
     assert [r["bin_id"] for r in rows] == sorted(r["bin_id"] for r in rows)
+
+
+def test_pack_documents_rejects_nonpositive_budget(spark):
+    import pytest
+    from etl_processes_spark.ops.pack import pack_documents
+
+    df = spark.createDataFrame([(1, 10)], ["doc_id", "n_tokens"])
+    with pytest.raises(ValueError, match="budget"):
+        pack_documents(df, "doc_id", "n_tokens", 0)

@@ -94,3 +94,26 @@ def test_range_join_bucketized_guards(spark):
             pts, bands, "v", granularity=1.0, max_buckets_per_band=10
         ).collect()
     assert isinstance(exc.value, Py4JJavaError) or "buckets" in str(exc.value)
+
+
+def test_salted_join_rejects_outer_joins(spark):
+    import pytest
+    from etl_processes_spark.ops.skew import salted_join
+
+    big = spark.createDataFrame([(1, "a")], ["k", "v"])
+    small = spark.createDataFrame([(1, "x"), (2, "y")], ["k", "w"])
+    for how in ("right", "full", "full_outer", "right_outer"):
+        with pytest.raises(ValueError, match="salted_join"):
+            salted_join(big, small, "k", salt_buckets=4, how=how)
+
+
+def test_salt_spreads_fully_duplicated_hot_rows(spark):
+    # the hot-key pathology: rows identical in EVERY column — a content
+    # hash would send them all to one bucket; the position salt must not
+    from pyspark.sql import functions as F
+
+    from etl_processes_spark.ops.skew import _row_salt
+
+    df = spark.createDataFrame([("hot",)] * 2000, ["k"]).repartition(4)
+    n = df.withColumn("__salt", _row_salt(16)).select("__salt").distinct().count()
+    assert n >= 8  # duplicates land in many buckets, not one
