@@ -170,6 +170,10 @@ def decode_wav_pcm16(b: bytes) -> tuple[np.ndarray, int] | None:
         cid = b[pos : pos + 4]
         size = struct.unpack_from("<I", b, pos + 4)[0]
         body = b[pos + 8 : pos + 8 + size]
+        if len(body) != size:
+            # declared chunk size exceeds the buffer: truncated payload —
+            # undecodable (zero vector), never features from a fragment
+            return None
         if cid == b"fmt " and len(body) >= 16:
             fmt, channels, rate = struct.unpack_from("<HHI", body, 0)
             bits = struct.unpack_from("<H", body, 14)[0]
@@ -178,7 +182,7 @@ def decode_wav_pcm16(b: bytes) -> tuple[np.ndarray, int] | None:
         elif cid == b"data":
             data = body
         pos += 8 + size + (size & 1)  # chunks are word-aligned
-    if rate is None or data is None or not channels:
+    if not rate or data is None or not channels:  # rate=0 would divide by zero downstream
         return None
     n = len(data) // (2 * channels)
     if n == 0:
@@ -343,12 +347,13 @@ def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     list. A real pipeline joins this plan back to content and decodes only
     the sampled frames."""
     vids = media.filter(F.col("kind") == "video")
-    return vids.select(
-        "media_id",
-        F.explode(
-            F.sequence(F.lit(0), F.col("duration_ms") - 1, F.lit(every_ms))
-        ).alias("frame_ts_ms"),
-    )
+    # duration <= 0 is an empty plan, not a sequence(0, -1) runtime error
+    frames = F.when(
+        F.col("duration_ms") >= 1,
+        F.sequence(F.lit(0).cast("long"), (F.col("duration_ms") - 1).cast("long"),
+                   F.lit(every_ms).cast("long")),
+    ).otherwise(F.array().cast("array<long>"))
+    return vids.select("media_id", F.explode(frames).alias("frame_ts_ms"))
 
 
 def media_stats(media: DataFrame) -> DataFrame:

@@ -61,8 +61,10 @@ def _marker_hits(toks: Column, markers: tuple[str, ...]) -> Column:
     return F.size(F.filter(toks, lambda t: t.isin(*markers)))
 
 
-def lang_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """(id, pred_lang, lang_score): argmax of marker hits, ties → LANG_ORDER."""
+def lang_id_exprs(text_col: str | Column) -> tuple[Column, Column]:
+    """(pred_lang, lang_score) as plain Column expressions — composable into
+    a wider single-pass select (pipelines should not pay an id-keyed join
+    for a row-wise expression)."""
     toks = tokens_expr(text_col)
     scores = {lang: _marker_hits(toks, m) for lang, m in LANG_MARKERS.items()}
     best = F.greatest(*scores.values())
@@ -70,8 +72,14 @@ def lang_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     for lang in reversed(LANG_ORDER):
         pred = F.when(scores[lang] == best, F.lit(lang)).otherwise(pred)
     pred = F.when(best == 0, F.lit("und")).otherwise(pred)
+    return pred, best.cast("long")
+
+
+def lang_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, pred_lang, lang_score): argmax of marker hits, ties → LANG_ORDER."""
+    pred, score = lang_id_exprs(text_col)
     return widen(df).select(
-        F.col(id_col), pred.alias("pred_lang"), best.cast("long").alias("lang_score")
+        F.col(id_col), pred.alias("pred_lang"), score.alias("lang_score")
     )
 
 
@@ -169,14 +177,17 @@ def winnowing_fingerprints(
 
     # md5-derived 60-bit gram hashes (not xxhash64): the DuckDB oracle
     # computes the identical fingerprint set, so winnowing is hash-gated.
-    short_fp = F.array(md5_long_expr(F.array_join(tokens_expr(text_col), " ")))
-    base = widen(df).select(F.col(id_col).alias("__id"), tokens_expr(text_col).alias("__toks"))
-    # Docs with fewer than k tokens (including empty) keep the single
-    # whole-doc hash — same fallback as the classic formulation.
-    short = df.filter(F.size(tokens_expr(text_col)) < k).select(
-        F.col(id_col), short_fp.alias("fingerprints")
+    # NULL text behaves like empty text (size(NULL)=NULL would otherwise
+    # fail BOTH branch filters and silently drop the doc from the output).
+    short_fp = F.array(
+        md5_long_expr(F.coalesce(F.array_join(tokens_expr(text_col), " "), F.lit("")))
     )
-    toks = base.filter(F.size("__toks") >= k).select(
+    base = widen(df).select(F.col(id_col).alias("__id"), tokens_expr(text_col).alias("__toks"))
+    # Docs with fewer than k tokens (including empty/NULL) keep the single
+    # whole-doc hash — same fallback as the classic formulation.
+    ntoks = F.coalesce(F.size(tokens_expr(text_col)), F.lit(0))
+    short = df.filter(ntoks < k).select(F.col(id_col), short_fp.alias("fingerprints"))
+    toks = base.filter(F.coalesce(F.size("__toks"), F.lit(0)) >= k).select(
         "__id", F.posexplode("__toks").alias("pos", "tok")
     )
     w = Window.partitionBy("__id").orderBy("pos")

@@ -89,7 +89,11 @@ def run_training_data_pipeline(
 
     from etl_processes_spark.ops.dedup import dedup_clusters
     from etl_processes_spark.ops.pack import pack_documents, stratified_sample
-    from etl_processes_spark.ops.textstats import lang_id, quality_features, token_count
+    from etl_processes_spark.ops.textstats import (
+        lang_id_exprs,
+        quality_features,
+        token_count_expr,
+    )
 
     clusters = dedup_clusters(
         docs, id_col, text_col, threshold=near_dup_threshold, max_df=max_df
@@ -97,24 +101,30 @@ def run_training_data_pipeline(
     losers = clusters.filter(F.col(id_col) != F.col("cluster_id")).select(id_col)
     kept = docs.join(losers, id_col, "left_anti")
 
-    scored = (
-        kept.select(id_col, text_col)
-        .join(lang_id(kept, id_col, text_col).select(id_col, "pred_lang"), id_col)
-        .join(
-            quality_features(kept, id_col, text_col).select(id_col, "quality_score"),
-            id_col,
-        )
-        .join(
-            token_count(kept, id_col, text_col).select(id_col, "n_tokens"), id_col
-        )
+    # lang-ID and token counting are row-wise Column expressions — computed
+    # in the SAME select, not joined back on id (each such join is a full
+    # corpus shuffle). Only quality_features genuinely aggregates (token
+    # explode + per-doc sums), so it is the one id-keyed join that remains.
+    pred_lang, _score = lang_id_exprs(text_col)
+    scored = kept.select(
+        F.col(id_col),
+        F.col(text_col),
+        pred_lang.alias("pred_lang"),
+        token_count_expr(text_col).alias("n_tokens"),
+    ).join(
+        quality_features(kept, id_col, text_col).select(id_col, "quality_score"),
+        id_col,
     )
     filtered = scored.filter(
         F.col("pred_lang").isin(*langs) & (F.col("quality_score") >= min_quality)
-    )
+    ).select(id_col, text_col, "pred_lang", "quality_score", "n_tokens")
     if per_lang_cap is not None:
         filtered = stratified_sample(filtered, "pred_lang", per_lang_cap, id_col, seed)
     if pack_budget is None:
         return filtered
+    # filtered feeds BOTH the packer and the final join — persist so the
+    # dedup/scoring/sampling subtree executes once, not twice
+    filtered = filtered.persist()
     packed = pack_documents(filtered, id_col, "n_tokens", pack_budget)
     return filtered.join(
         packed.select(id_col, "bin_id", "offset_in_bin"), id_col

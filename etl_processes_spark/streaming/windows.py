@@ -167,7 +167,16 @@ def sessionize_stream(
 
     Output schema matches the batch ``sessionize`` exactly, and emitted
     sessions equal the batch result for any session closed by the watermark
-    (pinned by tests/test_streaming.py)."""
+    (pinned by tests/test_streaming.py). Session ordinals survive timeouts
+    via a per-user tombstone (ordinal only, no open session) so a user who
+    returns after a closure continues numbering like the batch cumulative
+    sum — memory is O(distinct users ever seen), the price of batch-equal
+    ordinals (key sessions by start timestamp instead if that is
+    unacceptable). Late in-watermark events merge into the open session
+    with min/max start/end. Requires a UTC-pinned session (the engine
+    default): applyInPandasWithState delivers session-local naive
+    timestamps, and the timeout registration below converts them to epoch
+    assuming no offset."""
     import pandas as pd
     from pyspark.sql import types as T
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -198,13 +207,24 @@ def sessionize_stream(
     def _fmt(us: int) -> str:
         return pd.Timestamp(us, unit="us").strftime("%Y-%m-%d %H:%M:%S")
 
+    def _r6(x: float) -> float:
+        # HALF_UP like Spark's F.round (python round() is half-even and
+        # would diverge from the batch twin on exact half-way sums)
+        from decimal import ROUND_HALF_UP, Decimal
+
+        return float(Decimal(repr(x)).quantize(Decimal("0.000001"), ROUND_HALF_UP))
+
     def fn(key, pdfs, state: GroupState):
         user_id = key[0]
         closed = []
         if state.hasTimedOut:
             sid, start_us, last_us, n, vsum = state.get
-            closed.append((user_id, sid, _fmt(start_us), _fmt(last_us), n, round(vsum, 6)))
-            state.remove()
+            if start_us is not None:
+                closed.append((user_id, sid, _fmt(start_us), _fmt(last_us), n, _r6(vsum)))
+            # tombstone: keep the NEXT ordinal, no open session, no timeout —
+            # a returning user continues numbering instead of re-seeding at 1
+            # (which would emit duplicate (user_id, session_id) keys)
+            state.update((sid + 1, None, None, 0, 0.0))
         else:
             sid, start_us, last_us, n, vsum = (
                 state.get if state.exists else (1, None, None, 0, 0.0)
@@ -217,12 +237,16 @@ def sessionize_stream(
                     start_us, last_us, n, vsum = us, us, 1, float(val)
                 elif us - last_us > gap_us:
                     closed.append(
-                        (user_id, sid, _fmt(start_us), _fmt(last_us), n, round(vsum, 6))
+                        (user_id, sid, _fmt(start_us), _fmt(last_us), n, _r6(vsum))
                     )
                     sid += 1
                     start_us, last_us, n, vsum = us, us, 1, float(val)
                 else:
-                    last_us, n, vsum = us, n + 1, vsum + float(val)
+                    # late in-watermark events must never REGRESS the open
+                    # session's bounds (in-batch sort can't order across batches)
+                    start_us = min(start_us, us)
+                    last_us = max(last_us, us)
+                    n, vsum = n + 1, vsum + float(val)
             state.update((sid, start_us, last_us, n, vsum))
             # close when the watermark passes the gap horizon
             state.setTimeoutTimestamp(last_us // 1000 + gap_minutes * 60 * 1000)
