@@ -24,7 +24,7 @@ import math
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from etl_processes_spark.profile.types import DATE_FORMATS, ColumnProfile
+from etl_processes_spark.profile.types import BOOL_RENDER, DATE_FORMATS, ColumnProfile
 
 # Max categories / bootstrap entries inlined as a literal expression before we
 # switch to a broadcast lookup-table join (plan size vs. shuffle trade-off).
@@ -73,16 +73,9 @@ def gen_boolean(stats: dict | None, bool_format: str | None, seed: int) -> Colum
     (Latanova_v1.py:366-389); default spelling 'True'/'False' strings."""
     p = 0.5 if stats is None else float(stats["true_probability"])
     b = u_expr(seed, "bool") < F.lit(p)
-    spellings = {
-        "true_false": ("True", "False"),
-        "yes_no": ("Yes", "No"),
-        "one_zero": ("1", "0"),
-        "yn": ("Y", "N"),
-        "tf": ("T", "F"),
-    }
     if bool_format == "bool":
         return b
-    t, f = spellings.get(bool_format or "true_false", ("True", "False"))
+    t, f = BOOL_RENDER.get(bool_format or "true_false", ("True", "False"))
     return F.when(b, F.lit(t)).otherwise(F.lit(f))
 
 

@@ -108,7 +108,12 @@ _METRICS = (
 
 
 def _ratio(pred: Column) -> Column:
-    return F.avg(F.when(pred, 1.0).otherwise(0.0))
+    """avg over rows where ``pred`` is non-null: three-valued — true → 1,
+    false → 0, NULL → excluded from the denominator. A plain
+    ``otherwise(0.0)`` would count null rows as non-matches, diluting every
+    ratio on null-bearing columns (the reference computes ratios on
+    dropna'd series; the DuckDB oracle filters IS NOT NULL)."""
+    return F.avg(F.when(pred, 1.0).when(pred.isNotNull(), 0.0))
 
 
 PROBE_METRICS = ("email_ratio", "phone_ratio", "datetime_ratio")
@@ -146,19 +151,12 @@ def inference_metric_exprs(
         ).alias(f"{c}__outside_bool_vocab"),
     ]
     if include_probe:
-        exprs += [
-            _ratio(F.when(nn, email_pred(c)).otherwise(F.lit(None))).alias(f"{c}__email_ratio"),
-            _ratio(F.when(nn, phone_pred(c)).otherwise(F.lit(None))).alias(f"{c}__phone_ratio"),
-        ]
+        exprs += _probe_metric_exprs(c, dtype)  # email/phone(/datetime) — shared
     if dtype is None or isinstance(dtype, T.StringType):
         exprs += [
             _ratio(F.when(nn, numeric)).alias(f"{c}__numeric_ratio"),
             F.avg(F.when(numeric, F.when(integral, 1.0).otherwise(0.0))).alias(f"{c}__int_ratio"),
         ]
-        if include_probe:
-            exprs.append(
-                _ratio(F.when(nn, datetime_parse(c).isNotNull())).alias(f"{c}__datetime_ratio")
-            )
     elif isinstance(dtype, T.FractionalType):
         # numeric dtype: tree returns at the numeric branch (:141-148);
         # only the integral ratio needs data.
@@ -190,15 +188,17 @@ def _dtype_constant_metrics(dtype: T.DataType) -> dict:
 
 
 def _probe_metric_exprs(c: str, dtype: T.DataType | None) -> list[Column]:
-    """Only the metrics the reference bounds to its head(100) probe
-    (Latanova_v1.py:72,79,163): the regex/parse-heavy ratios."""
+    """The metrics the reference bounds to its head(100) probe
+    (Latanova_v1.py:72,79,163): the regex/parse-heavy ratios. The ONLY
+    definition of these expressions — both full-column and probe-bounded
+    inference use it, so null/ratio semantics cannot drift between modes."""
     col = F.col(c)
     nn = col.isNotNull()
     if isinstance(dtype, T.BooleanType):
         return []
     exprs = [
-        _ratio(F.when(nn, email_pred(c)).otherwise(F.lit(None))).alias(f"{c}__email_ratio"),
-        _ratio(F.when(nn, phone_pred(c)).otherwise(F.lit(None))).alias(f"{c}__phone_ratio"),
+        _ratio(F.when(nn, email_pred(c))).alias(f"{c}__email_ratio"),
+        _ratio(F.when(nn, phone_pred(c))).alias(f"{c}__phone_ratio"),
     ]
     if dtype is None or isinstance(dtype, T.StringType):
         exprs.append(

@@ -227,13 +227,6 @@ def cat_profile(df: DataFrame, c: str) -> dict | None:
 # ---------------------------------------------------------------------------
 
 
-def epoch_seconds(c: str | Column) -> Column:
-    """Epoch seconds, floored — pandas `.astype(int64) // 10**9`
-    (Latanova_v1.py:281). Timestamp→double is micros/1e6 in Spark; floor
-    matches pandas' integer floor-division for pre-1970 values too."""
-    return F.floor(datetime_parse(c).cast("double")).cast("long")
-
-
 def ts_expr(df: DataFrame, c: str) -> Column:
     """Native timestamp/date columns pass through untouched (the string
     round-trip in datetime_parse would drop sub-second precision)."""
@@ -305,7 +298,11 @@ def histogram_df(df: DataFrame, c: str, bins: int = 50) -> DataFrame:
     arithmetic uses only min/max-derived constants, so the DuckDB oracle
     computes identical buckets (floor of identical doubles)."""
     x = F.col(c).cast("double")
-    base = df.filter(x.isNotNull())
+    # NaN must be excluded, not just NULL: Spark's max treats NaN as the
+    # LARGEST double, so one NaN would make width NaN and floor(NaN)=0
+    # silently collapse every row into bin 0. (The reference's np.histogram
+    # raises on a non-finite range; we drop the non-finite values instead.)
+    base = df.filter(x.isNotNull() & ~F.isnan(x))
     mm = base.agg(F.min(x).alias("mn"), F.max(x).alias("mx"))
     j = base.crossJoin(F.broadcast(mm))
     width = (F.col("mx") - F.col("mn")) / F.lit(float(bins))

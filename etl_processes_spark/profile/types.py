@@ -37,6 +37,18 @@ BOOL_VOCAB = BOOL_TRUE + BOOL_FALSE
 # argmax ties resolve to the earliest key (Latanova_v1.py:118).
 BOOL_FORMATS = ("true_false", "yes_no", "one_zero", "yn", "tf", "bool")
 
+# (true, false) rendering per detected format (Latanova_v1.py:377-388) —
+# the single source of truth for generation; detection counts the
+# lowercased parse vocabulary (BOOL_VOCAB), rendering emits these exact
+# spellings. "bool" renders native booleans, not strings.
+BOOL_RENDER: dict[str, tuple[str, str]] = {
+    "true_false": ("True", "False"),
+    "yes_no": ("Yes", "No"),
+    "one_zero": ("1", "0"),
+    "yn": ("Y", "N"),
+    "tf": ("T", "F"),
+}
+
 # Date render formats (Latanova_v1.py:286-291) → Spark datetime patterns.
 DATE_FORMATS = {
     "YYYY-MM-DD": "yyyy-MM-dd",

@@ -53,7 +53,13 @@ def tokenize(text: str) -> list[str]:
 
 
 def tokenize_expr(c: str | Column) -> Column:
-    """Column-expression twin of tokenize() — JVM-side, for native pipelines."""
+    """Column-expression twin of tokenize() — JVM-side, for native pipelines.
+
+    KNOWN DIVERGENCE (edge case): python ``\\w`` minus ``\\d`` also admits
+    non-decimal numerics (e.g. '²', 'Ⅳ') that ``\\p{L}`` does not, so a
+    token like 'x²' tokenizes differently between the twins. Plain-language
+    corpora are unaffected; both the vocab build and the DuckDB oracles use
+    THIS expression consistently, so gates cannot split on it."""
     col = F.col(c) if isinstance(c, str) else c
     toks = F.split(F.lower(col.cast("string")), r"[^\p{L}_]+")
     return F.filter(
@@ -363,32 +369,62 @@ def mvn_z_matrix(seed: int, ids, d: int) -> np.ndarray:
 
 
 def _vocab_matrix(vocab: list[str], vector_size: int) -> np.ndarray:
-    return np.stack([token_vector(t, vector_size) for t in vocab]) if vocab else np.zeros((0, vector_size))
+    """All vocabulary token vectors in one batched pass: token_vector's
+    Box-Muller factors come from the same (k+0.5)/65536 digest-slice domain
+    as mvn_z_matrix, so the precomputed scalar-math tables apply — one
+    ``np.frombuffer`` over concatenated digests + two table lookups,
+    bit-identical to per-token token_vector (pinned by tests), ~20× faster
+    for large vocabularies."""
+    if not vocab:
+        return np.zeros((0, vector_size))
+    if vector_size > 8:
+        raise ValueError("vector_size > 8 exceeds the 128-bit md5 slice budget")
+    r_tab, c_tab = _box_muller_tables()
+    md5 = hashlib.md5
+    d1 = b"".join(md5(t.encode("utf-8")).digest() for t in vocab)
+    d2 = b"".join(md5((t + "\x01").encode("utf-8")).digest() for t in vocab)
+    k1 = np.frombuffer(d1, dtype=">u2").reshape(len(vocab), 8)[:, :vector_size]
+    k2 = np.frombuffer(d2, dtype=">u2").reshape(len(vocab), 8)[:, :vector_size]
+    return r_tab[k1] * c_tab[k2]
+
+
+_KNN_CHUNK_CELLS = 32_000_000  # ≤ ~256 MB similarity block per step
 
 
 def knn_decode(
     vectors: np.ndarray, vocab: list[str], vocab_mat: np.ndarray, topn: int = 3
 ) -> list[str]:
     """similar_by_vector(topn=3) then first alphanumeric word
-    (Latanova_v1.py:338-342): cosine similarity against the vocabulary."""
+    (Latanova_v1.py:338-342): cosine similarity against the vocabulary.
+
+    Memory-bounded: the (n_vectors × |vocab|) similarity matrix is never
+    materialized whole — slot rows are processed in chunks sized so each
+    block stays ≤ ~256 MB (a 100k-token vocabulary against a 10k-row Arrow
+    batch would otherwise allocate hundreds of GB). Results are identical
+    to the single-block computation (same dot products, same selection)."""
     if len(vocab) == 0:
         return ["" for _ in range(len(vectors))]
     norms = np.linalg.norm(vocab_mat, axis=1)
     norms[norms == 0] = 1.0
-    out = []
     vnorm = np.linalg.norm(vectors, axis=1)
     vnorm[vnorm == 0] = 1.0
-    sims = (vectors @ vocab_mat.T) / (vnorm[:, None] * norms[None, :])
     k = min(topn, len(vocab))
-    for row in sims:
-        idx = np.argpartition(-row, k - 1)[:k]
-        idx = idx[np.argsort(-row[idx])]
-        word = ""
-        for j in idx:
-            if vocab[j].isalnum():
-                word = vocab[j]
-                break
-        out.append(word)
+    out: list[str] = []
+    chunk = max(1, _KNN_CHUNK_CELLS // max(1, len(vocab)))
+    for lo in range(0, len(vectors), chunk):
+        hi = min(lo + chunk, len(vectors))
+        sims = (vectors[lo:hi] @ vocab_mat.T) / (
+            vnorm[lo:hi, None] * norms[None, :]
+        )
+        for row in sims:
+            idx = np.argpartition(-row, k - 1)[:k]
+            idx = idx[np.argsort(-row[idx])]
+            word = ""
+            for j in idx:
+                if vocab[j].isalnum():
+                    word = vocab[j]
+                    break
+            out.append(word)
     return out
 
 

@@ -84,3 +84,34 @@ def test_gen_text_roundtrip_and_determinism(spark, profiled):
     vocab = set(prof["vocab"])
     for t in texts[:5]:
         assert set(t.split()) <= vocab
+
+
+def test_vocab_matrix_bit_identical_to_token_vector():
+    import numpy as np
+
+    from etl_processes_spark.text.embedding import _vocab_matrix, token_vector
+
+    vocab = ["alpha", "beta", "gamma_1", "ünïcode", "x", "longertokenhere"]
+    for vs in (4, 8):
+        fast = _vocab_matrix(vocab, vs)
+        slow = np.stack([token_vector(t, vs) for t in vocab])
+        assert np.array_equal(fast, slow)
+
+
+def test_knn_decode_chunked_matches_unchunked():
+    import numpy as np
+
+    import etl_processes_spark.text.embedding as emb
+
+    rng = np.random.RandomState(3)
+    vocab = [f"tok{i}" for i in range(200)]
+    vmat = emb._vocab_matrix(vocab, 4)
+    vecs = rng.randn(500, 4)
+    full = emb.knn_decode(vecs, vocab, vmat)
+    old = emb._KNN_CHUNK_CELLS
+    try:
+        emb._KNN_CHUNK_CELLS = 400  # force 2-row chunks
+        chunked = emb.knn_decode(vecs, vocab, vmat)
+    finally:
+        emb._KNN_CHUNK_CELLS = old
+    assert full == chunked
