@@ -145,7 +145,7 @@ def cosine_topk_blocked(
                 }
             )
 
-    partial = widen(corpus.select(id_col, vec_col)).mapInPandas(score, schema=schema)
+    partial = widen(corpus.select(id_col, vec_col), per_mb=8.0).mapInPandas(score, schema=schema)
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
     return (
         partial.withColumn("cosine_sim", F.round(F.col("cosine_sim"), ndigits))
@@ -285,7 +285,7 @@ def _near_dup_exact_blocked(
                 {"id_a": ids_[bi], "id_b": cids[ci], "cosine_sim": sims[bi, ci]}
             )
 
-    out = widen(corpus.select(id_col, vec_col)).mapInPandas(score, schema=schema)
+    out = widen(corpus.select(id_col, vec_col), per_mb=8.0).mapInPandas(score, schema=schema)
     return out.withColumn("cosine_sim", F.round(F.col("cosine_sim"), ndigits)).filter(
         F.col("cosine_sim") >= threshold
     )
@@ -477,7 +477,7 @@ def ann_cosine_ivf(
                 }
             )
 
-    cells = widen(corpus.select(id_col, vec_col)).mapInPandas(assign, schema=assign_schema)
+    cells = widen(corpus.select(id_col, vec_col), per_mb=8.0).mapInPandas(assign, schema=assign_schema)
 
     qpdf = queries.select(id_col, vec_col).toPandas()
     Q = np.stack(qpdf[vec_col].to_numpy()).astype(np.float64)

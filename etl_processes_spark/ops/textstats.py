@@ -33,7 +33,7 @@ def bpe_ish_token_count_expr(c: str | Column) -> Column:
 
 
 def token_count(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    return widen(df).select(
+    return widen(df, per_mb=2.0).select(
         F.col(id_col),
         token_count_expr(text_col).alias("n_tokens"),
         bpe_ish_token_count_expr(text_col).alias("n_tokens_bpe"),
@@ -78,7 +78,7 @@ def lang_id_exprs(text_col: str | Column) -> tuple[Column, Column]:
 def lang_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(id, pred_lang, lang_score): argmax of marker hits, ties → LANG_ORDER."""
     pred, score = lang_id_exprs(text_col)
-    return widen(df).select(
+    return widen(df, per_mb=2.0).select(
         F.col(id_col), pred.alias("pred_lang"), score.alias("lang_score")
     )
 
@@ -108,7 +108,7 @@ def quality_features(df: DataFrame, id_col: str, text_col: str, ndigits: int = 6
     # map-side at scale. A synthetic row key preserves per-row semantics even
     # under duplicate ids.
     s = (F.col(text_col)).cast("string")
-    base = widen(df).select(
+    base = widen(df, per_mb=2.0).select(
         F.col(id_col),
         F.monotonically_increasing_id().alias("__rid"),
         tokens_expr(text_col).alias("__toks"),
@@ -151,7 +151,7 @@ def quality_features(df: DataFrame, id_col: str, text_col: str, ndigits: int = 6
 def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(id, md5 fingerprint of the NORMALIZED text) — whitespace/punct
     variations collapse to the same print; md5 exists in Spark and DuckDB."""
-    return widen(df).select(
+    return widen(df, per_mb=2.0).select(
         F.col(id_col), F.md5(normalized_text_expr(text_col)).alias("fingerprint")
     )
 
@@ -182,7 +182,7 @@ def winnowing_fingerprints(
     short_fp = F.array(
         md5_long_expr(F.coalesce(F.array_join(tokens_expr(text_col), " "), F.lit("")))
     )
-    base = widen(df).select(F.col(id_col).alias("__id"), tokens_expr(text_col).alias("__toks"))
+    base = widen(df, per_mb=2.0).select(F.col(id_col).alias("__id"), tokens_expr(text_col).alias("__toks"))
     # Docs with fewer than k tokens (including empty/NULL) keep the single
     # whole-doc hash — same fallback as the classic formulation.
     ntoks = F.coalesce(F.size(tokens_expr(text_col)), F.lit(0))

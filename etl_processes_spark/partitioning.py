@@ -36,14 +36,56 @@ _SHUFFLE_TOKENS = (
 )
 
 
-def widen(df: DataFrame, min_factor: int = 2) -> DataFrame:
-    """Round-robin repartition to the cluster's default parallelism when the
-    input is a narrow scan-shaped frame with at least ``min_factor``× fewer
-    partitions; otherwise df unchanged. Frames downstream of a shuffle
-    (join/agg/window/sort/limit in the optimized plan) are returned as-is:
-    they are already shuffle-partitioned wide, and probing them via df.rdd
-    would force AQE finalization (eager upstream execution). Costs one
-    shuffle of the (small, by construction) input when it does apply."""
+# Logical-stats sizeInBytes at/above this is "unknown" (LocalRelation and
+# some leaves report Long.MaxValue-ish defaults rather than a real size).
+_SIZE_UNKNOWN = 1 << 61
+
+
+def _plan_size_bytes(df: DataFrame) -> int | None:
+    """Catalyst's logical-plan size estimate (file bytes for parquet scans).
+    Pure metadata — unlike df.rdd it never finalizes a physical plan, so the
+    probe is ~free and safe on any frame. None when the estimate is a
+    'huge/unknown' sentinel."""
+    try:
+        sz = int(str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()))
+    except Exception:
+        return None
+    return None if sz >= _SIZE_UNKNOWN else sz
+
+
+def _parse_bytes_conf(v: str) -> int:
+    """'134217728b' / '128m' / '1g' → bytes; defaults to 128 MiB on
+    anything unparseable."""
+    s = str(v).strip().lower()
+    for suf, mult in (("kb", 1 << 10), ("mb", 1 << 20), ("gb", 1 << 30),
+                      ("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30), ("b", 1)):
+        if s.endswith(suf):
+            s = s[: -len(suf)]
+            break
+    else:
+        mult = 1
+    try:
+        return max(1, int(float(s) * mult))
+    except ValueError:
+        return 128 << 20
+
+
+def widen(df: DataFrame, min_factor: int = 2, per_mb: float | None = None) -> DataFrame:
+    """Round-robin repartition a narrow scan-shaped frame up to the cluster's
+    default parallelism; df unchanged otherwise. Frames downstream of a
+    shuffle (join/agg/window/sort/limit in the optimized plan) are returned
+    as-is: they are already shuffle-partitioned wide, and probing them via
+    df.rdd would force AQE finalization (eager upstream execution).
+
+    ``per_mb`` declares the caller's work density — how many input MB one
+    task should own. CPU-heavy stages (md5-per-token embedding, blob decode)
+    pass None: always widen to full parallelism, the work dwarfs the
+    shuffle. Cheap per-row stages (token stats, BLAS batch scoring) pass
+    their density so that a small input (e.g. a single-row-group parquet of
+    a few MB) is NOT shuffled just to spread sub-second work across 32
+    tasks — the repartition + per-task overhead costs more than it saves.
+    At 100 TB both paths are no-ops (the scan is already wide), so the knob
+    only shapes the small-to-middling regime."""
     try:
         plan = df._jdf.queryExecution().optimizedPlan().toString()
     except Exception:
@@ -52,6 +94,24 @@ def widen(df: DataFrame, min_factor: int = 2) -> DataFrame:
         return df
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
+    size = _plan_size_bytes(df)
+    if per_mb is not None and size is not None:
+        # density-scaled target: one task per per_mb MB, capped at the
+        # cluster width; ≤1 means the input is too small to be worth a
+        # shuffle for this work density
+        target = min(target, max(1, int(size / (per_mb * 1024 * 1024)) + 1))
+        if target <= 1:
+            return df
+    if size is not None:
+        # scan width estimate from the same metadata (row-group packing can
+        # only make the real count smaller, never larger, for single files)
+        max_pb = _parse_bytes_conf(
+            df.sparkSession.conf.get("spark.sql.files.maxPartitionBytes", "134217728b")
+        )
+        est_parts = max(1, (size + max_pb - 1) // max_pb)
+        if est_parts * min_factor > target:
+            return df
+        return df.repartition(target)
     if df.rdd.getNumPartitions() * min_factor <= target:
         return df.repartition(target)
     return df

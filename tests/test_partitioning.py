@@ -21,6 +21,35 @@ def test_widen_spreads_narrow_range(spark):
     assert sorted(r[0] for r in out.collect()) == list(range(1000))
 
 
+def test_widen_per_mb_skips_tiny_inputs(spark, sf_dir):
+    # documents at sf0.001/0.01 is well under 2 MB of parquet: a cheap
+    # per-row op (per_mb=2) should NOT pay a shuffle to spread it
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    assert widen(df, per_mb=2.0) is df
+    # a CPU-heavy caller (per_mb=None) still widens the same input
+    assert widen(df).rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
+
+
+def test_widen_per_mb_scales_with_size(spark, sf_dir):
+    # per_mb small enough that even the tiny file earns multiple tasks;
+    # target stays capped at defaultParallelism
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = widen(df, per_mb=0.000001)
+    assert out.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
+    assert out.count() == df.count()
+
+
+def test_parse_bytes_conf():
+    from etl_processes_spark.partitioning import _parse_bytes_conf
+
+    assert _parse_bytes_conf("134217728b") == 134217728
+    assert _parse_bytes_conf("134217728") == 134217728
+    assert _parse_bytes_conf("128m") == 128 << 20
+    assert _parse_bytes_conf("128mb") == 128 << 20
+    assert _parse_bytes_conf("1g") == 1 << 30
+    assert _parse_bytes_conf("garbage") == 128 << 20
+
+
 def test_widen_noop_for_post_shuffle_frames(spark):
     target = spark.sparkContext.defaultParallelism
     # explicit repartition, joins, aggregates: already shuffle-partitioned
