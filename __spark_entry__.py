@@ -669,6 +669,64 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .join(quality_features(d, "doc_id", "text", ndigits=ND), "doc_id")
         )
 
+    def q_decontaminate(spark, sf):
+        # benchmark decontamination: docs with doc_id % 10 == 0 play the
+        # eval set, the rest the training corpus; per-corpus-doc distinct
+        # 3-gram overlap against the BROADCAST eval gram-hash set. The
+        # oracle replays the identical md5 60-bit gram hashes.
+        from etl_processes_spark.ops.decontaminate import contamination_report
+
+        d = _t(spark, sf, "documents")
+        corpus = d.filter(F.col("doc_id") % 10 != 0)
+        ev = d.filter(F.col("doc_id") % 10 == 0)
+        return contamination_report(
+            corpus, ev, "doc_id", "text", k=3, threshold=0.5, ndigits=ND
+        )
+
+    def q_repetition_stats(spark, sf):
+        # Gopher-style intra-doc repetition signals over the documents table
+        from etl_processes_spark.ops.textstats import repetition_stats
+
+        return repetition_stats(_t(spark, sf, "documents"), "doc_id", "text", ndigits=ND)
+
+    def q_pii_scrub(spark, sf):
+        # PII redaction gate: synthesize a deterministic PII-bearing text
+        # from the customer table (some rows get an email, some a TPC-H-shaped
+        # phone, some neither), scrub it, count matches. Both engines build
+        # the IDENTICAL input string, so clean_text + counts hash-match.
+        from etl_processes_spark.ops.textstats import pii_scrub
+
+        c = _t(spark, sf, "customer").select(
+            "c_custkey",
+            F.concat(
+                F.col("c_name"),
+                F.when(
+                    F.col("c_custkey") % 3 == 0,
+                    F.concat(
+                        F.lit(" mail "),
+                        F.lower(F.regexp_replace(F.col("c_name"), "#", "")),
+                        F.lit("@example.com"),
+                    ),
+                ).otherwise(F.lit("")),
+                F.when(
+                    F.col("c_custkey") % 2 == 0,
+                    F.concat(
+                        F.lit(" call "),
+                        F.format_string(
+                            "%02d-%03d-%03d-%04d",
+                            F.col("c_custkey") % 90 + 10,
+                            F.col("c_custkey") % 900 + 100,
+                            (F.col("c_custkey") * 7) % 900 + 100,
+                            (F.col("c_custkey") * 13) % 9000 + 1000,
+                        ),
+                    ),
+                ).otherwise(F.lit("")),
+                F.lit(" segment "),
+                F.col("c_mktsegment"),
+            ).alias("text"),
+        )
+        return pii_scrub(c, "c_custkey", "text")
+
     def q_range_join_bands(spark, sf):
         # bucketized interval join: parts -> overlapping retail-price bands
         # (width 100, stride 50 — each part hits <=2 bands); equi-join on
@@ -806,6 +864,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": q_cosine_topk,
         "embedding_near_dup": q_embedding_near_dup,
         "text_analysis": q_text_analysis,
+        "decontaminate": q_decontaminate,
+        "repetition_stats": q_repetition_stats,
+        "pii_scrub": q_pii_scrub,
         "range_join_bands": q_range_join_bands,
         "salted_join_agg": q_salted_join_agg,
         "fingerprint": q_fingerprint,
@@ -2052,6 +2113,93 @@ FROM f
     sql["text_analysis"] = f"""
 WITH tc AS ({_tc_sql}), li AS ({_li_sql}), qs AS ({_qs_sql})
 SELECT * FROM tc JOIN li USING (doc_id) JOIN qs USING (doc_id)
+"""
+
+    # decontaminate: same shingle + md5-60-bit hashing as the dedup family
+    # (short docs fall back to the whole token string as one gram); eval set
+    # = doc_id % 10 == 0, corpus = the rest, k = 3, threshold 0.5
+    sql["decontaminate"] = f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+sh0 AS (SELECT doc_id,
+               CASE WHEN len(t) >= 3
+                    THEN list_transform(range(1, len(t) - 3 + 2), i -> array_to_string(t[i:i+2], ' '))
+                    ELSE [array_to_string(t, ' ')] END AS shs
+        FROM toks),
+sh_all AS (SELECT DISTINCT doc_id, unnest(shs) AS shingle FROM sh0),
+hashed AS (SELECT doc_id, CAST(concat('0x', substr(md5(shingle), 1, 15)) AS BIGINT) AS h FROM sh_all),
+evalg AS (SELECT DISTINCT h FROM hashed WHERE doc_id % 10 = 0),
+corp AS (SELECT doc_id, hashed.h, e.h AS hit
+         FROM hashed LEFT JOIN evalg e USING (h) WHERE doc_id % 10 <> 0)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_grams,
+       CAST(sum(CASE WHEN hit IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
+       round(CAST(sum(CASE WHEN hit IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6)
+           AS contamination_ratio,
+       (CAST(sum(CASE WHEN hit IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / count(*)) >= 0.5
+           AS contaminated
+FROM corp GROUP BY doc_id
+"""
+
+    # repetition_stats: gram fractions from list expressions, token mode via
+    # two-level aggregation — mirrors ops/textstats.repetition_stats exactly
+    # (repetitive uses the UNROUNDED fractions, like the Spark side)
+    sql["repetition_stats"] = f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+m AS (SELECT doc_id, t, len(t) AS n,
+             CASE WHEN len(t) >= 2
+                  THEN list_transform(range(1, len(t)), i -> array_to_string(t[i:i+1], ' '))
+                  ELSE [] END AS g2,
+             CASE WHEN len(t) >= 3
+                  THEN list_transform(range(1, len(t) - 1), i -> array_to_string(t[i:i+2], ' '))
+                  ELSE [] END AS g3
+      FROM toks),
+s AS (SELECT doc_id, n, len(g2) AS t2, len(list_distinct(g2)) AS d2,
+             len(g3) AS t3, len(list_distinct(g3)) AS d3
+      FROM m),
+tk AS (SELECT doc_id, unnest(t) AS tok FROM m),
+cnt AS (SELECT doc_id, tok, count(*) AS c FROM tk GROUP BY 1, 2),
+top AS (SELECT doc_id, max(c) AS topc, count(*) AS dtok FROM cnt GROUP BY 1)
+SELECT s.doc_id,
+       CAST(n AS BIGINT) AS n_tokens,
+       round(CASE WHEN n > 0 THEN CAST(coalesce(dtok, 0) AS DOUBLE) / n ELSE 0.0 END, 6)
+           AS distinct_token_ratio,
+       round(CASE WHEN n > 0 THEN CAST(coalesce(topc, 0) AS DOUBLE) / n ELSE 0.0 END, 6)
+           AS top_token_frac,
+       round(CASE WHEN t2 > 0 THEN 1.0 - CAST(d2 AS DOUBLE) / t2 ELSE 0.0 END, 6)
+           AS dup_2gram_frac,
+       round(CASE WHEN t3 > 0 THEN 1.0 - CAST(d3 AS DOUBLE) / t3 ELSE 0.0 END, 6)
+           AS dup_3gram_frac,
+       ((CASE WHEN t3 > 0 THEN 1.0 - CAST(d3 AS DOUBLE) / t3 ELSE 0.0 END) >= 0.5
+        OR (CASE WHEN n > 0 THEN CAST(coalesce(topc, 0) AS DOUBLE) / n ELSE 0.0 END) >= 0.3)
+           AS repetitive
+FROM s LEFT JOIN top USING (doc_id)
+"""
+
+    # pii_scrub: both engines synthesize the IDENTICAL PII-bearing text from
+    # customer, then scrub with the same Java/RE2-portable patterns
+    from etl_processes_spark.ops.textstats import EMAIL_PATTERN, PHONE_PATTERN
+
+    sql["pii_scrub"] = f"""
+WITH t AS (SELECT c_custkey,
+                  c_name
+                  || CASE WHEN c_custkey % 3 = 0
+                          THEN ' mail ' || lower(replace(c_name, '#', '')) || '@example.com'
+                          ELSE '' END
+                  || CASE WHEN c_custkey % 2 = 0
+                          THEN ' call ' || printf('%02d-%03d-%03d-%04d',
+                                                  c_custkey % 90 + 10,
+                                                  c_custkey % 900 + 100,
+                                                  (c_custkey * 7) % 900 + 100,
+                                                  (c_custkey * 13) % 9000 + 1000)
+                          ELSE '' END
+                  || ' segment ' || c_mktsegment AS text
+           FROM customer)
+SELECT c_custkey,
+       regexp_replace(regexp_replace(text, '{EMAIL_PATTERN}', '<EMAIL>', 'g'),
+                      '{PHONE_PATTERN}', '<PHONE>', 'g') AS clean_text,
+       CAST(len(regexp_extract_all(text, '{EMAIL_PATTERN}')) AS INT) AS n_emails,
+       CAST(len(regexp_extract_all(text, '{PHONE_PATTERN}')) AS INT) AS n_phones
+FROM t
 """
 
     sql["range_join_bands"] = """

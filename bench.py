@@ -43,6 +43,13 @@ def main() -> None:
         "text_profile_stats",
         "gen_text_mvn",
         "text_analysis",
+        "decontaminate",
+        "repetition_stats",
+        "pii_scrub",
+        "embedding_near_dup",
+        "winnowing_fingerprints",
+        "range_join_bands",
+        "multimodal_features",
         "asof_join_events",
         "salted_join_agg",
         "hourly_event_rollup",

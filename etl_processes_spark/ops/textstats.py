@@ -144,6 +144,135 @@ def quality_features(df: DataFrame, id_col: str, text_col: str, ndigits: int = 6
 
 
 # ---------------------------------------------------------------------------
+# intra-document repetition (Gopher-style repetition signals)
+# ---------------------------------------------------------------------------
+
+
+def _grams_expr(toks: Column, k: int) -> Column:
+    """ALL k-gram strings of a token array (duplicates KEPT — repetition is
+    the signal here, unlike dedup's distinct ``shingles_expr``). Empty array
+    for docs shorter than k tokens."""
+    n = F.size(toks)
+    return F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(1), n - k + 1),
+            lambda i: F.array_join(F.slice(toks, i, k), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def repetition_stats(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_dup_3gram: float = 0.5,
+    max_top_token: float = 0.3,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Per-doc repetition signals for corpus filtering (the Gopher/MassiveText
+    repetition rules adapted to token n-grams):
+
+      - n_tokens, distinct_token_ratio
+      - top_token_frac: occurrences of the most frequent token / n_tokens
+      - dup_2gram_frac / dup_3gram_frac: 1 - distinct/total k-grams
+        (0.0 when the doc has no k-grams)
+      - repetitive: dup_3gram_frac >= max_dup_3gram OR
+        top_token_frac >= max_top_token
+
+    Shape: gram fractions are per-row array expressions (no shuffle); the
+    token mode needs a two-level aggregation — groupBy(doc, token) then
+    groupBy(doc) — both partial-agg'd, keyed by doc, so skew is bounded by
+    the longest single document. A synthetic row key (__rid) preserves
+    per-row semantics under duplicate ids, like quality_features."""
+    toks = F.coalesce(tokens_expr(text_col), F.array().cast("array<string>"))
+    g2 = _grams_expr(toks, 2)
+    g3 = _grams_expr(toks, 3)
+    base = widen(df, per_mb=2.0).select(
+        F.col(id_col),
+        F.monotonically_increasing_id().alias("__rid"),
+        toks.alias("__toks"),
+        F.size(toks).cast("double").alias("__n"),
+        F.size(g2).cast("double").alias("__t2"),
+        F.size(F.array_distinct(g2)).cast("double").alias("__d2"),
+        F.size(g3).cast("double").alias("__t3"),
+        F.size(F.array_distinct(g3)).cast("double").alias("__d3"),
+    )
+    tok = base.select(
+        id_col, "__rid", "__n", "__t2", "__d2", "__t3", "__d3",
+        F.explode_outer("__toks").alias("__t"),
+    )
+    per_tok = tok.groupBy("__rid", "__t").agg(
+        F.first(id_col).alias(id_col),
+        F.first("__n").alias("__n"),
+        F.first("__t2").alias("__t2"),
+        F.first("__d2").alias("__d2"),
+        F.first("__t3").alias("__t3"),
+        F.first("__d3").alias("__d3"),
+        F.count("__t").cast("double").alias("__cnt"),
+    )
+    per_doc = per_tok.groupBy("__rid").agg(
+        F.first(id_col).alias(id_col),
+        F.first("__n").alias("__n"),
+        F.first("__t2").alias("__t2"),
+        F.first("__d2").alias("__d2"),
+        F.first("__t3").alias("__t3"),
+        F.first("__d3").alias("__d3"),
+        F.max("__cnt").alias("__top"),
+        F.count("__t").cast("double").alias("__dtok"),
+    )
+    n = F.col("__n")
+    top_frac = F.when(n > 0, F.col("__top") / n).otherwise(F.lit(0.0))
+    dup2 = F.when(F.col("__t2") > 0, 1.0 - F.col("__d2") / F.col("__t2")).otherwise(F.lit(0.0))
+    dup3 = F.when(F.col("__t3") > 0, 1.0 - F.col("__d3") / F.col("__t3")).otherwise(F.lit(0.0))
+    return per_doc.select(
+        F.col(id_col),
+        n.cast("long").alias("n_tokens"),
+        F.round(F.when(n > 0, F.col("__dtok") / n).otherwise(F.lit(0.0)), ndigits).alias(
+            "distinct_token_ratio"
+        ),
+        F.round(top_frac, ndigits).alias("top_token_frac"),
+        F.round(dup2, ndigits).alias("dup_2gram_frac"),
+        F.round(dup3, ndigits).alias("dup_3gram_frac"),
+        ((dup3 >= max_dup_3gram) | (top_frac >= max_top_token)).alias("repetitive"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing
+# ---------------------------------------------------------------------------
+
+# Patterns chosen to evaluate identically under Java regex (Spark) and RE2
+# (DuckDB): character classes, bounded quantifiers and \b only.
+EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_PATTERN = r"\b\d{2}-\d{3}-\d{3}-\d{4}\b"  # TPC-H c_phone shape
+
+
+def pii_scrub(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    email_token: str = "<EMAIL>",
+    phone_token: str = "<PHONE>",
+) -> DataFrame:
+    """(id, clean_text, n_emails, n_phones): emails and phone numbers
+    replaced by placeholder tokens, with per-doc match counts (counted on
+    the RAW text, before any replacement). Pure row-wise expressions — one
+    scan, codegen'd, no shuffle; the match/replace work is what widen
+    spreads for narrow inputs."""
+    s = F.col(text_col).cast("string")
+    clean = F.regexp_replace(
+        F.regexp_replace(s, EMAIL_PATTERN, email_token), PHONE_PATTERN, phone_token
+    )
+    return widen(df, per_mb=2.0).select(
+        F.col(id_col),
+        clean.alias("clean_text"),
+        F.regexp_count(s, F.lit(EMAIL_PATTERN)).alias("n_emails"),
+        F.regexp_count(s, F.lit(PHONE_PATTERN)).alias("n_phones"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # document fingerprinting
 # ---------------------------------------------------------------------------
 

@@ -87,3 +87,107 @@ def test_winnowing_shape(docs):
     assert len(rows[0]) >= 1
     # identical docs → identical fingerprint sets
     assert rows[4] is not None
+
+
+# ---------------------------------------------------------------------------
+# repetition_stats
+# ---------------------------------------------------------------------------
+
+
+def test_repetition_stats_values(spark):
+    from etl_processes_spark.ops.textstats import repetition_stats
+
+    df = spark.createDataFrame(
+        [
+            (0, "a a a a"),          # maximal repetition
+            (1, "a b c d"),          # no repetition
+            (2, "a b"),              # too short for 3-grams
+            (3, ""),                 # empty
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r for r in repetition_stats(df, "doc_id", "text").collect()}
+    r0 = rows[0]
+    assert r0["n_tokens"] == 4
+    assert r0["distinct_token_ratio"] == 0.25
+    assert r0["top_token_frac"] == 1.0
+    assert abs(r0["dup_2gram_frac"] - (1 - 1 / 3)) < 1e-6
+    assert r0["dup_3gram_frac"] == 0.5
+    assert r0["repetitive"] is True
+    r1 = rows[1]
+    assert r1["distinct_token_ratio"] == 1.0
+    assert r1["top_token_frac"] == 0.25
+    assert r1["dup_2gram_frac"] == 0.0 and r1["dup_3gram_frac"] == 0.0
+    assert r1["repetitive"] is False
+    r2 = rows[2]
+    assert r2["n_tokens"] == 2 and r2["dup_3gram_frac"] == 0.0
+    r3 = rows[3]
+    assert r3["n_tokens"] == 0
+    assert r3["top_token_frac"] == 0.0 and r3["repetitive"] is False
+
+
+def test_repetition_stats_duplicate_ids(spark):
+    from etl_processes_spark.ops.textstats import repetition_stats
+
+    df = spark.createDataFrame(
+        [(7, "a a a a a a"), (7, "a b c d e f")], ["doc_id", "text"]
+    )
+    out = repetition_stats(df, "doc_id", "text").collect()
+    assert len(out) == 2  # one row per input row, even under id collision
+    fracs = sorted(r["top_token_frac"] for r in out)
+    assert fracs == [round(1 / 6, 6), 1.0]  # outputs are rounded to 6dp
+
+
+# ---------------------------------------------------------------------------
+# pii_scrub
+# ---------------------------------------------------------------------------
+
+
+def test_pii_scrub(spark):
+    from etl_processes_spark.ops.textstats import pii_scrub
+
+    df = spark.createDataFrame(
+        [
+            (0, "mail bob.smith+x@example.co.uk or call 25-989-741-2988 now"),
+            (1, "no pii here"),
+            (2, "two mails a@b.io c@d.org and 13-555-111-2222 plus 99-123-456-7890"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r for r in pii_scrub(df, "doc_id", "text").collect()}
+    assert rows[0]["n_emails"] == 1 and rows[0]["n_phones"] == 1
+    assert "<EMAIL>" in rows[0]["clean_text"] and "<PHONE>" in rows[0]["clean_text"]
+    assert "bob.smith" not in rows[0]["clean_text"]
+    assert "2988" not in rows[0]["clean_text"]
+    assert rows[1]["n_emails"] == 0 and rows[1]["n_phones"] == 0
+    assert rows[1]["clean_text"] == "no pii here"
+    assert rows[2]["n_emails"] == 2 and rows[2]["n_phones"] == 2
+
+
+def test_pii_scrub_matches_duckdb(spark):
+    """The exact patterns must behave identically under Java regex and RE2."""
+    from etl_processes_spark.ops.textstats import EMAIL_PATTERN, PHONE_PATTERN, pii_scrub
+
+    texts = [
+        (0, "mail bob.smith+x@example.co.uk or call 25-989-741-2988 now"),
+        (1, "edge a@b.c x@y.io trailing dot a@b. 1-2-3-4 25-989-741-29880"),
+        (2, "UPPER@CASE.COM mid25-989-741-2988end"),
+    ]
+    df = spark.createDataFrame(texts, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: (r["clean_text"], r["n_emails"], r["n_phones"])
+        for r in pii_scrub(df, "doc_id", "text").collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", texts)
+    duck = {
+        r[0]: (r[1], r[2], r[3])
+        for r in con.execute(
+            f"SELECT doc_id, regexp_replace(regexp_replace(text, '{EMAIL_PATTERN}', '<EMAIL>', 'g'),"
+            f" '{PHONE_PATTERN}', '<PHONE>', 'g'),"
+            f" len(regexp_extract_all(text, '{EMAIL_PATTERN}')),"
+            f" len(regexp_extract_all(text, '{PHONE_PATTERN}')) FROM t"
+        ).fetchall()
+    }
+    assert got == duck
