@@ -39,6 +39,7 @@ def main() -> None:
         "dedup_clusters",
         "ngram_jaccard_pairs",
         "minhash_lsh_pairs",
+        "simhash_fingerprints",
         "cosine_topk",
         "text_profile_stats",
         "gen_text_mvn",

@@ -491,20 +491,23 @@ def dedup_clusters(
 
 def simhash_fingerprints(df: DataFrame, id_col: str, text_col: str, bits: int = 60) -> DataFrame:
     """(id, simhash long): sign of the tf-weighted sum of each bit of each
-    token's md5-derived 60-bit hash. ``bits`` conditional sums over the
-    exploded token stream — partial aggregation keeps the shuffle at one row
-    per doc. md5-based (not xxhash64) and 60-bit (always non-negative, no
-    wrapping) so the DuckDB oracle reproduces the fingerprint bit-for-bit
-    and ANSI mode is safe."""
+    token's md5-derived 60-bit hash. md5-based (not xxhash64) and 60-bit
+    (always non-negative, no wrapping) so the DuckDB oracle reproduces the
+    fingerprint bit-for-bit and ANSI mode is safe.
+
+    ONE doc-keyed shuffle: tf weighting needs no (id, token) pre-count —
+    summing ±1 per token OCCURRENCE is identical to summing ±tf per
+    distinct token (Σ_occurrences ±1 = Σ_tokens tf·±1), and the ``bits``
+    conditional sums partial-aggregate map-side to one row per doc, so the
+    distinct-token groupBy this replaces was pure overhead (a full extra
+    shuffle of the token stream)."""
     tok = widen(df).select(
         F.col(id_col).alias("id"), F.explode(tokens_expr(text_col)).alias("token")
-    ).groupBy("id", "token").agg(F.count(F.lit(1)).alias("tf"))
-    tok = tok.withColumn("h", md5_long_expr("token"))
+    ).select("id", md5_long_expr("token").alias("h"))
+    one = F.lit(1).cast("long")
     aggs = [
         F.sum(
-            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, F.col("tf")).otherwise(
-                -F.col("tf")
-            )
+            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, one).otherwise(-one)
         ).alias(f"b{i}")
         for i in range(bits)
     ]
