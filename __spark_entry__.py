@@ -669,6 +669,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .join(quality_features(d, "doc_id", "text", ndigits=ND), "doc_id")
         )
 
+    def q_stratified_sample(spark, sf):
+        # balanced per-language sample: md5-ranked windowed top-n per stratum
+        # (deterministic under any partitioning); DuckDB replays the ranking
+        from etl_processes_spark.ops.pack import stratified_sample
+
+        d = _t(spark, sf, "documents").select("doc_id", "lang", "source")
+        return stratified_sample(d, "lang", 30, "doc_id", seed=42)
+
+    def q_pack_documents(spark, sf):
+        # token-budget sequence packing (greedy cumulative bins in doc_id
+        # order, two-phase prefix sum); n_chars plays the token count so the
+        # DuckDB twin is a plain global window cumsum
+        from etl_processes_spark.ops.pack import pack_documents
+
+        d = _t(spark, sf, "documents").select("doc_id", "n_chars")
+        return pack_documents(d, "doc_id", "n_chars", budget=4096)
+
+    def q_cascading_rollup(spark, sf):
+        # hypertable-style cascade: the DAILY layer aggregates the hourly
+        # partials (sum of sums / min of mins), never raw events — the gate
+        # hash-checks it against DuckDB's direct daily aggregation
+        from etl_processes_spark.streaming.windows import cascading_rollup
+
+        return cascading_rollup(_t(spark, sf, "events"), ndigits=ND)[1]
+
     def q_decontaminate(spark, sf):
         # benchmark decontamination: docs with doc_id % 10 == 0 play the
         # eval set, the rest the training corpus; per-corpus-doc distinct
@@ -865,6 +890,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": q_embedding_near_dup,
         "text_analysis": q_text_analysis,
         "decontaminate": q_decontaminate,
+        "stratified_sample": q_stratified_sample,
+        "pack_documents": q_pack_documents,
+        "cascading_rollup": q_cascading_rollup,
         "repetition_stats": q_repetition_stats,
         "pii_scrub": q_pii_scrub,
         "range_join_bands": q_range_join_bands,
@@ -2113,6 +2141,43 @@ FROM f
     sql["text_analysis"] = f"""
 WITH tc AS ({_tc_sql}), li AS ({_li_sql}), qs AS ({_qs_sql})
 SELECT * FROM tc JOIN li USING (doc_id) JOIN qs USING (doc_id)
+"""
+
+    # stratified_sample: md5-ranked top-n per language stratum
+    sql["stratified_sample"] = """
+WITH r AS (SELECT doc_id, lang, source,
+                  row_number() OVER (
+                      PARTITION BY lang
+                      ORDER BY md5(CAST(doc_id AS VARCHAR) || ':42'), doc_id) AS rn
+           FROM documents)
+SELECT doc_id, lang, source FROM r WHERE rn <= 30
+"""
+
+    # pack_documents: the two-phase prefix sum must equal one global window
+    # cumsum; n_chars plays the token count, budget 4096
+    sql["pack_documents"] = """
+WITH c AS (SELECT doc_id, n_chars AS n_tokens,
+                  coalesce(sum(n_chars) OVER (
+                      ORDER BY doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+           FROM documents)
+SELECT doc_id,
+       CAST(floor(before / 4096) AS BIGINT) AS bin_id,
+       CAST(before % 4096 AS BIGINT) AS offset_in_bin,
+       n_tokens
+FROM c
+"""
+
+    # cascading_rollup (daily layer): daily-from-hourly-partials must equal
+    # daily-from-raw; avg mirrors the engine's round(rounded_sum / n, 6)
+    sql["cascading_rollup"] = """
+SELECT date_trunc('day', ts) AS day, event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 6) AS sum_value,
+       round(min(value), 6) AS min_value,
+       round(max(value), 6) AS max_value,
+       round(round(sum(value), 6) / count(*), 6) AS avg_value
+FROM events GROUP BY 1, 2
 """
 
     # decontaminate: same shingle + md5-60-bit hashing as the dedup family

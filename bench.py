@@ -51,6 +51,9 @@ def main() -> None:
         "winnowing_fingerprints",
         "range_join_bands",
         "multimodal_features",
+        "stratified_sample",
+        "pack_documents",
+        "cascading_rollup",
         "asof_join_events",
         "salted_join_agg",
         "hourly_event_rollup",
