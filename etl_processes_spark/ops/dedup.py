@@ -44,17 +44,28 @@ def normalized_text_expr(c: str | Column) -> Column:
     return F.array_join(tokens_expr(c), " ")
 
 
-def shingles_expr(c: str | Column, k: int = 3) -> Column:
-    """Distinct k-word shingles (space-joined). Docs shorter than k tokens
-    contribute their full token string as a single shingle."""
-    toks = tokens_expr(c)
+def grams_from_tokens_expr(toks: Column, k: int) -> Column:
+    """ALL k-gram strings (space-joined) of a token-array column, duplicates
+    KEPT; empty array when the doc has fewer than k tokens. The single
+    slicing implementation every gram consumer builds on (shingles_expr
+    adds distinct + the short-doc fallback; repetition_stats keeps the
+    duplicates — they ARE its signal)."""
     n = F.size(toks)
-    sh = F.when(
+    return F.when(
         n >= k,
         F.transform(
             F.sequence(F.lit(1), n - k + 1),
             lambda i: F.array_join(F.slice(toks, i, k), " "),
         ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def shingles_expr(c: str | Column, k: int = 3) -> Column:
+    """Distinct k-word shingles (space-joined). Docs shorter than k tokens
+    contribute their full token string as a single shingle."""
+    toks = tokens_expr(c)
+    sh = F.when(
+        F.size(toks) >= k, grams_from_tokens_expr(toks, k)
     ).otherwise(F.array(F.array_join(toks, " ")))
     return F.array_distinct(sh)
 

@@ -145,7 +145,11 @@ def cosine_topk_blocked(
                 }
             )
 
-    partial = widen(corpus.select(id_col, vec_col), per_mb=8.0).mapInPandas(score, schema=schema)
+    # work per corpus MB scales with the query count (one GEMM row per
+    # query), so the widen density does too: ~8 MB/task at 64 queries,
+    # proportionally less input per task as the query matrix grows
+    per_mb = max(0.25, min(8.0, 8.0 * 64.0 / max(1, len(qids))))
+    partial = widen(corpus.select(id_col, vec_col), per_mb=per_mb).mapInPandas(score, schema=schema)
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
     return (
         partial.withColumn("cosine_sim", F.round(F.col("cosine_sim"), ndigits))
@@ -285,7 +289,10 @@ def _near_dup_exact_blocked(
                 {"id_a": ids_[bi], "id_b": cids[ci], "cosine_sim": sims[bi, ci]}
             )
 
-    out = widen(corpus.select(id_col, vec_col), per_mb=8.0).mapInPandas(score, schema=schema)
+    # quadratic in corpus size (the whole ≤10k-row corpus is the broadcast
+    # side of every batch's GEMM): per-row work is far above the cheap-op
+    # density, so widen unconditionally like the other CPU-heavy stages
+    out = widen(corpus.select(id_col, vec_col)).mapInPandas(score, schema=schema)
     return out.withColumn("cosine_sim", F.round(F.col("cosine_sim"), ndigits)).filter(
         F.col("cosine_sim") >= threshold
     )
@@ -477,7 +484,12 @@ def ann_cosine_ivf(
                 }
             )
 
-    cells = widen(corpus.select(id_col, vec_col), per_mb=8.0).mapInPandas(assign, schema=assign_schema)
+    # assignment cost per row scales with the centroid count: ~8 MB/task at
+    # 64 centroids, proportionally less as the codebook grows
+    assign_per_mb = max(0.5, min(8.0, 8.0 * 64.0 / max(1, n_centroids)))
+    cells = widen(corpus.select(id_col, vec_col), per_mb=assign_per_mb).mapInPandas(
+        assign, schema=assign_schema
+    )
 
     qpdf = queries.select(id_col, vec_col).toPandas()
     Q = np.stack(qpdf[vec_col].to_numpy()).astype(np.float64)

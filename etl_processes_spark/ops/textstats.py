@@ -13,7 +13,11 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from etl_processes_spark.partitioning import widen
-from etl_processes_spark.ops.dedup import normalized_text_expr, tokens_expr
+from etl_processes_spark.ops.dedup import (
+    grams_from_tokens_expr,
+    normalized_text_expr,
+    tokens_expr,
+)
 
 # ---------------------------------------------------------------------------
 # token counting
@@ -148,18 +152,9 @@ def quality_features(df: DataFrame, id_col: str, text_col: str, ndigits: int = 6
 # ---------------------------------------------------------------------------
 
 
-def _grams_expr(toks: Column, k: int) -> Column:
-    """ALL k-gram strings of a token array (duplicates KEPT — repetition is
-    the signal here, unlike dedup's distinct ``shingles_expr``). Empty array
-    for docs shorter than k tokens."""
-    n = F.size(toks)
-    return F.when(
-        n >= k,
-        F.transform(
-            F.sequence(F.lit(1), n - k + 1),
-            lambda i: F.array_join(F.slice(toks, i, k), " "),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+# gram slicing lives in dedup.grams_from_tokens_expr — ONE implementation
+# feeds shingling, decontamination and repetition stats, so the Spark
+# expressions and their DuckDB twins cannot drift apart per consumer
 
 
 def repetition_stats(
@@ -186,8 +181,8 @@ def repetition_stats(
     the longest single document. A synthetic row key (__rid) preserves
     per-row semantics under duplicate ids, like quality_features."""
     toks = F.coalesce(tokens_expr(text_col), F.array().cast("array<string>"))
-    g2 = _grams_expr(toks, 2)
-    g3 = _grams_expr(toks, 3)
+    g2 = grams_from_tokens_expr(toks, 2)
+    g3 = grams_from_tokens_expr(toks, 3)
     base = widen(df, per_mb=2.0).select(
         F.col(id_col),
         F.monotonically_increasing_id().alias("__rid"),

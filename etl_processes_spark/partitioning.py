@@ -54,11 +54,13 @@ def _plan_size_bytes(df: DataFrame) -> int | None:
 
 
 def _parse_bytes_conf(v: str) -> int:
-    """'134217728b' / '128m' / '1g' → bytes; defaults to 128 MiB on
+    """'134217728b' / '128m' / '1g' / '1t' → bytes; defaults to 128 MiB on
     anything unparseable."""
     s = str(v).strip().lower()
     for suf, mult in (("kb", 1 << 10), ("mb", 1 << 20), ("gb", 1 << 30),
-                      ("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30), ("b", 1)):
+                      ("tb", 1 << 40), ("pb", 1 << 50),
+                      ("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30),
+                      ("t", 1 << 40), ("p", 1 << 50), ("b", 1)):
         if s.endswith(suf):
             s = s[: -len(suf)]
             break
@@ -102,16 +104,37 @@ def widen(df: DataFrame, min_factor: int = 2, per_mb: float | None = None) -> Da
         target = min(target, max(1, int(size / (per_mb * 1024 * 1024)) + 1))
         if target <= 1:
             return df
-    if size is not None:
-        # scan width estimate from the same metadata (row-group packing can
-        # only make the real count smaller, never larger, for single files)
+    try:
+        plan_has_filescan = "Relation" in plan
+    except Exception:
+        plan_has_filescan = False
+    if size is not None and plan_has_filescan:
+        # File scans: estimate the scan width with Spark's own split
+        # formula — maxSplitBytes = min(maxPartitionBytes, max(openCost,
+        # size / defaultParallelism)) — so a mid-size file that already
+        # scans cluster-wide is recognized as wide and never re-shuffled
+        # (the naive size/maxPartitionBytes estimate called a 160 MB /
+        # 32-core scan "2 partitions" and paid a pointless full shuffle).
+        # Real width can still be SMALLER (row-group packing), in which
+        # case we under-widen — the cheap failure mode.
+        conf = df.sparkSession.conf
         max_pb = _parse_bytes_conf(
-            df.sparkSession.conf.get("spark.sql.files.maxPartitionBytes", "134217728b")
+            conf.get("spark.sql.files.maxPartitionBytes", "134217728b")
         )
-        est_parts = max(1, (size + max_pb - 1) // max_pb)
+        open_cost = _parse_bytes_conf(
+            conf.get("spark.sql.files.openCostInBytes", "4194304b")
+        )
+        # the scan's width was decided against the FULL parallelism, not the
+        # density-reduced target
+        split = min(max_pb, max(open_cost, size // max(1, sc.defaultParallelism)))
+        est_parts = max(1, (size + split - 1) // split)
         if est_parts * min_factor > target:
             return df
         return df.repartition(target)
+    # non-file leaves (Range, parallelized local data): the split formula
+    # does not apply — fall back to the real partition count (cheap for
+    # these leaves; the shuffle-token guard above already excluded frames
+    # where the probe would force AQE finalization)
     if df.rdd.getNumPartitions() * min_factor <= target:
         return df.repartition(target)
     return df

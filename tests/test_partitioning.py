@@ -50,6 +50,36 @@ def test_parse_bytes_conf():
     assert _parse_bytes_conf("garbage") == 128 << 20
 
 
+def test_widen_noop_for_already_wide_scan(spark, sf_dir):
+    # a scan whose split math already spreads it cluster-wide must NOT pay a
+    # repartition (regression: the est_parts heuristic once called a wide
+    # scan narrow and re-shuffled it). Simulate width by shrinking the split
+    # confs so the tiny test file is "many partitions" to Spark itself.
+    import os
+
+    size = os.path.getsize(f"{sf_dir}/documents.parquet")
+    target = spark.sparkContext.defaultParallelism
+    # pick a split size that makes est_parts * 2 > target
+    split = max(1, size // target)  # ~target*1 partitions -> est*2 > target
+    old_mpb = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    old_oc = spark.conf.get("spark.sql.files.openCostInBytes")
+    try:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", str(split))
+        spark.conf.set("spark.sql.files.openCostInBytes", "1")
+        df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        assert widen(df) is df
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old_mpb)
+        spark.conf.set("spark.sql.files.openCostInBytes", old_oc)
+
+
+def test_widen_range_leaf_already_wide(spark):
+    # Range leaves use the real partition count, not the file-split math
+    target = spark.sparkContext.defaultParallelism
+    df = spark.range(0, 1000, 1, target)
+    assert widen(df) is df
+
+
 def test_widen_noop_for_post_shuffle_frames(spark):
     target = spark.sparkContext.defaultParallelism
     # explicit repartition, joins, aggregates: already shuffle-partitioned
