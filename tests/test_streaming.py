@@ -194,3 +194,56 @@ def test_streaming_dedup_within_watermark(spark, event_dir):
     finally:
         for d in (out, ckpt, dup_src):
             shutil.rmtree(d, ignore_errors=True)
+
+
+def test_stateless_hygiene_ops_on_stream_match_batch(spark):
+    """pii_scrub / token_count / repetition-free textstats are stateless row
+    expressions, so they compose with readStream unchanged: an availableNow
+    drain must equal the batch result on the same files (widen() safely
+    no-ops on streaming frames — the plan probe rejects them)."""
+    import tempfile
+
+    from etl_processes_spark.ops.textstats import pii_scrub, token_count
+
+    src = tempfile.mkdtemp(prefix="docs_src_")
+    out = tempfile.mkdtemp(prefix="docs_out_")
+    ckpt = tempfile.mkdtemp(prefix="docs_ckpt_")
+    try:
+        rows = [
+            (0, "mail a@b.io or call 25-989-741-2988"),
+            (1, "plain text document"),
+            (2, "two mails a@b.io c@d.org"),
+        ]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        df.write.mode("overwrite").parquet(src)
+
+        batch = spark.read.parquet(src)
+        expect_pii = {
+            r["doc_id"]: (r["clean_text"], r["n_emails"], r["n_phones"])
+            for r in pii_scrub(batch, "doc_id", "text").collect()
+        }
+        expect_tok = {
+            r["doc_id"]: r["n_tokens"] for r in token_count(batch, "doc_id", "text").collect()
+        }
+
+        stream = spark.readStream.schema(batch.schema).parquet(src)
+        sdf = pii_scrub(stream, "doc_id", "text")
+        assert sdf.isStreaming
+        run_stream_once(sdf, out, ckpt)
+        got = {
+            r["doc_id"]: (r["clean_text"], r["n_emails"], r["n_phones"])
+            for r in spark.read.parquet(out).collect()
+        }
+        assert got == expect_pii
+        # token_count drains too
+        out2 = tempfile.mkdtemp(prefix="docs_out2_")
+        ckpt2 = tempfile.mkdtemp(prefix="docs_ckpt2_")
+        tdf = token_count(stream, "doc_id", "text").select("doc_id", "n_tokens")
+        run_stream_once(tdf, out2, ckpt2)
+        got_tok = {r["doc_id"]: r["n_tokens"] for r in spark.read.parquet(out2).collect()}
+        assert got_tok == expect_tok
+    finally:
+        import shutil
+
+        for d in (src, out, ckpt):
+            shutil.rmtree(d, ignore_errors=True)
