@@ -496,6 +496,44 @@ def dedup_clusters(
 
 
 # ---------------------------------------------------------------------------
+# incremental dedup (new batch vs an existing corpus)
+# ---------------------------------------------------------------------------
+
+
+def dedup_incremental(
+    new_docs: DataFrame,
+    seen_hashes: DataFrame,
+    id_col: str,
+    text_col: str,
+    normalize: bool = True,
+) -> tuple[DataFrame, DataFrame]:
+    """Exact-dedup a NEW batch against an already-ingested corpus without
+    touching the corpus itself — the streaming/append shape of production
+    pipelines (daily crawl drops vs a petabyte archive).
+
+    ``seen_hashes`` is the corpus's content-hash table: one column ``__key``
+    (as produced by this function or ``content_hash_expr``). Returns
+    (fresh_docs, updated_seen) where fresh_docs are the new rows that are
+    duplicates of NEITHER the corpus NOR an earlier row of the same batch
+    (within-batch survivor = min id), and updated_seen is seen_hashes ∪ the
+    fresh batch's hashes — feed it to the next increment.
+
+    Scale shape: one anti-join against the hash table (64-char digests,
+    never document bodies — broadcastable while the table is small,
+    shuffle-hash beyond) plus one within-batch groupBy. The corpus is never
+    re-scanned; state grows one digest per unique document, the same state
+    economics as dropDuplicatesWithinWatermark but durable across runs."""
+    hashed = new_docs.withColumn("__key", content_hash_expr(text_col, normalize=normalize))
+    vs_corpus = hashed.join(seen_hashes.select("__key"), "__key", "left_anti")
+    survivors = vs_corpus.groupBy("__key").agg(F.min(id_col).alias(id_col))
+    fresh = vs_corpus.join(survivors, [id_col, "__key"], "left_semi").drop("__key")
+    new_seen = seen_hashes.select("__key").union(
+        hashed.select("__key").distinct()
+    ).distinct()
+    return fresh, new_seen
+
+
+# ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
 

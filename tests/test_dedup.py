@@ -246,3 +246,34 @@ def test_cc_driver_and_distributed_routes_agree(spark):
         for r in connected_components(pairs, driver_max_edges=0).collect()
     }
     assert driver == dist and len(driver) > 0
+
+
+def test_dedup_incremental(spark):
+    from etl_processes_spark.ops.dedup import content_hash_expr, dedup_incremental
+    from pyspark.sql import functions as F
+
+    corpus = spark.createDataFrame(
+        [(0, "already seen document"), (1, "another known one")], ["doc_id", "text"]
+    )
+    seen = corpus.select(content_hash_expr("text").alias("__key")).distinct()
+
+    batch = spark.createDataFrame(
+        [
+            (10, "already   SEEN document"),   # dup of corpus (normalized)
+            (11, "genuinely new content"),
+            (12, "genuinely new content"),     # within-batch dup of 11
+            (13, "also new and unique"),
+        ],
+        ["doc_id", "text"],
+    )
+    fresh, new_seen = dedup_incremental(batch, seen, "doc_id", "text")
+    assert sorted(r["doc_id"] for r in fresh.collect()) == [11, 13]
+    assert fresh.columns == batch.columns
+    # state grew by exactly the two fresh digests + one batch dup of corpus
+    n0, n1 = seen.count(), new_seen.count()
+    assert n1 == n0 + 2  # corpus dup re-hashes to an existing digest
+
+    # idempotent: replaying the same batch yields nothing new
+    fresh2, new_seen2 = dedup_incremental(batch, new_seen, "doc_id", "text")
+    assert fresh2.count() == 0
+    assert new_seen2.count() == n1
