@@ -108,3 +108,38 @@ def test_json_orc_roundtrip_preserve_values(spark, tmp_path):
     back_o = orc_scan(spark, str(tmp_path / "o"))
     assert back_o.schema == df.schema  # orc is typed; exact schema survives
     assert sorted(map(tuple, back_o.collect())) == sorted(map(tuple, df.collect()))
+
+
+def test_clustered_sink_produces_disjoint_file_ranges(spark, tmp_path):
+    """Range-clustered layout: every output file owns a disjoint value range
+    (parquet footer min/max proves skippability), and a selective filter's
+    scan prunes files at planning time."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from etl_processes_spark.io import clustered_sink
+
+    df = spark.range(0, 10000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    out = str(tmp_path / "clustered")
+    clustered_sink(df, out, ["k"], num_files=8)
+
+    ranges = []
+    for f in glob.glob(f"{out}/part-*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        col = md.row_group(0).column(0)
+        lo = col.statistics.min
+        hi = pq.ParquetFile(f).metadata.row_group(md.num_row_groups - 1).column(0).statistics.max
+        ranges.append((lo, hi))
+    ranges.sort()
+    assert len(ranges) >= 2
+    for (lo_a, hi_a), (lo_b, hi_b) in zip(ranges, ranges[1:]):
+        assert hi_a < lo_b  # disjoint, ordered ranges -> file-level skipping
+
+    # round-trip intact and filter pushdown reaches the scan
+    back = spark.read.parquet(out)
+    assert back.count() == 10000
+    plan = back.filter(F.col("k") == 1234)._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(k), EqualTo(k,1234)" in plan
