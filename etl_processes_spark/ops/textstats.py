@@ -243,6 +243,17 @@ EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 PHONE_PATTERN = r"\b\d{2}-\d{3}-\d{3}-\d{4}\b"  # TPC-H c_phone shape
 
 
+def pii_clean_expr(
+    c: str | Column, email_token: str = "<EMAIL>", phone_token: str = "<PHONE>"
+) -> Column:
+    """The redaction as a composable Column expression — pipelines apply it
+    in-place (withColumn) instead of paying an id-keyed join."""
+    s = (F.col(c) if isinstance(c, str) else c).cast("string")
+    return F.regexp_replace(
+        F.regexp_replace(s, EMAIL_PATTERN, email_token), PHONE_PATTERN, phone_token
+    )
+
+
 def pii_scrub(
     df: DataFrame,
     id_col: str,
@@ -256,12 +267,9 @@ def pii_scrub(
     scan, codegen'd, no shuffle; the match/replace work is what widen
     spreads for narrow inputs."""
     s = F.col(text_col).cast("string")
-    clean = F.regexp_replace(
-        F.regexp_replace(s, EMAIL_PATTERN, email_token), PHONE_PATTERN, phone_token
-    )
     return widen(df, per_mb=2.0).select(
         F.col(id_col),
-        clean.alias("clean_text"),
+        pii_clean_expr(text_col, email_token, phone_token).alias("clean_text"),
         F.regexp_count(s, F.lit(EMAIL_PATTERN)).alias("n_emails"),
         F.regexp_count(s, F.lit(PHONE_PATTERN)).alias("n_phones"),
     )

@@ -69,12 +69,24 @@ def run_training_data_pipeline(
     near_dup_threshold: float = 0.5,
     max_df: int | None = 500,
     seed: int = 42,
+    eval_df: DataFrame | None = None,
+    contamination_k: int = 5,
+    contamination_threshold: float = 0.5,
+    filter_repetitive: bool = False,
+    scrub_pii: bool = False,
 ) -> DataFrame:
     """The LLM training-data assembly flow, composed from the extension
     operators — what a user runs over raw documents before tokenization:
 
       1. duplicate-cluster resolution (exact ∪ n-gram near-dup edges →
          connected components) — keep one survivor (min id) per cluster;
+      1b. optional benchmark decontamination (``eval_df``): drop documents
+          whose k-gram overlap with the eval set reaches the threshold
+          (broadcast eval hash set — the corpus never shuffles by gram);
+      1c. optional repetition filter (``filter_repetitive``): drop docs the
+          Gopher-style dup-n-gram/top-token signals flag;
+      1d. optional PII scrub (``scrub_pii``): redact emails/phones IN PLACE
+          (row-wise expression, no join) before scoring;
       2. language ID + quality scoring (pure codegen expressions, one pass);
       3. filter to wanted languages above the quality floor;
       4. optional per-language stratified cap (md5-ranked, deterministic);
@@ -100,6 +112,27 @@ def run_training_data_pipeline(
     )  # output keyed by id_col (see dedup_clusters)
     losers = clusters.filter(F.col(id_col) != F.col("cluster_id")).select(id_col)
     kept = docs.join(losers, id_col, "left_anti")
+
+    if eval_df is not None:
+        from etl_processes_spark.ops.decontaminate import decontaminate
+
+        kept = decontaminate(
+            kept, eval_df, id_col, text_col,
+            k=contamination_k, threshold=contamination_threshold,
+        )
+    if filter_repetitive:
+        from etl_processes_spark.ops.textstats import repetition_stats
+
+        flagged = (
+            repetition_stats(kept, id_col, text_col)
+            .filter(F.col("repetitive"))
+            .select(id_col)
+        )
+        kept = kept.join(flagged, id_col, "left_anti")
+    if scrub_pii:
+        from etl_processes_spark.ops.textstats import pii_clean_expr
+
+        kept = kept.withColumn(text_col, pii_clean_expr(text_col))
 
     # lang-ID and token counting are row-wise Column expressions — computed
     # in the SAME select, not joined back on id (each such join is a full

@@ -110,3 +110,27 @@ def test_pack_documents_rejects_nonpositive_budget(spark):
     df = spark.createDataFrame([(1, 10)], ["doc_id", "n_tokens"])
     with pytest.raises(ValueError, match="budget"):
         pack_documents(df, "doc_id", "n_tokens", 0)
+
+
+def test_training_pipeline_hygiene_stages(spark):
+    """eval-set decontamination, repetition filtering, and in-place PII
+    scrubbing compose into the assembly flow."""
+    from etl_processes_spark.pipeline import run_training_data_pipeline
+
+    good = "the quick brown fox jumps over the lazy dog in the morning light"
+    evaltxt = "a tall ship sails across the wide ocean to the harbor of the old city"
+    repet = "the spam the spam the spam the spam the spam the spam the spam the spam"
+    piitxt = "the contact for the office is bob@example.com and the line is open to all"
+    docs = spark.createDataFrame(
+        [(0, good), (1, evaltxt), (2, repet), (3, piitxt)], ["doc_id", "text"]
+    )
+    ev = spark.createDataFrame([(99, evaltxt)], ["doc_id", "text"])
+    out = run_training_data_pipeline(
+        spark, docs, min_quality=0.0, langs=("en",), pack_budget=None,
+        eval_df=ev, contamination_k=3, filter_repetitive=True, scrub_pii=True,
+    ).collect()
+    by_id = {r["doc_id"]: r for r in out}
+    assert 1 not in by_id        # contaminated (verbatim eval doc)
+    assert 2 not in by_id        # repetitive (dup 3-grams)
+    assert 0 in by_id and 3 in by_id
+    assert "<EMAIL>" in by_id[3]["text"] and "bob@" not in by_id[3]["text"]
