@@ -669,6 +669,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .join(quality_features(d, "doc_id", "text", ndigits=ND), "doc_id")
         )
 
+    def q_dedup_incremental(spark, sf):
+        # append-mode dedup: docs with doc_id % 5 == 0 are the ingested
+        # corpus (their content digests the state table); the rest arrive as
+        # a new batch. Gate returns the batch rows that survive — not a dup
+        # of the corpus, min-id survivor within the batch. DuckDB replays
+        # the identical sha256-over-normalized-text digests.
+        from etl_processes_spark.ops.dedup import content_hash_expr, dedup_incremental
+
+        d = _t(spark, sf, "documents")
+        corpus = d.filter(F.col("doc_id") % 5 == 0)
+        batch = d.filter(F.col("doc_id") % 5 != 0)
+        seen = corpus.select(content_hash_expr("text").alias("__key")).distinct()
+        fresh, _ = dedup_incremental(batch, seen, "doc_id", "text")
+        return fresh.select("doc_id", "lang", "source")
+
     def q_stratified_sample(spark, sf):
         # balanced per-language sample: md5-ranked windowed top-n per stratum
         # (deterministic under any partitioning); DuckDB replays the ranking
@@ -890,6 +905,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": q_embedding_near_dup,
         "text_analysis": q_text_analysis,
         "decontaminate": q_decontaminate,
+        "dedup_incremental": q_dedup_incremental,
         "stratified_sample": q_stratified_sample,
         "pack_documents": q_pack_documents,
         "cascading_rollup": q_cascading_rollup,
@@ -2141,6 +2157,21 @@ FROM f
     sql["text_analysis"] = f"""
 WITH tc AS ({_tc_sql}), li AS ({_li_sql}), qs AS ({_qs_sql})
 SELECT * FROM tc JOIN li USING (doc_id) JOIN qs USING (doc_id)
+"""
+
+    # dedup_incremental: sha256-over-normalized-text digests; corpus =
+    # doc_id % 5 == 0, batch = the rest; survivors = batch rows that match
+    # no corpus digest, min id per within-batch digest
+    sql["dedup_incremental"] = f"""
+WITH norm AS (SELECT doc_id, lang, source,
+                     sha256(coalesce(array_to_string({_TOKS}, ' '), '')) AS h
+              FROM documents),
+seen AS (SELECT DISTINCT h FROM norm WHERE doc_id % 5 = 0),
+cand AS (SELECT n.* FROM norm n LEFT JOIN seen s USING (h)
+         WHERE doc_id % 5 <> 0 AND s.h IS NULL),
+surv AS (SELECT h, min(doc_id) AS doc_id FROM cand GROUP BY h)
+SELECT c.doc_id, c.lang, c.source
+FROM cand c JOIN surv USING (h, doc_id)
 """
 
     # stratified_sample: md5-ranked top-n per language stratum

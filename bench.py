@@ -36,6 +36,7 @@ def main() -> None:
         "infer_predicates",
         "synthesize_orders",
         "dedup_exact",
+        "dedup_incremental",
         "dedup_clusters",
         "ngram_jaccard_pairs",
         "minhash_lsh_pairs",
