@@ -251,16 +251,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # -- row ops (rows-only) ---------------------------------------------------
 
-    def q_sample_n(spark, sf):
-        # hash-ranked sample: smallest 1000 rows by md5(key:seed) — the
-        # distributed-deterministic analog of the reference's seeded uniform
-        # sample (df.sample(1000, random_state=42)); a top-n by hash is a
-        # TakeOrdered at scale (no full sort), and DuckDB reproduces it
-        # exactly, so sampling gets a hash gate. profile() itself keeps
-        # sample_frame (reference-parity seeded Bernoulli).
+    def q_sampling(spark, sf):
+        # BOTH deterministic sampling families in one gate slot (50-query
+        # budget): (a) hash-ranked global sample — smallest 1000 orders by
+        # md5(key:seed), the distributed-deterministic analog of the
+        # reference's df.sample(1000, random_state=42) and a TakeOrdered at
+        # scale (no full sort); (b) stratified per-language sample —
+        # md5-ranked windowed top-30 per stratum. Both emit their sampled
+        # KEYS (the sampling decision is the certified semantics); profile()
+        # itself keeps sample_frame (reference-parity seeded Bernoulli).
+        from etl_processes_spark.ops.pack import stratified_sample
+
         o = _t(spark, sf, "orders")
         rank = F.md5(F.concat(F.col("o_orderkey").cast("string"), F.lit(":42")))
-        return o.orderBy(rank, F.col("o_orderkey")).limit(1000)
+        hashed = (
+            o.orderBy(rank, F.col("o_orderkey"))
+            .limit(1000)
+            .select(
+                F.lit("hash_orders").alias("part"),
+                F.lit("").alias("stratum"),
+                F.col("o_orderkey").cast("string").alias("key"),
+            )
+        )
+        d = _t(spark, sf, "documents").select("doc_id", "lang", "source")
+        strat = stratified_sample(d, "lang", 30, "doc_id", seed=42).select(
+            F.lit("stratified_docs").alias("part"),
+            F.col("lang").alias("stratum"),
+            F.col("doc_id").cast("string").alias("key"),
+        )
+        return hashed.unionByName(strat)
 
     # -- generators (rows-only: seeded, non-SQL) -------------------------------
 
@@ -305,6 +324,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "categories": [r["category"] for r in crows],
             "probabilities": [float(r["probability"]) for r in crows],
         }
+        # bootstrap_resample rides the same seed frame as a sixth generated
+        # column (one gate slot for all six §2.8 generators): entries are
+        # deterministically ordered (doc_id) so the oracle sees the same
+        # list, and the md5-uniform indices regenerate identically in DuckDB
+        docs = _t(spark, sf, "documents")
+        entries = [
+            r[0] for r in docs.orderBy("doc_id").select("text").limit(200).collect()
+        ]
         return (
             spark.range(1000)
             .withColumn("__r", u_expr(17, "cat"))
@@ -314,17 +341,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 gen_categorical(stats_cat, F.col("__r")).alias("priority"),
                 gen_datetime(stats_dt, "YYYY-MM-DD", 19).alias("orderdate"),
                 gen_unknown().alias("unknown_col"),
+                bootstrap_resample(entries, 23).alias("boot_text"),
             )
         )
-
-    def q_bootstrap_resample(spark, sf):
-        # entries deterministically ordered (doc_id) so the oracle sees the
-        # same list; md5-uniform indices regenerate identically in DuckDB
-        docs = _t(spark, sf, "documents")
-        entries = [
-            r[0] for r in docs.orderBy("doc_id").select("text").limit(200).collect()
-        ]
-        return spark.range(1000).select(bootstrap_resample(entries, 23).alias("text"))
 
     def q_synthesize_orders(spark, sf):
         # THE flagship pipeline (reference main(): profile → generate),
@@ -614,47 +633,45 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         d = _t(spark, sf, "documents")
         return dedup_clusters(d, "doc_id", "text", k=3, threshold=0.06, max_df=500)
 
-    def q_ngram_jaccard_pairs(spark, sf):
-        # max_df caps the inverted-index join cost (sum of df(shingle)^2):
-        # ubiquitous shingles are both the skew bomb and noise. Mirrored in
-        # the oracle SQL, so the hash gate certifies the capped semantics.
+    def q_near_dup_pairs(spark, sf):
+        # BOTH shingle-based near-dup families in one gate slot (50-query
+        # budget), labeled by method. ngram: inverted-index join with the
+        # max_df cap (ubiquitous shingles are both the skew bomb and noise —
+        # mirrored in the oracle SQL, so the gate certifies the capped
+        # semantics). minhash: banded-LSH candidates + exact-Jaccard verify.
         d = _t(spark, sf, "documents")
-        return ngram_jaccard_pairs(
+        ng = ngram_jaccard_pairs(
             d, "doc_id", "text", k=3, threshold=0.06, max_df=500, ndigits=ND
-        )
-
-    def q_minhash_lsh_pairs(spark, sf):
-        d = _t(spark, sf, "documents")
-        return minhash_lsh_pairs(d, "doc_id", "text", num_hashes=64, bands=16, k=3, threshold=0.06)
-
-    def q_simhash_fingerprints(spark, sf):
-        return simhash_fingerprints(_t(spark, sf, "documents"), "doc_id", "text")
+        ).select(F.lit("ngram").alias("method"), "id_a", "id_b", "jaccard")
+        mh = minhash_lsh_pairs(
+            d, "doc_id", "text", num_hashes=64, bands=16, k=3, threshold=0.06
+        ).select(F.lit("minhash").alias("method"), "id_a", "id_b", "jaccard")
+        return ng.unionByName(mh)
 
     # -- similarity ---------------------------------------------------------------
 
-    def q_cosine_topk(spark, sf):
-        # BLAS blocked path (corpus streamed, query matrix broadcast) — same
-        # output contract as the expression-form cosine_topk, ~15× faster
-        e = _t(spark, sf, "embeddings")
-        return cosine_topk_fast(e, e.filter(F.col("vec_id") < 20), "vec_id", "embedding", k=5, ndigits=ND)
-
-    def q_ann_cosine_lsh(spark, sf):
-        # BOTH ANN index families in one gate slot (50-query budget), labeled
-        # by method: hyperplane-LSH buckets and IVF coarse-quantizer cells.
-        # Each is fully replayed by the DuckDB twin — the IVF centroids are
-        # deterministic (seeded spherical k-means over the stable-order
-        # sample) and enter the oracle as literals.
+    def q_similarity_topk(spark, sf):
+        # ALL THREE top-k index families in one gate slot (50-query budget),
+        # labeled by method: exact (BLAS blocked — corpus streamed, query
+        # matrix broadcast, one GEMM per Arrow batch), hyperplane-LSH
+        # buckets, and IVF coarse-quantizer cells. Each is fully replayed by
+        # the DuckDB twin — the IVF centroids are deterministic (seeded
+        # spherical k-means over the stable-order sample) and enter the
+        # oracle as literals.
         from etl_processes_spark.ops.similarity import ann_cosine_ivf
 
         e = _t(spark, sf, "embeddings")
         q = e.filter(F.col("vec_id") < 20)
+        exact = cosine_topk_fast(
+            e, q, "vec_id", "embedding", k=5, ndigits=ND
+        ).select(F.lit("exact").alias("method"), "query_id", "neighbor_id", "cosine_sim", "rank")
         lsh = ann_cosine_lsh(
             e, q, "vec_id", "embedding", k=5, num_planes=16, bands=4
         ).select(F.lit("lsh").alias("method"), "query_id", "neighbor_id", "cosine_sim", "rank")
         ivf = ann_cosine_ivf(
             e, q, "vec_id", "embedding", k=5, n_centroids=64, n_probe=8
         ).select(F.lit("ivf").alias("method"), "query_id", "neighbor_id", "cosine_sim", "rank")
-        return lsh.unionByName(ivf)
+        return exact.unionByName(lsh).unionByName(ivf)
 
     # -- text analysis -------------------------------------------------------------
 
@@ -683,14 +700,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         seen = corpus.select(content_hash_expr("text").alias("__key")).distinct()
         fresh, _ = dedup_incremental(batch, seen, "doc_id", "text")
         return fresh.select("doc_id", "lang", "source")
-
-    def q_stratified_sample(spark, sf):
-        # balanced per-language sample: md5-ranked windowed top-n per stratum
-        # (deterministic under any partitioning); DuckDB replays the ranking
-        from etl_processes_spark.ops.pack import stratified_sample
-
-        d = _t(spark, sf, "documents").select("doc_id", "lang", "source")
-        return stratified_sample(d, "lang", 30, "doc_id", seed=42)
 
     def q_pack_documents(spark, sf):
         # token-budget sequence packing (greedy cumulative bins in doc_id
@@ -801,20 +810,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.sum("qty").cast("double").alias("sum_qty"),
         )
 
-    def q_fingerprint(spark, sf):
-        return fingerprint(_t(spark, sf, "documents"), "doc_id", "text")
-
-    def q_winnowing(spark, sf):
-        # fingerprint set joined to a string: the driver's canonicalizer
-        # cannot hash array cells (round-1 gate error); the array is already
-        # sorted so the join is deterministic
-        fp = winnowing_fingerprints(_t(spark, sf, "documents"), "doc_id", "text")
-        return fp.select(
+    def q_fingerprints(spark, sf):
+        # ALL THREE document-fingerprint families in one gate slot (50-query
+        # budget), labeled by method: md5 content hash (normalized text),
+        # 60-bit SimHash, winnowing k-gram fingerprint set. The winnowing
+        # array is joined to a string (the driver's canonicalizer cannot
+        # hash array cells — round-1 gate error); it is sorted+distinct so
+        # the join is deterministic.
+        d = _t(spark, sf, "documents")
+        md5fp = fingerprint(d, "doc_id", "text").select(
+            F.lit("md5").alias("method"), "doc_id", "fingerprint"
+        )
+        sim = simhash_fingerprints(d, "doc_id", "text").select(
+            F.lit("simhash").alias("method"),
+            F.col("id").alias("doc_id"),
+            F.col("simhash").cast("string").alias("fingerprint"),
+        )
+        win = winnowing_fingerprints(d, "doc_id", "text").select(
+            F.lit("winnowing").alias("method"),
             "doc_id",
             F.array_join(
                 F.transform(F.col("fingerprints"), lambda x: x.cast("string")), " "
-            ).alias("fingerprints"),
+            ).alias("fingerprint"),
         )
+        return md5fp.unionByName(sim).unionByName(win)
 
     # -- events / windows ------------------------------------------------------------
 
@@ -824,8 +843,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_sessionize(spark, sf):
         return sessionize(_t(spark, sf, "events"), gap_minutes=30)
 
-    def q_user_running_totals(spark, sf):
-        return user_running_totals(_t(spark, sf, "events"), ndigits=ND)
+    def q_event_window_aggs(spark, sf):
+        # per-user running totals (unbounded-preceding row window) AND
+        # sliding event-time windows (1h/30min) in one long-format gate slot
+        # (part, k1, k2, n, v) — numeric payloads stay numeric so no
+        # cross-engine float-to-string rendering is involved
+        from etl_processes_spark.streaming.windows import sliding_window_agg
+
+        ev = _t(spark, sf, "events")
+        run = user_running_totals(ev, ndigits=ND).select(
+            F.lit("running").alias("part"),
+            F.col("event_id").cast("string").alias("k1"),
+            F.concat(F.col("user_id").cast("string"), F.lit("@"), F.col("ts_str")).alias("k2"),
+            F.lit(0).cast("long").alias("n"),
+            F.col("running_value").cast("double").alias("v"),
+        )
+        sl = sliding_window_agg(ev, ndigits=ND).select(
+            F.lit("sliding").alias("part"),
+            F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("k1"),
+            F.col("event_type").alias("k2"),
+            F.col("n_events").cast("long").alias("n"),
+            F.col("sum_value").cast("double").alias("v"),
+        )
+        return run.unionByName(sl)
 
     # -- relational ---------------------------------------------------------------------
 
@@ -852,11 +892,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return embedding_near_dup_pairs(
             _t(spark, sf, "embeddings"), threshold=0.5, ndigits=ND
         )
-
-    def q_sliding_window_agg(spark, sf):
-        from etl_processes_spark.streaming.windows import sliding_window_agg
-
-        return sliding_window_agg(_t(spark, sf, "events"), ndigits=ND)
 
     def q_top_orders_per_priority(spark, sf):
         from etl_processes_spark.ops.relational import top_orders_per_priority
@@ -885,6 +920,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # registered queries (the last 8 dict entries got no CORRECTNESS row), so
     # related operators are consolidated into combined queries — every §2 ID
     # is still exercised (see COVERAGE.md for the operator→query map).
+    # Combined slots: sampling = hash-ranked + stratified; gen_columns = all
+    # six §2.8 generators incl. bootstrap; near_dup_pairs = ngram + minhash;
+    # similarity_topk = exact + LSH + IVF; fingerprints = md5 + simhash +
+    # winnowing; event_window_aggs = running totals + sliding windows.
     return {
         "select_all": q_select_all,
         "csv_roundtrip": q_csv_roundtrip,
@@ -900,24 +939,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "type_summary": q_type_summary,
         "dedup_exact": q_dedup_exact,
         "dedup_clusters": q_dedup_clusters,
-        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
-        "cosine_topk": q_cosine_topk,
+        "near_dup_pairs": q_near_dup_pairs,
+        "similarity_topk": q_similarity_topk,
         "embedding_near_dup": q_embedding_near_dup,
         "text_analysis": q_text_analysis,
         "decontaminate": q_decontaminate,
         "dedup_incremental": q_dedup_incremental,
-        "stratified_sample": q_stratified_sample,
+        "sampling": q_sampling,
         "pack_documents": q_pack_documents,
         "cascading_rollup": q_cascading_rollup,
         "repetition_stats": q_repetition_stats,
         "pii_scrub": q_pii_scrub,
         "range_join_bands": q_range_join_bands,
         "salted_join_agg": q_salted_join_agg,
-        "fingerprint": q_fingerprint,
+        "fingerprints": q_fingerprints,
         "hourly_event_rollup": q_hourly_event_rollup,
         "sessionize": q_sessionize,
-        "user_running_totals": q_user_running_totals,
-        "sliding_window_agg": q_sliding_window_agg,
+        "event_window_aggs": q_event_window_aggs,
         "pricing_summary": q_pricing_summary,
         "top_unshipped_orders": q_top_unshipped_orders,
         "revenue_by_nation": q_revenue_by_nation,
@@ -935,14 +973,60 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": q_multimodal_features,
         "media_inventory": q_media_inventory,
         "asof_join_events": q_asof_join_events,
-        "sample_n": q_sample_n,
         "gen_columns": q_gen_columns,
-        "bootstrap_resample": q_bootstrap_resample,
         "synthesize_orders": q_synthesize_orders,
-        "minhash_lsh_pairs": q_minhash_lsh_pairs,
-        "simhash_fingerprints": q_simhash_fingerprints,
-        "ann_cosine_lsh": q_ann_cosine_lsh,
-        "winnowing_fingerprints": q_winnowing,
+    }
+
+
+def bench_components() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Per-operator callables for bench.py's timing granularity — the
+    combined 50-slot gates union several operators, which would blur
+    per-query timings against BENCH_r01/r02; these run each component
+    standalone (NOT part of the correctness surface)."""
+    from etl_processes_spark.ops.dedup import (
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+        simhash_fingerprints,
+    )
+    from etl_processes_spark.ops.pack import stratified_sample
+    from etl_processes_spark.ops.similarity import cosine_topk_fast
+    from etl_processes_spark.ops.textstats import winnowing_fingerprints
+
+    def c_ngram(spark, sf):
+        return ngram_jaccard_pairs(
+            _t(spark, sf, "documents"), "doc_id", "text",
+            k=3, threshold=0.06, max_df=500, ndigits=ND,
+        )
+
+    def c_minhash(spark, sf):
+        return minhash_lsh_pairs(
+            _t(spark, sf, "documents"), "doc_id", "text",
+            num_hashes=64, bands=16, k=3, threshold=0.06,
+        )
+
+    def c_simhash(spark, sf):
+        return simhash_fingerprints(_t(spark, sf, "documents"), "doc_id", "text")
+
+    def c_winnowing(spark, sf):
+        return winnowing_fingerprints(_t(spark, sf, "documents"), "doc_id", "text")
+
+    def c_cosine_topk(spark, sf):
+        e = _t(spark, sf, "embeddings")
+        return cosine_topk_fast(
+            e, e.filter(F.col("vec_id") < 20), "vec_id", "embedding", k=5, ndigits=ND
+        )
+
+    def c_stratified(spark, sf):
+        d = _t(spark, sf, "documents").select("doc_id", "lang", "source")
+        return stratified_sample(d, "lang", 30, "doc_id", seed=42)
+
+    return {
+        "ngram_jaccard_pairs": c_ngram,
+        "minhash_lsh_pairs": c_minhash,
+        "simhash_fingerprints": c_simhash,
+        "winnowing_fingerprints": c_winnowing,
+        "cosine_topk": c_cosine_topk,
+        "stratified_sample": c_stratified,
     }
 
 
@@ -1660,7 +1744,7 @@ cc(node, label) AS (
 SELECT node AS doc_id, CAST(min(label) AS BIGINT) AS cluster_id FROM cc GROUP BY node
 """
 
-    sql["ngram_jaccard_pairs"] = f"""
+    _ngram_sql = f"""
 WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
 sh0 AS (SELECT doc_id,
                CASE WHEN len(t) >= 3
@@ -1776,7 +1860,7 @@ ORDER BY rk LIMIT 1
     _bands_sql = " UNION ALL ".join(
         f"SELECT id, {i} AS band, {_band_fold(i)} AS bh FROM sig" for i in range(16)
     )
-    sql["minhash_lsh_pairs"] = f"""
+    _minhash_sql = f"""
 WITH toks AS (SELECT doc_id AS id, {_TOKS} AS t FROM documents),
 sh0 AS (SELECT id,
                CASE WHEN len(t) >= 3
@@ -1804,12 +1888,17 @@ JOIN sizes sb ON sb.id = c.id_b
 WHERE round(CAST(cnt AS DOUBLE) / (sa.sz + sb.sz - cnt), 6) >= 0.06
 """
 
+    sql["near_dup_pairs"] = (
+        f"SELECT 'ngram' AS method, * FROM ({_ngram_sql})\n"
+        f"UNION ALL\nSELECT 'minhash' AS method, * FROM ({_minhash_sql})"
+    )
+
     _bitsums = ", ".join(
         f"sum(CASE WHEN (h // {2 ** i}) % 2 = 1 THEN tf ELSE -tf END) AS b{i}"
         for i in range(60)
     )
     _fp = " + ".join(f"(CASE WHEN b{i} > 0 THEN {2 ** i} ELSE 0 END)" for i in range(60))
-    sql["simhash_fingerprints"] = f"""
+    _simhash_sql = f"""
 WITH tok AS (SELECT doc_id AS id, unnest({_TOKS}) AS token FROM documents),
 tf AS (SELECT id, token, count(*) AS tf FROM tok GROUP BY id, token),
 h AS (SELECT id, tf,
@@ -1852,7 +1941,9 @@ cdf AS (SELECT category,
                sum(probability) OVER (ORDER BY cnt DESC, category ASC ROWS UNBOUNDED PRECEDING) AS hi,
                row_number() OVER (ORDER BY cnt DESC, category ASC) AS rn,
                count(*) OVER () AS nc
-        FROM ({_gc_cat}))
+        FROM ({_gc_cat})),
+entries AS (SELECT text, row_number() OVER (ORDER BY doc_id) AS rn
+            FROM (SELECT doc_id, text FROM documents ORDER BY doc_id LIMIT 200))
 SELECT
   round_even(least(greatest({_zsql(11, 'num')} * (SELECT std FROM ns) + (SELECT mean FROM ns),
                             (SELECT min_val FROM ns)), (SELECT max_val FROM ns)), 2) AS value,
@@ -1863,23 +1954,25 @@ SELECT
       {_zsql(19, 'dt')} * (SELECT CASE WHEN std > 0 THEN std ELSE 2592000e0 END FROM ds)
         + (SELECT mean FROM ds),
       (SELECT min_val FROM ds)), (SELECT max_val FROM ds)) * 1000000e0 AS BIGINT)), '%Y-%m-%d') AS orderdate,
-  '' AS unknown_col
+  '' AS unknown_col,
+  (SELECT text FROM entries
+   WHERE rn = CAST(floor({_usql(23, 'bs')} * 200) + 1 AS BIGINT)) AS boot_text
 FROM ids
 """
 
-    sql["bootstrap_resample"] = f"""
-WITH ids AS (SELECT CAST(unnest(range(0, 1000)) AS BIGINT) AS id),
-entries AS (SELECT text, row_number() OVER (ORDER BY doc_id) AS rn
-            FROM (SELECT doc_id, text FROM documents ORDER BY doc_id LIMIT 200))
-SELECT (SELECT text FROM entries
-        WHERE rn = CAST(floor({_usql(23, 'bs')} * 200) + 1 AS BIGINT)) AS text
-FROM ids
-"""
-
-    sql["sample_n"] = """
-SELECT * FROM orders
-ORDER BY md5(CAST(o_orderkey AS VARCHAR) || ':42'), o_orderkey
-LIMIT 1000
+    sql["sampling"] = """
+SELECT 'hash_orders' AS part, '' AS stratum, CAST(o_orderkey AS VARCHAR) AS key
+FROM (SELECT o_orderkey FROM orders
+      ORDER BY md5(CAST(o_orderkey AS VARCHAR) || ':42'), o_orderkey
+      LIMIT 1000)
+UNION ALL
+SELECT 'stratified_docs' AS part, lang AS stratum, CAST(doc_id AS VARCHAR) AS key
+FROM (WITH r AS (SELECT doc_id, lang,
+                        row_number() OVER (
+                            PARTITION BY lang
+                            ORDER BY md5(CAST(doc_id AS VARCHAR) || ':42'), doc_id) AS rn
+                 FROM documents)
+      SELECT doc_id, lang FROM r WHERE rn <= 30)
 """
 
     # synthesize_orders: the ENTIRE reference pipeline (hash-ranked profile
@@ -2006,7 +2099,7 @@ UNION ALL
     # winnowing (k=5 grams, window=4): same md5-derived gram hashes, list-op
     # k-grams + rolling mins — the DuckDB twin of ops/textstats.py:150
     _MD5L = "CAST(concat('0x', substr(md5({x}), 1, 15)) AS BIGINT)"
-    sql["winnowing_fingerprints"] = f"""
+    _winnowing_sql = f"""
 WITH toks AS (SELECT doc_id AS id, {_TOKS} AS t FROM documents),
 g AS (SELECT id, t, len(t) AS n,
              CASE WHEN len(t) >= 5 THEN
@@ -2067,23 +2160,7 @@ r AS (SELECT *, row_number() OVER (PARTITION BY query_id
 SELECT query_id, neighbor_id, cosine_sim, CAST(rk AS INTEGER) AS rank
 FROM r WHERE rk <= 5
 """
-    # both ANN families in the one gate slot; IVF centroids need the parquet
-    # at oracle-build time (same contract as _mvn_oracle_sql / _pca_oracle_sql).
-    # On build failure OMIT the key — the Spark query always emits the
-    # lsh+ivf union, so an lsh-only oracle would guarantee a mismatch;
-    # rows-only degradation is the correct fallback.
-    try:
-        _ivf_sql = _ivf_oracle_sql()
-        sql["ann_cosine_lsh"] = (
-            f"SELECT 'lsh' AS method, * FROM ({_lsh_sql})\n"
-            f"UNION ALL\nSELECT 'ivf' AS method, * FROM ({_ivf_sql})"
-        )
-    except Exception:
-        pass
-
-    # -- similarity --------------------------------------------------------------
-
-    sql["cosine_topk"] = """
+    _exact_topk_sql = """
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
 q AS (SELECT * FROM e WHERE vec_id < 20),
 sims AS (SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
@@ -2093,6 +2170,21 @@ r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine_sim DES
       FROM sims)
 SELECT query_id, neighbor_id, cosine_sim, CAST(rk AS INTEGER) AS rank FROM r WHERE rk <= 5
 """
+
+    # all three top-k families in the one gate slot; IVF centroids need the
+    # parquet at oracle-build time (same contract as _mvn_oracle_sql /
+    # _pca_oracle_sql). On build failure OMIT the key — the Spark query
+    # always emits the exact+lsh+ivf union, so a partial oracle would
+    # guarantee a mismatch; rows-only degradation is the correct fallback.
+    try:
+        _ivf_sql = _ivf_oracle_sql()
+        sql["similarity_topk"] = (
+            f"SELECT 'exact' AS method, * FROM ({_exact_topk_sql})\n"
+            f"UNION ALL\nSELECT 'lsh' AS method, * FROM ({_lsh_sql})\n"
+            f"UNION ALL\nSELECT 'ivf' AS method, * FROM ({_ivf_sql})"
+        )
+    except Exception:
+        pass
 
     # -- text analysis -------------------------------------------------------------
 
@@ -2172,16 +2264,6 @@ cand AS (SELECT n.* FROM norm n LEFT JOIN seen s USING (h)
 surv AS (SELECT h, min(doc_id) AS doc_id FROM cand GROUP BY h)
 SELECT c.doc_id, c.lang, c.source
 FROM cand c JOIN surv USING (h, doc_id)
-"""
-
-    # stratified_sample: md5-ranked top-n per language stratum
-    sql["stratified_sample"] = """
-WITH r AS (SELECT doc_id, lang, source,
-                  row_number() OVER (
-                      PARTITION BY lang
-                      ORDER BY md5(CAST(doc_id AS VARCHAR) || ':42'), doc_id) AS rn
-           FROM documents)
-SELECT doc_id, lang, source FROM r WHERE rn <= 30
 """
 
     # pack_documents: the two-phase prefix sum must equal one global window
@@ -2315,8 +2397,17 @@ FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 GROUP BY o_orderpriority
 """
 
-    sql["fingerprint"] = f"""
-SELECT doc_id, md5({_NORM_TEXT}) AS fingerprint FROM documents
+    # all three fingerprint families in the one gate slot (md5 content hash,
+    # 60-bit SimHash, winnowing k-gram set), labeled by method; the simhash
+    # BIGINT and winnowing set-string cast to one VARCHAR payload column
+    sql["fingerprints"] = f"""
+SELECT 'md5' AS method, doc_id, md5({_NORM_TEXT}) AS fingerprint FROM documents
+UNION ALL
+SELECT 'simhash' AS method, id AS doc_id, CAST(simhash AS VARCHAR) AS fingerprint
+FROM ({_simhash_sql})
+UNION ALL
+SELECT 'winnowing' AS method, doc_id, fingerprints AS fingerprint
+FROM ({_winnowing_sql})
 """
 
     # -- events ----------------------------------------------------------------------
@@ -2346,11 +2437,31 @@ SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
 FROM s GROUP BY user_id, session_id
 """
 
-    sql["user_running_totals"] = """
-SELECT event_id, user_id,
-       strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str,
-       round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING), 6) AS running_value
+    # running totals + sliding windows in one long-format slot (part, k1,
+    # k2, n, v); numeric payloads stay numeric — no float-to-string rendering
+    sql["event_window_aggs"] = """
+SELECT 'running' AS part,
+       CAST(event_id AS VARCHAR) AS k1,
+       CAST(user_id AS VARCHAR) || '@' || strftime(ts, '%Y-%m-%d %H:%M:%S') AS k2,
+       CAST(0 AS BIGINT) AS n,
+       round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING), 6) AS v
 FROM events
+UNION ALL
+SELECT 'sliding' AS part,
+       strftime(window_start, '%Y-%m-%d %H:%M:%S') AS k1,
+       event_type AS k2,
+       n_events AS n,
+       sum_value AS v
+FROM (
+  WITH shifted AS (
+    SELECT make_timestamp(CAST(((CAST(floor(epoch(ts) / 1800) AS BIGINT) - s.s) * 1800) * 1000000 AS BIGINT)) AS window_start,
+           event_type, value
+    FROM events, (VALUES (0), (1)) AS s(s))
+  SELECT window_start, event_type,
+         CAST(count(*) AS BIGINT) AS n_events,
+         round(sum(value), 6) AS sum_value
+  FROM shifted GROUP BY 1, 2
+)
 """
 
     # -- relational ---------------------------------------------------------------------
@@ -2404,20 +2515,6 @@ SELECT a.vec_id AS id_a, b.vec_id AS id_b,
 FROM e a, e b
 WHERE a.vec_id < b.vec_id
   AND round(list_cosine_similarity(a.v, b.v), 6) >= 0.5
-"""
-
-    # Spark's F.window is epoch-aligned: a 1h/30min sliding window places each
-    # event in exactly the two windows starting at floor(epoch/1800)*1800 and
-    # that minus 1800.
-    sql["sliding_window_agg"] = """
-WITH shifted AS (
-  SELECT make_timestamp(CAST(((CAST(floor(epoch(ts) / 1800) AS BIGINT) - s.s) * 1800) * 1000000 AS BIGINT)) AS window_start,
-         event_type, value
-  FROM events, (VALUES (0), (1)) AS s(s))
-SELECT window_start, event_type,
-       CAST(count(*) AS BIGINT) AS n_events,
-       round(sum(value), 6) AS sum_value
-FROM shifted GROUP BY 1, 2
 """
 
     sql["top_orders_per_priority"] = """

@@ -28,7 +28,11 @@ def main() -> None:
 
     import __spark_entry__ as entrymod
 
-    qs = entrymod.queries()
+    # bench_components() exposes the operators that share a combined
+    # 50-slot correctness gate (ngram/minhash/simhash/winnowing/cosine/
+    # stratified) as standalone callables, keeping per-query timings
+    # comparable with BENCH_r01/r02.
+    qs = {**entrymod.queries(), **entrymod.bench_components()}
     bench_queries = [
         "numeric_profile",
         "datetime_profile",
