@@ -279,7 +279,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("lang").alias("stratum"),
             F.col("doc_id").cast("string").alias("key"),
         )
-        return hashed.unionByName(strat)
+        # third family: corpus-mixture thinning (temperature-flattened
+        # per-language keep rates, scan-side md5-Bernoulli filter — the
+        # 100 TB path is shuffle-free); rates are sqrt-exact so DuckDB
+        # recomputes them bit-identically from the same counts
+        from etl_processes_spark.ops.pack import mixture_rates, mixture_sample
+
+        rates = mixture_rates(d, "lang", alpha=0.5)
+        mix = mixture_sample(d, "lang", rates, "doc_id", seed=77).select(
+            F.lit("mixture_docs").alias("part"),
+            F.col("lang").alias("stratum"),
+            F.col("doc_id").cast("string").alias("key"),
+        )
+        return hashed.unionByName(strat).unionByName(mix)
 
     # -- generators (rows-only: seeded, non-SQL) -------------------------------
 
@@ -702,13 +714,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return fresh.select("doc_id", "lang", "source")
 
     def q_pack_documents(spark, sf):
-        # token-budget sequence packing (greedy cumulative bins in doc_id
-        # order, two-phase prefix sum); n_chars plays the token count so the
-        # DuckDB twin is a plain global window cumsum
-        from etl_processes_spark.ops.pack import pack_documents
+        # BOTH sequence-assembly ops in one gate slot (50-query budget),
+        # labeled by part. bin: token-budget packing (greedy cumulative bins
+        # in doc_id order, two-phase prefix sum; n_chars plays the token
+        # count so the DuckDB twin is a plain global window cumsum). chunk:
+        # fixed-size sliding token windows (64 tokens, stride 48 —
+        # overlapping), shuffle-free map-side explode; the chunk text enters
+        # the hash as md5 so content is certified without shipping it.
+        from etl_processes_spark.ops.pack import chunk_documents, pack_documents
 
-        d = _t(spark, sf, "documents").select("doc_id", "n_chars")
-        return pack_documents(d, "doc_id", "n_chars", budget=4096)
+        d = _t(spark, sf, "documents")
+        bins = pack_documents(
+            d.select("doc_id", "n_chars"), "doc_id", "n_chars", budget=4096
+        ).select(
+            F.lit("bin").alias("part"),
+            "doc_id",
+            F.col("bin_id").alias("k1"),
+            F.col("offset_in_bin").alias("k2"),
+            F.col("n_tokens").cast("long").alias("k3"),
+            F.lit("").alias("payload"),
+        )
+        chunks = chunk_documents(
+            d.select("doc_id", "text"), "doc_id", "text", chunk_tokens=64, stride=48
+        ).select(
+            F.lit("chunk").alias("part"),
+            "doc_id",
+            F.col("chunk_id").cast("long").alias("k1"),
+            F.col("start_token").alias("k2"),
+            F.col("n_tokens").alias("k3"),
+            F.md5(F.col("chunk_text")).alias("payload"),
+        )
+        return bins.unionByName(chunks)
 
     def q_cascading_rollup(spark, sf):
         # hypertable-style cascade: the DAILY layer aggregates the hourly
@@ -1960,6 +1996,9 @@ SELECT
 FROM ids
 """
 
+    # mixture_docs: temperature-flattened keep rates (alpha=0.5 → sqrt of
+    # count ratio, correctly rounded by IEEE so both engines compute the
+    # identical 6dp rate) + the same md5-uniform u_expr the generators use
     sql["sampling"] = """
 SELECT 'hash_orders' AS part, '' AS stratum, CAST(o_orderkey AS VARCHAR) AS key
 FROM (SELECT o_orderkey FROM orders
@@ -1973,6 +2012,14 @@ FROM (WITH r AS (SELECT doc_id, lang,
                             ORDER BY md5(CAST(doc_id AS VARCHAR) || ':42'), doc_id) AS rn
                  FROM documents)
       SELECT doc_id, lang FROM r WHERE rn <= 30)
+UNION ALL
+SELECT 'mixture_docs' AS part, lang AS stratum, CAST(doc_id AS VARCHAR) AS key
+FROM (WITH per AS (SELECT lang, CAST(count(*) AS DOUBLE) AS c FROM documents GROUP BY lang),
+           r AS (SELECT lang, round(sqrt((SELECT min(c) FROM per) / c), 6) AS rate FROM per)
+      SELECT d.doc_id, d.lang
+      FROM documents d JOIN r USING (lang)
+      WHERE (CAST(concat('0x', substr(md5('77:mix:' || CAST(d.doc_id AS VARCHAR)), 1, 13)) AS BIGINT)
+             + 0.5e0) / 4503599627370496e0 < rate)
 """
 
     # synthesize_orders: the ENTIRE reference pipeline (hash-ranked profile
@@ -2268,17 +2315,39 @@ FROM cand c JOIN surv USING (h, doc_id)
 
     # pack_documents: the two-phase prefix sum must equal one global window
     # cumsum; n_chars plays the token count, budget 4096
+    # bin + chunk in one slot; chunk replays the whitespace tokenization,
+    # the ceil((n-64)/48)+1 window count, and md5 of each window's text
     sql["pack_documents"] = """
 WITH c AS (SELECT doc_id, n_chars AS n_tokens,
                   coalesce(sum(n_chars) OVER (
                       ORDER BY doc_id
                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
            FROM documents)
-SELECT doc_id,
-       CAST(floor(before / 4096) AS BIGINT) AS bin_id,
-       CAST(before % 4096 AS BIGINT) AS offset_in_bin,
-       n_tokens
+SELECT 'bin' AS part, doc_id,
+       CAST(floor(before / 4096) AS BIGINT) AS k1,
+       CAST(before % 4096 AS BIGINT) AS k2,
+       CAST(n_tokens AS BIGINT) AS k3,
+       '' AS payload
 FROM c
+UNION ALL
+SELECT 'chunk' AS part, doc_id,
+       CAST(chunk_id AS BIGINT) AS k1,
+       CAST(chunk_id * 48 AS BIGINT) AS k2,
+       CAST(least(64, n - chunk_id * 48) AS BIGINT) AS k3,
+       md5(array_to_string(t[chunk_id * 48 + 1 : chunk_id * 48 + 64], ' ')) AS payload
+FROM (
+  WITH t0 AS (SELECT doc_id,
+                     string_split_regex(trim(coalesce(text, '')), '\\s+') AS t
+              FROM documents),
+  tk AS (SELECT doc_id,
+                CASE WHEN len(t) = 1 THEN list_filter(t, x -> x <> '') ELSE t END AS t
+         FROM t0),
+  k AS (SELECT doc_id, t, len(t) AS n,
+               CASE WHEN len(t) <= 64 THEN 1
+                    ELSE CAST(ceil((len(t) - 64) / 48.0) AS INT) + 1 END AS nk
+        FROM tk)
+  SELECT doc_id, t, n, unnest(range(0, nk)) AS chunk_id FROM k
+)
 """
 
     # cascading_rollup (daily layer): daily-from-hourly-partials must equal

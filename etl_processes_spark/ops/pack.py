@@ -123,3 +123,116 @@ def pack_documents(
         (before % budget).cast("long").alias("offset_in_bin"),
         "n_tokens",
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    chunk_tokens: int = 512,
+    stride: int | None = None,
+) -> DataFrame:
+    """Split each document into fixed-size token windows (training-sequence
+    chunking): chunk i covers tokens [i*stride, i*stride + chunk_tokens) of
+    the whitespace tokenization; ``stride`` < ``chunk_tokens`` gives
+    overlapping windows (contextual continuity across chunk boundaries),
+    the default stride = chunk_tokens gives a disjoint partition of the doc.
+
+    Output: (id, chunk_id, start_token, n_tokens, chunk_text). A document
+    with n <= chunk_tokens tokens yields exactly one chunk (its full text;
+    an empty/whitespace doc yields one empty chunk rather than silently
+    dropping the row); otherwise ceil((n - chunk_tokens)/stride) + 1 chunks,
+    so the final window always reaches the last token.
+
+    Scale shape: pure per-row expressions (split / sequence / posexplode /
+    slice) — map-side only, NO shuffle, streams through whole-stage codegen
+    at any corpus size. This is the step after cleaning/dedup and before
+    packing: chunk → tokenize → pack_documents."""
+    if chunk_tokens <= 0:
+        raise ValueError(f"chunk_tokens must be > 0, got {chunk_tokens}")
+    stride = chunk_tokens if stride is None else stride
+    if stride <= 0:
+        raise ValueError(f"stride must be > 0, got {stride}")
+    # split on whitespace runs; a fully-blank text gives [''] (0 real tokens)
+    toks = F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+")
+    toks = F.when(F.size(toks) == 1, F.filter(toks, lambda t: t != "")).otherwise(toks)
+    n = F.size(toks)
+    n_chunks = F.when(n <= chunk_tokens, F.lit(1)).otherwise(
+        F.ceil((n - F.lit(chunk_tokens)) / F.lit(float(stride))).cast("int") + 1
+    )
+    base = df.select(
+        F.col(id_col), toks.alias("__toks"), n.alias("__n"), n_chunks.alias("__k")
+    )
+    chunk = base.select(
+        id_col,
+        "__toks",
+        "__n",
+        F.posexplode(F.sequence(F.lit(0), F.col("__k") - 1)).alias("chunk_id", "__i"),
+    ).withColumn("__start", F.col("__i") * stride)
+    return chunk.select(
+        id_col,
+        "chunk_id",
+        F.col("__start").cast("long").alias("start_token"),
+        F.least(F.lit(chunk_tokens), F.col("__n") - F.col("__start"))
+        .cast("long")
+        .alias("n_tokens"),
+        F.array_join(
+            F.slice(F.col("__toks"), F.col("__start") + 1, F.lit(chunk_tokens)), " "
+        ).alias("chunk_text"),
+    )
+
+
+def mixture_rates(
+    df: DataFrame, group_col: str, alpha: float = 0.5, ndigits: int = 6
+) -> dict[str, float]:
+    """Per-group keep rates that flatten a skewed source/language mix toward
+    uniform (multinomial temperature sampling, alpha<1 flattens): rate_g =
+    round((min_count / count_g) ** (1 - alpha), ndigits), so the SMALLEST
+    group keeps everything and dominant groups are downsampled toward it.
+
+    One tiny aggregate (|groups| rows to the driver); the returned dict
+    feeds mixture_sample as plain literals — which is also what makes the
+    selection replayable by an external engine (the rates are data, not
+    engine arithmetic)."""
+    import math
+
+    rows = df.groupBy(group_col).count().collect()
+    counts = {r[group_col]: float(r["count"]) for r in rows}
+    if not counts:
+        return {}
+    mn = min(counts.values())
+
+    def _pow(x: float, e: float) -> float:
+        # sqrt is correctly rounded by IEEE-754 (pow is not): at the default
+        # alpha the rate is bit-identical in any compliant engine, which is
+        # what lets an external replayer reproduce the exact selection
+        return math.sqrt(x) if e == 0.5 else x**e
+
+    return {g: round(_pow(mn / c, 1.0 - alpha), ndigits) for g, c in counts.items()}
+
+
+def mixture_sample(
+    df: DataFrame,
+    group_col: str,
+    rates: dict[str, float],
+    key_col: str,
+    seed: int = 77,
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Deterministic per-group Bernoulli thinning: keep a row iff its
+    md5-uniform u(seed, key) < rates[group]. The corpus-mixture step of a
+    training-data pipeline (downsample over-represented sources/languages
+    to target proportions) as a SCAN-SIDE FILTER — no shuffle, no sort, no
+    state; at 100 TB it fuses into the read stage and costs one hash per
+    row. Selection depends only on (seed, key, rates): re-runs, retries and
+    repartitions keep the identical rows, and an incremental run over new
+    data extends the same sample."""
+    from etl_processes_spark.generate.generators import u_expr
+
+    u = u_expr(seed, "mix", F.col(key_col).cast("string"))
+    rate = None
+    for g, r in rates.items():
+        cond = F.when(F.col(group_col) == g, F.lit(float(r)))
+        rate = cond if rate is None else rate.when(F.col(group_col) == g, F.lit(float(r)))
+    rate = F.lit(float(default_rate)) if rate is None else rate.otherwise(F.lit(float(default_rate)))
+    return df.filter(u < rate)

@@ -134,3 +134,89 @@ def test_training_pipeline_hygiene_stages(spark):
     assert 2 not in by_id        # repetitive (dup 3-grams)
     assert 0 in by_id and 3 in by_id
     assert "<EMAIL>" in by_id[3]["text"] and "bob@" not in by_id[3]["text"]
+
+
+def test_chunk_documents_disjoint_and_overlap(spark):
+    from etl_processes_spark.ops.pack import chunk_documents
+
+    text = " ".join(f"w{i}" for i in range(10))  # 10 tokens
+    df = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+
+    # disjoint: chunk=4 -> ceil((10-4)/4)+1 = 3 chunks at 0,4,8
+    out = {
+        r["chunk_id"]: r
+        for r in chunk_documents(df, "doc_id", "text", chunk_tokens=4).collect()
+    }
+    assert sorted(out) == [0, 1, 2]
+    assert out[0]["chunk_text"] == "w0 w1 w2 w3"
+    assert out[2]["start_token"] == 8 and out[2]["n_tokens"] == 2
+    assert out[2]["chunk_text"] == "w8 w9"
+
+    # overlap: chunk=4 stride=2 -> ceil(6/2)+1 = 4 chunks at 0,2,4,6;
+    # the last window reaches the final token
+    ov = {
+        r["chunk_id"]: r
+        for r in chunk_documents(
+            df, "doc_id", "text", chunk_tokens=4, stride=2
+        ).collect()
+    }
+    assert sorted(ov) == [0, 1, 2, 3]
+    assert ov[1]["chunk_text"] == "w2 w3 w4 w5"
+    assert ov[3]["start_token"] == 6 and ov[3]["chunk_text"] == "w6 w7 w8 w9"
+
+
+def test_chunk_documents_edges(spark):
+    import pytest
+    from etl_processes_spark.ops.pack import chunk_documents
+
+    df = spark.createDataFrame(
+        [(1, "only three tokens"), (2, ""), (3, "   "), (4, None), (5, "x " * 4)],
+        ["doc_id", "text"],
+    )
+    rows = chunk_documents(df, "doc_id", "text", chunk_tokens=4).collect()
+    by_id = {}
+    for r in rows:
+        by_id.setdefault(r["doc_id"], []).append(r)
+    # short doc: one full-text chunk
+    assert len(by_id[1]) == 1 and by_id[1][0]["chunk_text"] == "only three tokens"
+    assert by_id[1][0]["n_tokens"] == 3
+    # blank/null docs: one empty chunk each (row preserved, not dropped)
+    for i in (2, 3, 4):
+        assert len(by_id[i]) == 1 and by_id[i][0]["n_tokens"] == 0
+        assert by_id[i][0]["chunk_text"] == ""
+    # exact multiple: 4 tokens, chunk 4 -> exactly one chunk
+    assert len(by_id[5]) == 1 and by_id[5][0]["n_tokens"] == 4
+    with pytest.raises(ValueError, match="stride"):
+        chunk_documents(df, "doc_id", "text", chunk_tokens=4, stride=0)
+
+
+def test_mixture_sample_rates_and_determinism(spark):
+    from etl_processes_spark.ops.pack import mixture_rates, mixture_sample
+
+    rows = [(i, "big" if i % 10 else "small") for i in range(2000)]
+    df = spark.createDataFrame(rows, ["doc_id", "lang"]).repartition(8)
+    rates = mixture_rates(df, "lang", alpha=0.5)
+    # 200 small / 1800 big -> small keeps all, big keeps sqrt(200/1800)=1/3
+    assert rates["small"] == 1.0
+    assert abs(rates["big"] - (200.0 / 1800.0) ** 0.5) < 1e-6
+
+    kept = mixture_sample(df, "lang", rates, "doc_id", seed=77)
+    counts = {r["lang"]: r["n"] for r in kept.groupBy("lang").agg(
+        __import__("pyspark.sql.functions", fromlist=["count"]).count("doc_id").alias("n")
+    ).collect()}
+    assert counts["small"] == 200  # rate 1.0 keeps everything
+    expect_big = 1800 * rates["big"]
+    assert abs(counts["big"] - expect_big) < 4 * (expect_big * (1 - rates["big"])) ** 0.5
+
+    # deterministic: same selection under different partitioning
+    a = sorted(r["doc_id"] for r in kept.collect())
+    b = sorted(
+        r["doc_id"]
+        for r in mixture_sample(df.coalesce(1), "lang", rates, "doc_id", seed=77).collect()
+    )
+    assert a == b
+
+    # unknown group falls to default_rate
+    extra = spark.createDataFrame([(99999, "other")], ["doc_id", "lang"])
+    assert mixture_sample(extra, "lang", rates, "doc_id").count() == 0
+    assert mixture_sample(extra, "lang", rates, "doc_id", default_rate=1.0).count() == 1
