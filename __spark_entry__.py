@@ -688,14 +688,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # -- text analysis -------------------------------------------------------------
 
     def q_text_analysis(spark, sf):
-        # token counting + language ID + quality scoring in one wide per-doc
-        # gate slot (all three operators stay standalone functions; the
-        # doc_id equi-joins are over projections of the same scan)
+        # token counting + language ID + quality scoring + unigram-LM
+        # fluency score in one wide per-doc gate slot (all four operators
+        # stay standalone functions; the doc_id equi-joins are over
+        # projections of the same scan). Token-less docs coalesce to 0.0
+        # in the gate (a log-prob is always negative, so 0 is unambiguous;
+        # NULL would be a NaN-compare trap in the hash).
+        from etl_processes_spark.ops.textstats import unigram_logprob_score
+
         d = _t(spark, sf, "documents")
+        lm = unigram_logprob_score(d, "doc_id", "text", ndigits=ND).select(
+            "doc_id",
+            F.coalesce(F.col("unigram_logprob"), F.lit(0.0)).alias("unigram_logprob"),
+        )
         return (
             token_count(d, "doc_id", "text")
             .join(lang_id(d, "doc_id", "text"), "doc_id")
             .join(quality_features(d, "doc_id", "text", ndigits=ND), "doc_id")
+            .join(lm, "doc_id")
         )
 
     def q_dedup_incremental(spark, sf):
@@ -2294,8 +2304,19 @@ FROM f
 """
 
     sql["text_analysis"] = f"""
-WITH tc AS ({_tc_sql}), li AS ({_li_sql}), qs AS ({_qs_sql})
-SELECT * FROM tc JOIN li USING (doc_id) JOIN qs USING (doc_id)
+WITH tc AS ({_tc_sql}), li AS ({_li_sql}), qs AS ({_qs_sql}),
+up AS (
+  WITH tok AS (SELECT doc_id, unnest({_TOKS}) AS token FROM documents),
+       cnt AS (SELECT token, count(*) AS c FROM tok GROUP BY token),
+       tot AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM cnt)
+  SELECT d.doc_id, coalesce(s.unigram_logprob, 0.0) AS unigram_logprob
+  FROM documents d LEFT JOIN (
+    SELECT tok.doc_id,
+           round(avg(ln(CAST(cnt.c AS DOUBLE) / (SELECT n FROM tot))), 6) AS unigram_logprob
+    FROM tok JOIN cnt USING (token)
+    GROUP BY tok.doc_id) s USING (doc_id)
+)
+SELECT * FROM tc JOIN li USING (doc_id) JOIN qs USING (doc_id) JOIN up USING (doc_id)
 """
 
     # dedup_incremental: sha256-over-normalized-text digests; corpus =

@@ -340,3 +340,43 @@ def winnowing_fingerprints(
         F.array_sort(F.array_distinct(F.collect_list("fp"))).alias("fingerprints")
     )
     return short.unionByName(agg.select(F.col("__id").alias(id_col), "fingerprints"))
+
+
+def unigram_logprob_score(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    ndigits: int = 6,
+    counts_df: DataFrame | None = None,
+) -> DataFrame:
+    """Per-document mean unigram log-probability under the corpus's own
+    unigram LM: score = avg over the doc's tokens of ln(count(token)/N).
+    The classic cheap fluency/quality proxy (KenLM-lite): gibberish,
+    boilerplate-free rare-token soup and wrong-language docs score far
+    below normal prose, so a percentile cut on this column is a standard
+    corpus-quality filter.
+
+    ``counts_df`` lets callers score a stream/batch against a PRE-BUILT
+    corpus LM ((token, c) plus an N = sum(c) literal is trivial to derive) —
+    the incremental-scoring twin of dedup_incremental's digest table.
+
+    Scale shape: one explode + one groupBy(token) to build the LM (the
+    unigram table is bounded by vocabulary, not corpus size), one
+    shuffle join tokens⋈counts (AQE broadcasts it when the vocab is small),
+    one groupBy(doc). Docs with zero tokens get a NULL score (no tokens to
+    average — kept, not dropped, so the caller decides)."""
+    from etl_processes_spark.ops.dedup import tokens_expr
+
+    tok = df.select(F.col(id_col), F.explode(tokens_expr(text_col)).alias("token"))
+    if counts_df is None:
+        counts_df = tok.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+    total = counts_df.agg(F.sum("c").cast("double").alias("n"))
+    scored = (
+        tok.join(counts_df, "token")
+        .crossJoin(F.broadcast(total))
+        .select(F.col(id_col), (F.log(F.col("c") / F.col("n"))).alias("__lp"))
+        .groupBy(id_col)
+        .agg(F.round(F.avg("__lp"), ndigits).alias("unigram_logprob"))
+    )
+    # left join back so token-less docs survive with NULL
+    return df.select(id_col).join(scored, id_col, "left")

@@ -191,3 +191,41 @@ def test_pii_scrub_matches_duckdb(spark):
         ).fetchall()
     }
     assert got == duck
+
+
+def test_unigram_logprob_score(spark):
+    import math
+
+    from etl_processes_spark.ops.textstats import unigram_logprob_score
+
+    docs = spark.createDataFrame(
+        [(1, "the cat sat"), (2, "the the"), (3, "   "), (4, "zzyzx")],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r["unigram_logprob"] for r in
+           unigram_logprob_score(docs, "doc_id", "text").collect()}
+    # corpus counts: the=3, cat=1, sat=1, zzyzx=1 -> N=6
+    n = 6.0
+    exp1 = round((math.log(3 / n) + math.log(1 / n) + math.log(1 / n)) / 3, 6)
+    exp2 = round(math.log(3 / n), 6)
+    assert out[1] == exp1
+    assert out[2] == exp2
+    assert out[3] is None                       # token-less doc survives as NULL
+    assert out[4] == round(math.log(1 / n), 6)  # rare-token doc scores lowest
+    assert out[4] < out[2]
+
+    # pre-built corpus LM: new batch scored against the ORIGINAL counts
+    from pyspark.sql import functions as F
+    counts = spark.createDataFrame([("the", 3), ("cat", 1), ("sat", 1), ("zzyzx", 1)],
+                                   ["token", "c"])
+    batch = spark.createDataFrame([(9, "cat cat")], ["doc_id", "text"])
+    got = unigram_logprob_score(batch, "doc_id", "text", counts_df=counts).first()
+    assert got["unigram_logprob"] == round(math.log(1 / 6.0), 6)
+
+    # partition-invariant
+    a = sorted(out.items())
+    b = sorted(
+        (r["doc_id"], r["unigram_logprob"])
+        for r in unigram_logprob_score(docs.repartition(7), "doc_id", "text").collect()
+    )
+    assert a == b
