@@ -2360,12 +2360,12 @@ FROM (
   WITH t0 AS (SELECT doc_id,
                      string_split_regex(trim(coalesce(text, '')), '\\s+') AS t
               FROM documents),
-  tk AS (SELECT doc_id,
-                CASE WHEN len(t) = 1 THEN list_filter(t, x -> x <> '') ELSE t END AS t
+  tk AS (SELECT doc_id, t,
+                CASE WHEN t = [''] THEN 0 ELSE len(t) END AS n
          FROM t0),
-  k AS (SELECT doc_id, t, len(t) AS n,
-               CASE WHEN len(t) <= 64 THEN 1
-                    ELSE CAST(ceil((len(t) - 64) / 48.0) AS INT) + 1 END AS nk
+  k AS (SELECT doc_id, t, n,
+               CASE WHEN n <= 64 THEN 1
+                    ELSE CAST(ceil((n - 64) / 48.0) AS INT) + 1 END AS nk
         FROM tk)
   SELECT doc_id, t, n, unnest(range(0, nk)) AS chunk_id FROM k
 )

@@ -153,10 +153,14 @@ def chunk_documents(
     stride = chunk_tokens if stride is None else stride
     if stride <= 0:
         raise ValueError(f"stride must be > 0, got {stride}")
-    # split on whitespace runs; a fully-blank text gives [''] (0 real tokens)
+    # split on whitespace runs. After trim the ONLY way an empty token
+    # appears is the fully-blank text (-> ['']), so blank detection is an
+    # array-equality check, NOT a higher-order filter(): lambda expressions
+    # don't participate in whole-stage codegen and would drop this
+    # projection out of the codegen span (measured: the interpreted Project
+    # re-evaluates split() per output column).
     toks = F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+")
-    toks = F.when(F.size(toks) == 1, F.filter(toks, lambda t: t != "")).otherwise(toks)
-    n = F.size(toks)
+    n = F.when(toks == F.array(F.lit("")), F.lit(0)).otherwise(F.size(toks))
     n_chunks = F.when(n <= chunk_tokens, F.lit(1)).otherwise(
         F.ceil((n - F.lit(chunk_tokens)) / F.lit(float(stride))).cast("int") + 1
     )
