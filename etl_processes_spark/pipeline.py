@@ -74,6 +74,10 @@ def run_training_data_pipeline(
     contamination_threshold: float = 0.5,
     filter_repetitive: bool = False,
     scrub_pii: bool = False,
+    min_logprob: float | None = None,
+    mixture_alpha: float | None = None,
+    chunk_tokens: int | None = None,
+    chunk_stride: int | None = None,
 ) -> DataFrame:
     """The LLM training-data assembly flow, composed from the extension
     operators — what a user runs over raw documents before tokenization:
@@ -89,14 +93,23 @@ def run_training_data_pipeline(
           (row-wise expression, no join) before scoring;
       2. language ID + quality scoring (pure codegen expressions, one pass);
       3. filter to wanted languages above the quality floor;
+      3b. optional unigram-LM fluency floor (``min_logprob``): the LM is
+          built over the SURVIVING corpus (post-dedup/filter), so the score
+          reflects the distribution being trained on;
       4. optional per-language stratified cap (md5-ranked, deterministic);
+      4b. optional corpus-mixture rebalance (``mixture_alpha``):
+          temperature-flattened per-language keep rates, scan-side
+          md5-Bernoulli — downsamples dominant languages toward the rarest;
+      5a. optional sequence chunking (``chunk_tokens`` [, ``chunk_stride``]):
+          rows become fixed-size token windows; downstream packing then
+          bins CHUNKS, the unit that actually enters a training batch;
       5. optional token-budget sequence packing.
 
     Returns (doc_id, text, pred_lang, quality_score, n_tokens
-    [, bin_id, offset_in_bin]). Every stage is the bucketed/inverted-index/
-    window formulation documented in SCALING.md — no all-pairs or
-    driver-side loops anywhere; the whole flow is deterministic for a given
-    (corpus, seed)."""
+    [, unigram_logprob][, chunk_id][, bin_id, offset_in_bin]). Every stage
+    is the bucketed/inverted-index/window formulation documented in
+    SCALING.md — no all-pairs or driver-side loops anywhere; the whole flow
+    is deterministic for a given (corpus, seed)."""
     from pyspark.sql import functions as F
 
     from etl_processes_spark.ops.dedup import dedup_clusters
@@ -151,14 +164,54 @@ def run_training_data_pipeline(
     filtered = scored.filter(
         F.col("pred_lang").isin(*langs) & (F.col("quality_score") >= min_quality)
     ).select(id_col, text_col, "pred_lang", "quality_score", "n_tokens")
+    if min_logprob is not None:
+        from etl_processes_spark.ops.textstats import unigram_logprob_score
+
+        # the LM-build pass re-reads the corpus subtree; persist so the
+        # dedup/scoring work above isn't executed once per downstream job
+        filtered = filtered.persist()
+        lm = unigram_logprob_score(filtered, id_col, text_col)
+        filtered = filtered.join(lm, id_col).filter(
+            F.col("unigram_logprob") >= min_logprob
+        )
     if per_lang_cap is not None:
         filtered = stratified_sample(filtered, "pred_lang", per_lang_cap, id_col, seed)
+    if mixture_alpha is not None:
+        from etl_processes_spark.ops.pack import mixture_rates, mixture_sample
+
+        rates = mixture_rates(filtered, "pred_lang", alpha=mixture_alpha)
+        filtered = mixture_sample(filtered, "pred_lang", rates, id_col, seed=seed)
+    pack_key = id_col
+    if chunk_tokens is not None:
+        from etl_processes_spark.ops.pack import chunk_documents
+
+        chunks = chunk_documents(
+            filtered, id_col, text_col, chunk_tokens, chunk_stride
+        ).select(
+            id_col, "chunk_id",
+            F.col("chunk_text").alias(text_col),
+            F.col("n_tokens").alias("__chunk_tokens"),
+        )
+        # chunks inherit the doc's metadata (one id-keyed join); the packer
+        # needs a single unique ordered key — 15 bits of chunk index keeps
+        # the composite bigint ordered by (doc, chunk) and collision-free
+        # for any doc under 32768 chunks (16.7M tokens at the default size)
+        meta_cols = [c for c in filtered.columns if c not in (text_col, "n_tokens")]
+        filtered = (
+            chunks.join(filtered.select(*meta_cols), id_col)
+            .withColumn("n_tokens", F.col("__chunk_tokens"))
+            .withColumn(
+                "__seq_key", F.col(id_col) * 32768 + F.col("chunk_id")
+            )
+            .drop("__chunk_tokens")
+        )
+        pack_key = "__seq_key"
     if pack_budget is None:
-        return filtered
+        return filtered.drop("__seq_key")
     # filtered feeds BOTH the packer and the final join — persist so the
     # dedup/scoring/sampling subtree executes once, not twice
     filtered = filtered.persist()
-    packed = pack_documents(filtered, id_col, "n_tokens", pack_budget)
+    packed = pack_documents(filtered, pack_key, "n_tokens", pack_budget)
     return filtered.join(
-        packed.select(id_col, "bin_id", "offset_in_bin"), id_col
-    )
+        packed.select(pack_key, "bin_id", "offset_in_bin"), pack_key
+    ).drop("__seq_key")

@@ -220,3 +220,49 @@ def test_mixture_sample_rates_and_determinism(spark):
     extra = spark.createDataFrame([(99999, "other")], ["doc_id", "lang"])
     assert mixture_sample(extra, "lang", rates, "doc_id").count() == 0
     assert mixture_sample(extra, "lang", rates, "doc_id", default_rate=1.0).count() == 1
+
+
+def test_training_pipeline_chunk_mixture_logprob(spark):
+    """The three new stages compose: LM-fluency floor, mixture rebalance,
+    chunking feeding the packer with chunk-level rows."""
+    from pyspark.sql import functions as F
+
+    from etl_processes_spark.pipeline import run_training_data_pipeline
+
+    # texts must be distinct (and non-near-dup) or stage 1 dedups them away
+    words = ("fox dog cat owl elk hen ram sow colt mare lamb "
+             "bear wolf lynx hare mole vole stoat otter seal").split()
+    def en_text(i):
+        ws = [words[(i * 7 + j * 3) % len(words)] for j in range(12)]
+        return ("the " + " and the ".join(ws[:6]) + " went to the "
+                + " then the ".join(ws[6:]) + " by the river " + f"tale{i} " * 3)
+    rows = [(i, en_text(i)) for i in range(40)]          # en, long enough to chunk
+    rows += [(100 + i, f"der hund und die katze sind nicht da nummer{i} " * 3)
+             for i in range(4)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    # near_dup_threshold > 1 neutralizes stage 1 (texts are distinct, so
+    # exact dedup is identity too) — this test drives the NEW stages
+    out = run_training_data_pipeline(
+        spark, docs, min_quality=0.0, langs=("en", "de"),
+        pack_budget=64, min_logprob=-10.0, mixture_alpha=0.5,
+        chunk_tokens=16, chunk_stride=16, near_dup_threshold=1.01,
+    )
+    cols = set(out.columns)
+    assert {"doc_id", "chunk_id", "text", "n_tokens", "bin_id",
+            "offset_in_bin", "unigram_logprob", "pred_lang"} <= cols
+    got = out.collect()
+    assert len(got) > 0
+    # every chunk respects the chunk size and carries a negative log-prob
+    assert all(r["n_tokens"] <= 16 for r in got)
+    assert all(r["unigram_logprob"] < 0 for r in got)
+    # mixture with alpha=0.5 keeps ALL of the rarest language
+    de_docs = {r["doc_id"] for r in got if r["pred_lang"] == "de"}
+    assert de_docs == {100, 101, 102, 103}
+    # chunk ids per doc form a contiguous 0..k range and long docs chunk
+    per_doc = {}
+    for r in got:
+        per_doc.setdefault(r["doc_id"], set()).add(r["chunk_id"])
+    for chunks in per_doc.values():
+        assert chunks == set(range(len(chunks)))
+    assert any(len(c) >= 2 for c in per_doc.values())
