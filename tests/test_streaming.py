@@ -247,3 +247,55 @@ def test_stateless_hygiene_ops_on_stream_match_batch(spark):
 
         for d in (src, out, ckpt):
             shutil.rmtree(d, ignore_errors=True)
+
+
+def test_stateless_assembly_ops_on_stream_match_batch(spark):
+    """chunk_documents and mixture_sample are stateless row/explode
+    expressions — they run on a readStream frame unchanged, and an
+    availableNow drain equals the batch result (rates come from a BATCH
+    mixture_rates pass: the frozen-LM/frozen-rates pattern for scoring an
+    incoming stream against a fixed corpus)."""
+    import shutil
+    import tempfile
+
+    from etl_processes_spark.ops.pack import chunk_documents, mixture_rates, mixture_sample
+
+    src = tempfile.mkdtemp(prefix="asm_src_")
+    out = tempfile.mkdtemp(prefix="asm_out_")
+    ckpt = tempfile.mkdtemp(prefix="asm_ckpt_")
+    out2 = tempfile.mkdtemp(prefix="asm_out2_")
+    ckpt2 = tempfile.mkdtemp(prefix="asm_ckpt2_")
+    try:
+        rows = [(i, "tok " * (i + 1) + f"end{i}", "big" if i % 4 else "small")
+                for i in range(24)]
+        df = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+        df.write.mode("overwrite").parquet(src)
+        batch = spark.read.parquet(src)
+
+        expect_ch = sorted(
+            (r["doc_id"], r["chunk_id"], r["chunk_text"])
+            for r in chunk_documents(batch, "doc_id", "text", 8, 6).collect()
+        )
+        rates = mixture_rates(batch, "lang", alpha=0.5)
+        expect_mix = sorted(
+            r["doc_id"] for r in mixture_sample(batch, "lang", rates, "doc_id").collect()
+        )
+
+        stream = spark.readStream.schema(batch.schema).parquet(src)
+        ch = chunk_documents(stream, "doc_id", "text", 8, 6)
+        assert ch.isStreaming
+        run_stream_once(ch, out, ckpt)
+        got_ch = sorted(
+            (r["doc_id"], r["chunk_id"], r["chunk_text"])
+            for r in spark.read.parquet(out).collect()
+        )
+        assert got_ch == expect_ch
+
+        mx = mixture_sample(stream, "lang", rates, "doc_id")
+        assert mx.isStreaming
+        run_stream_once(mx, out2, ckpt2)
+        got_mix = sorted(r["doc_id"] for r in spark.read.parquet(out2).collect())
+        assert got_mix == expect_mix
+    finally:
+        for d in (src, out, ckpt, out2, ckpt2):
+            shutil.rmtree(d, ignore_errors=True)
