@@ -128,9 +128,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from etl_processes_spark.ops.similarity import ann_cosine_lsh, cosine_topk_fast
     from etl_processes_spark.ops.textstats import (
         fingerprint,
-        lang_id,
         quality_features,
-        token_count,
         winnowing_fingerprints,
     )
     from etl_processes_spark.profile import (
@@ -689,21 +687,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def q_text_analysis(spark, sf):
         # token counting + language ID + quality scoring + unigram-LM
-        # fluency score in one wide per-doc gate slot (all four operators
-        # stay standalone functions; the doc_id equi-joins are over
-        # projections of the same scan). Token-less docs coalesce to 0.0
-        # in the gate (a log-prob is always negative, so 0 is unambiguous;
-        # NULL would be a NaN-compare trap in the hash).
-        from etl_processes_spark.ops.textstats import unigram_logprob_score
+        # fluency score in one wide per-doc gate slot. token_count and
+        # lang_id are ROW-WISE expressions, so they fuse into one projection
+        # (the pipeline.py pattern) — only the two genuinely aggregating
+        # frames (quality features, LM score) join back on doc_id: 2 joins,
+        # not 4, each a full-corpus shuffle at scale. Token-less docs
+        # coalesce to 0.0 in the gate (a log-prob is always negative, so 0
+        # is unambiguous; NULL would be a NaN-compare trap in the hash).
+        from etl_processes_spark.ops.textstats import (
+            bpe_ish_token_count_expr,
+            lang_id_exprs,
+            token_count_expr,
+            unigram_logprob_score,
+        )
+        from etl_processes_spark.partitioning import widen
 
         d = _t(spark, sf, "documents")
+        pred_lang, lang_score = lang_id_exprs("text")
+        rowwise = widen(d, per_mb=2.0).select(
+            F.col("doc_id"),
+            token_count_expr("text").alias("n_tokens"),
+            bpe_ish_token_count_expr("text").alias("n_tokens_bpe"),
+            F.length(F.col("text").cast("string")).alias("n_chars_measured"),
+            pred_lang.alias("pred_lang"),
+            lang_score.alias("lang_score"),
+        )
         lm = unigram_logprob_score(d, "doc_id", "text", ndigits=ND).select(
             "doc_id",
             F.coalesce(F.col("unigram_logprob"), F.lit(0.0)).alias("unigram_logprob"),
         )
         return (
-            token_count(d, "doc_id", "text")
-            .join(lang_id(d, "doc_id", "text"), "doc_id")
+            rowwise
             .join(quality_features(d, "doc_id", "text", ndigits=ND), "doc_id")
             .join(lm, "doc_id")
         )
