@@ -636,12 +636,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def q_dedup_clusters(spark, sf):
         # duplicate-cluster resolution: exact + near-dup edges → connected
-        # components (min-label propagation with pointer jumping); cluster_id
-        # = min doc id = the keep-one survivor
-        from etl_processes_spark.ops.dedup import dedup_clusters
+        # components (min-label propagation with pointer jumping), PLUS the
+        # quality-aware keep-one policy: survivor = per-cluster argmax of
+        # quality_score (tie → min id), replayed in DuckDB from the same
+        # 6dp-rounded score expression the text_analysis gate certifies
+        from etl_processes_spark.ops.dedup import dedup_clusters, select_cluster_survivors
 
         d = _t(spark, sf, "documents")
-        return dedup_clusters(d, "doc_id", "text", k=3, threshold=0.06, max_df=500)
+        clusters = dedup_clusters(d, "doc_id", "text", k=3, threshold=0.06, max_df=500)
+        scores = quality_features(d, "doc_id", "text", ndigits=ND).select(
+            "doc_id", "quality_score"
+        )
+        return select_cluster_survivors(clusters, scores, "doc_id", "quality_score")
 
     def q_near_dup_pairs(spark, sf):
         # BOTH shingle-based near-dup families in one gate slot (50-query
@@ -1771,7 +1777,7 @@ GROUP BY content_sha
     # the component min always survives the c.label < e.d guard (every hop
     # from the min goes to a larger id), so min(label) per node is the
     # cluster id — the same fixpoint the Spark pointer-jumping loop computes.
-    sql["dedup_clusters"] = f"""
+    _cc_sql = f"""
 WITH RECURSIVE toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
 sh0 AS (SELECT doc_id,
                CASE WHEN len(t) >= 3
@@ -2315,6 +2321,20 @@ SELECT doc_id,
              + 0.3 * (CASE WHEN n_chars > 0 THEN alpha_chars / n_chars ELSE 0.0 END)
              + 0.3 * least((CASE WHEN n_tok > 0 THEN stop_hits / n_tok ELSE 0.0 END) * 5, 1.0), 6) AS quality_score
 FROM f
+"""
+
+    # dedup_clusters = the recursive-CTE component closure + the
+    # quality-aware survivor policy (argmax quality_score, tie → min id)
+    sql["dedup_clusters"] = f"""
+WITH cc AS ({_cc_sql}),
+q AS (SELECT doc_id, quality_score FROM ({_qs_sql})),
+r AS (SELECT cc.doc_id, cc.cluster_id, q.quality_score,
+             row_number() OVER (PARTITION BY cc.cluster_id
+                                ORDER BY q.quality_score DESC, cc.doc_id ASC) AS rk
+      FROM cc JOIN q USING (doc_id)),
+s AS (SELECT cluster_id, doc_id AS survivor_id FROM r WHERE rk = 1)
+SELECT r.doc_id, r.cluster_id, s.survivor_id, (r.doc_id = s.survivor_id) AS is_survivor
+FROM r JOIN s USING (cluster_id)
 """
 
     sql["text_analysis"] = f"""

@@ -601,3 +601,46 @@ def simhash_near_dup_pairs(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
+
+
+def select_cluster_survivors(
+    clusters: DataFrame,
+    scores: DataFrame,
+    id_col: str = "doc_id",
+    score_col: str = "quality_score",
+) -> DataFrame:
+    """Quality-aware keep-one policy over resolved duplicate clusters:
+    instead of the min-id survivor ``dedup_clusters`` implies, keep the
+    HIGHEST-SCORING member of each cluster (tie-break: min id — fully
+    deterministic). ``clusters`` is (id, cluster_id) as produced by
+    dedup_clusters / connected_components; ``scores`` is any (id, score)
+    frame — quality_features' composite, a length prior, an LM fluency
+    score.
+
+    Output: (id, cluster_id, survivor_id, is_survivor) for every clustered
+    doc. Plan: one id-keyed join + one window per cluster (bounded by
+    cluster size — duplicate clusters are small by construction, the giant
+    component IS the pathology dedup exists to remove)."""
+    from pyspark.sql import Window
+
+    j = clusters.join(scores.select(F.col(id_col), F.col(score_col)), id_col)
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col(score_col).desc(), F.col(id_col).asc()
+    )
+    ranked = j.withColumn("__rk", F.row_number().over(w))
+    surv = ranked.filter(F.col("__rk") == 1).select(
+        "cluster_id", F.col(id_col).alias("survivor_id")
+    )
+    # no broadcast hint: the survivor frame has one row per CLUSTER —
+    # usually small, but unbounded at corpus scale; AQE broadcasts it when
+    # it actually is small
+    return (
+        ranked.drop("__rk", score_col)
+        .join(surv, "cluster_id")
+        .select(
+            id_col,
+            "cluster_id",
+            "survivor_id",
+            (F.col(id_col) == F.col("survivor_id")).alias("is_survivor"),
+        )
+    )

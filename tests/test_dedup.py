@@ -277,3 +277,28 @@ def test_dedup_incremental(spark):
     fresh2, new_seen2 = dedup_incremental(batch, new_seen, "doc_id", "text")
     assert fresh2.count() == 0
     assert new_seen2.count() == n1
+
+
+def test_select_cluster_survivors_quality_policy(spark):
+    from pyspark.sql import functions as F
+
+    from etl_processes_spark.ops.dedup import select_cluster_survivors
+
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)], ["doc_id", "cluster_id"]
+    )
+    scores = spark.createDataFrame(
+        [(1, 0.2), (2, 0.9), (3, 0.9), (10, 0.5), (11, 0.1)],
+        ["doc_id", "quality_score"],
+    )
+    out = {r["doc_id"]: r for r in
+           select_cluster_survivors(clusters, scores).collect()}
+    # cluster 1: 2 and 3 tie at 0.9 -> min id 2 survives (NOT min-id-overall 1)
+    assert out[1]["survivor_id"] == 2 and not out[1]["is_survivor"]
+    assert out[2]["is_survivor"] and out[3]["survivor_id"] == 2
+    # cluster 10: plain argmax
+    assert out[10]["is_survivor"] and out[11]["survivor_id"] == 10
+    # partition-invariant
+    again = {r["doc_id"]: r["survivor_id"] for r in select_cluster_survivors(
+        clusters.repartition(5), scores.repartition(3)).collect()}
+    assert again == {k: v["survivor_id"] for k, v in out.items()}
