@@ -843,10 +843,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return pii_scrub(c, "c_custkey", "text")
 
     def q_range_join_bands(spark, sf):
-        # bucketized interval join: parts -> overlapping retail-price bands
-        # (width 100, stride 50 — each part hits <=2 bands); equi-join on
-        # bucket + residual filter, never a BroadcastNestedLoopJoin
-        from etl_processes_spark.ops.rangejoin import range_join_bucketized
+        # BOTH interval-join shapes in one gate slot. point: parts ->
+        # overlapping retail-price bands (width 100, stride 50 — each part
+        # hits <=2 bands); equi-join on bucket + residual filter, never a
+        # BroadcastNestedLoopJoin. interval: the bands self-overlap-joined
+        # (each overlaps its neighbors) via the canonical-bucket pair
+        # dedupe — no distinct() shuffle.
+        from etl_processes_spark.ops.rangejoin import (
+            interval_overlap_join,
+            range_join_bucketized,
+        )
 
         bands = spark.range(28).select(
             F.col("id").cast("int").alias("band_id"),
@@ -854,9 +860,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             (900 + F.col("id") * 50).cast("double").alias("hi"),
         )
         pts = _t(spark, sf, "part").select("p_partkey", "p_retailprice")
-        return range_join_bucketized(
+        point = range_join_bucketized(
             pts, bands, "p_retailprice", granularity=100.0
-        ).select("p_partkey", "band_id")
+        ).select(
+            F.lit("point").alias("part"),
+            F.col("p_partkey").cast("long").alias("key_a"),
+            F.col("band_id").cast("long").alias("key_b"),
+        )
+        other = bands.select(
+            F.col("band_id").alias("band_id_b"),
+            F.col("lo").alias("lo_b"),
+            F.col("hi").alias("hi_b"),
+        )
+        pairs = interval_overlap_join(
+            bands, other, "lo", "hi", "lo_b", "hi_b", granularity=100.0
+        ).filter(F.col("band_id") < F.col("band_id_b")).select(
+            F.lit("interval").alias("part"),
+            F.col("band_id").cast("long").alias("key_a"),
+            F.col("band_id_b").cast("long").alias("key_b"),
+        )
+        return point.unionByName(pairs)
 
     def q_salted_join_agg(spark, sf):
         # the skew utility certified against a plain join: salting must be
@@ -2509,8 +2532,12 @@ WITH bands AS (SELECT CAST(i AS INTEGER) AS band_id,
                       CAST(800 + i * 50 AS DOUBLE) AS lo,
                       CAST(900 + i * 50 AS DOUBLE) AS hi
                FROM (SELECT unnest(range(0, 28)) AS i))
-SELECT p_partkey, band_id
+SELECT 'point' AS part, CAST(p_partkey AS BIGINT) AS key_a, CAST(band_id AS BIGINT) AS key_b
 FROM part JOIN bands ON p_retailprice >= lo AND p_retailprice < hi
+UNION ALL
+SELECT 'interval' AS part, CAST(a.band_id AS BIGINT) AS key_a, CAST(b.band_id AS BIGINT) AS key_b
+FROM bands a JOIN bands b
+  ON a.lo < b.hi AND b.lo < a.hi AND a.band_id < b.band_id
 """
 
     sql["salted_join_agg"] = """

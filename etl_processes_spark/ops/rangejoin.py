@@ -75,3 +75,60 @@ def range_join_bucketized(
         .filter((v >= F.col(lo_col)) & (v < F.col(hi_col)))
         .drop("__bucket")
     )
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    lo_left: str,
+    hi_left: str,
+    lo_right: str,
+    hi_right: str,
+    granularity: float = 1.0,
+    max_buckets_per_band: int = MAX_BUCKETS_PER_BAND,
+) -> DataFrame:
+    """Interval × interval overlap join: every (left, right) pair whose
+    half-open intervals intersect (lo_l < hi_r AND lo_r < hi_l). The
+    interval twin of ``range_join_bucketized`` — sessions × outages,
+    ad slots × content windows, read alignments × genome features.
+
+    Same bucketization, plus the CANONICAL-BUCKET trick: a pair whose
+    intervals share k buckets would match k times on the bucket equi-join;
+    instead of a distinct() (a full shuffle of the matched pairs), each
+    pair is kept only in bucket floor(max(lo_l, lo_r)/g) — the first bucket
+    both intervals cover — so every pair survives exactly once by
+    construction. Column names must be disjoint across the two frames
+    (alias/rename before calling, as with any natural Spark join)."""
+    g = float(granularity)
+    if not g > 0:
+        raise ValueError(f"granularity must be > 0, got {granularity}")
+
+    def bucketed(df: DataFrame, lo: str, hi: str) -> DataFrame:
+        lo_b = F.floor(F.col(lo) / g).cast("long")
+        hi_b = F.floor(F.col(hi) / g).cast("long")
+        hi_guarded = F.when(
+            hi_b - lo_b >= int(max_buckets_per_band),
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        f"interval_overlap_join: interval spans >= "
+                        f"{int(max_buckets_per_band)} buckets at granularity {g} (["
+                    ),
+                    F.col(lo).cast("string"), F.lit(", "),
+                    F.col(hi).cast("string"), F.lit("))"),
+                )
+            ).cast("long"),
+        ).otherwise(hi_b)
+        # empty/inverted interval -> no buckets (explode drops the row)
+        buckets = F.when(
+            (hi_b >= lo_b) & (F.col(hi) > F.col(lo)), F.sequence(lo_b, hi_guarded)
+        ).otherwise(F.array().cast("array<long>"))
+        return df.withColumn("__bucket", F.explode(buckets))
+
+    l_b = bucketed(left, lo_left, hi_left)
+    r_b = bucketed(right, lo_right, hi_right)
+    overlap = (F.col(lo_left) < F.col(hi_right)) & (F.col(lo_right) < F.col(hi_left))
+    canonical = F.col("__bucket") == F.floor(
+        F.greatest(F.col(lo_left), F.col(lo_right)) / g
+    ).cast("long")
+    return l_b.join(r_b, "__bucket").filter(overlap & canonical).drop("__bucket")

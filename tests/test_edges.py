@@ -168,3 +168,39 @@ def test_range_join_inverted_band_is_empty_not_explosive(spark):
     out = range_join_bucketized(points, bands, "v", granularity=1.0).collect()
     got = {(r["v"], r["band_id"]) for r in out}
     assert got == {(2.0, 1), (3.0, 1), (4.0, 1), (5.0, 1)}  # inverted band: nothing
+
+
+def test_interval_overlap_join(spark):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from etl_processes_spark.ops.rangejoin import interval_overlap_join
+
+    left = spark.createDataFrame(
+        [(1, 0.0, 10.0), (2, 5.0, 6.0), (3, 20.0, 30.0), (4, 30.0, 30.0)],
+        ["lid", "lo", "hi"],
+    )
+    right = spark.createDataFrame(
+        [(10, 9.0, 21.0), (11, 5.5, 5.6), (12, 100.0, 90.0)],
+        ["rid", "lo_r", "hi_r"],
+    )
+    got = sorted(
+        (r["lid"], r["rid"])
+        for r in interval_overlap_join(
+            left, right, "lo", "hi", "lo_r", "hi_r", granularity=2.0
+        ).collect()
+    )
+    # 1x10 overlap [9,10); 1x11 and 2x11 around [5.5,5.6); 3x10 [20,21);
+    # 4 is empty; 12 is inverted — both drop out
+    assert got == [(1, 10), (1, 11), (2, 11), (3, 10)]
+
+    # canonical-bucket dedupe: a pair sharing MANY buckets appears once
+    wide_l = spark.createDataFrame([(1, 0.0, 100.0)], ["lid", "lo", "hi"])
+    wide_r = spark.createDataFrame([(2, 1.0, 99.0)], ["rid", "lo_r", "hi_r"])
+    out = interval_overlap_join(
+        wide_l, wide_r, "lo", "hi", "lo_r", "hi_r", granularity=1.0
+    ).collect()
+    assert len(out) == 1
+
+    with pytest.raises(ValueError, match="granularity"):
+        interval_overlap_join(left, right, "lo", "hi", "lo_r", "hi_r", granularity=0)
