@@ -1069,17 +1069,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def bench_components() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Per-operator callables for bench.py's timing granularity — the
-    combined 50-slot gates union several operators, which would blur
-    per-query timings against BENCH_r01/r02; these run each component
-    standalone (NOT part of the correctness surface)."""
+    combined 50-slot gates union several operators (and some gates grew
+    extra certified columns this round), which would blur per-query
+    timings against BENCH_r01/r02; these run each component standalone at
+    its round-2 workload (NOT part of the correctness surface). Same-named
+    entries OVERRIDE the gate callables in bench.py's merged dict."""
     from etl_processes_spark.ops.dedup import (
+        dedup_clusters,
         minhash_lsh_pairs,
         ngram_jaccard_pairs,
         simhash_fingerprints,
     )
-    from etl_processes_spark.ops.pack import stratified_sample
+    from etl_processes_spark.ops.pack import pack_documents, stratified_sample
     from etl_processes_spark.ops.similarity import cosine_topk_fast
-    from etl_processes_spark.ops.textstats import winnowing_fingerprints
+    from etl_processes_spark.ops.textstats import (
+        quality_features,
+        winnowing_fingerprints,
+    )
 
     def c_ngram(spark, sf):
         return ngram_jaccard_pairs(
@@ -1109,6 +1115,38 @@ def bench_components() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         d = _t(spark, sf, "documents").select("doc_id", "lang", "source")
         return stratified_sample(d, "lang", 30, "doc_id", seed=42)
 
+    def c_dedup_clusters(spark, sf):
+        # round-2 workload: clusters only (the gate adds the certified
+        # survivor-policy join on top)
+        d = _t(spark, sf, "documents")
+        return dedup_clusters(d, "doc_id", "text", k=3, threshold=0.06, max_df=500)
+
+    def c_text_analysis(spark, sf):
+        # round-2 workload (token count + lang id + quality), fused plan;
+        # the gate adds the unigram-LM scoring pass on top
+        from etl_processes_spark.ops.textstats import (
+            bpe_ish_token_count_expr,
+            lang_id_exprs,
+            token_count_expr,
+        )
+        from etl_processes_spark.partitioning import widen
+
+        d = _t(spark, sf, "documents")
+        pred_lang, lang_score = lang_id_exprs("text")
+        rowwise = widen(d, per_mb=2.0).select(
+            F.col("doc_id"),
+            token_count_expr("text").alias("n_tokens"),
+            bpe_ish_token_count_expr("text").alias("n_tokens_bpe"),
+            F.length(F.col("text").cast("string")).alias("n_chars_measured"),
+            pred_lang.alias("pred_lang"),
+            lang_score.alias("lang_score"),
+        )
+        return rowwise.join(quality_features(d, "doc_id", "text", ndigits=ND), "doc_id")
+
+    def c_pack_documents(spark, sf):
+        d = _t(spark, sf, "documents").select("doc_id", "n_chars")
+        return pack_documents(d, "doc_id", "n_chars", budget=4096)
+
     return {
         "ngram_jaccard_pairs": c_ngram,
         "minhash_lsh_pairs": c_minhash,
@@ -1116,6 +1154,9 @@ def bench_components() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnowing_fingerprints": c_winnowing,
         "cosine_topk": c_cosine_topk,
         "stratified_sample": c_stratified,
+        "dedup_clusters": c_dedup_clusters,
+        "text_analysis": c_text_analysis,
+        "pack_documents": c_pack_documents,
     }
 
 
