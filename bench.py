@@ -87,12 +87,34 @@ def main() -> None:
     timings: dict[str, object] = {}
     total = 0.0
     errors = 0
+
+    def _reclaim() -> None:
+        # Between queries (outside any timing window): drop cached frames
+        # and force both collectors. The dedup/profile queries retain
+        # lazily-materialized localCheckpoint RDDs until their Python
+        # DataFrame objects are collected and the ContextCleaner runs;
+        # across 31 queries x 3 repeats that accumulation GC-thrashes the
+        # single local[32] JVM and inflates the TAIL queries 3-9x
+        # (measured: pricing_summary 0.2s early-run vs 1.8s late-run).
+        import gc
+
+        try:
+            spark.catalog.clearCache()
+        except Exception:
+            pass
+        gc.collect()
+        try:
+            spark._jvm.System.gc()
+        except Exception:
+            pass
+
     try:
         for name in bench_queries:
             fn = qs[name]
             best, n = float("inf"), 0
             try:
                 for _ in range(3):
+                    _reclaim()
                     t0 = time.time()
                     df = fn(spark, SF_DIR)
                     n = df.count()
