@@ -988,9 +988,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return top_orders_per_priority(_t(spark, sf, "orders"), k=3)
 
     def q_sales_rollup(spark, sf):
-        from etl_processes_spark.ops.relational import sales_rollup
+        # ALL THREE multi-dimensional grouping shapes in one gate slot
+        # (rollup / cube / explicit grouping sets), labeled; grouping_id
+        # disambiguates subtotal rows from genuine NULL keys in the hash
+        from etl_processes_spark.ops.relational import sales_cube, sales_grouping_sets
 
-        return sales_rollup(_t(spark, sf, "lineitem"))
+        li = _t(spark, sf, "lineitem")
+        # grouping_id() must be computed inside the agg, so the rollup part
+        # re-states sales_rollup's agg with the gid column added
+        roll = (
+            li.rollup("l_returnflag", "l_linestatus")
+            .agg(
+                F.count(F.lit(1)).alias("n_items"),
+                F.sum("l_quantity").alias("sum_qty"),
+                F.grouping_id().cast("long").alias("gid"),
+            )
+            .select(F.lit("rollup").alias("part"), "*")
+        )
+        cube = sales_cube(li).select(F.lit("cube").alias("part"), "*")
+        gsets = sales_grouping_sets(li).select(F.lit("gsets").alias("part"), "*")
+        return roll.unionByName(cube).unionByName(gsets)
 
     def q_pivot_returnflag(spark, sf):
         from etl_processes_spark.ops.relational import pivot_returnflag
@@ -2719,10 +2736,23 @@ FROM r WHERE rk <= 3
 """
 
     sql["sales_rollup"] = """
-SELECT l_returnflag, l_linestatus,
+SELECT 'rollup' AS part, l_returnflag, l_linestatus,
        CAST(count(*) AS BIGINT) AS n_items,
-       sum(l_quantity) AS sum_qty
+       sum(l_quantity) AS sum_qty,
+       CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid
 FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+UNION ALL
+SELECT 'cube' AS part, l_returnflag, l_linestatus,
+       CAST(count(*) AS BIGINT) AS n_items,
+       sum(l_quantity) AS sum_qty,
+       CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid
+FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+UNION ALL
+SELECT 'gsets' AS part, l_returnflag, l_linestatus,
+       CAST(count(*) AS BIGINT) AS n_items,
+       sum(l_quantity) AS sum_qty,
+       CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid
+FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
 """
 
     sql["pivot_returnflag"] = """

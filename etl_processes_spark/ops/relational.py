@@ -204,3 +204,28 @@ def part_type_stats(part: DataFrame, lineitem: DataFrame, ndigits: int = 4) -> D
             ).alias("avg_price"),
         )
     )
+
+
+def sales_cube(lineitem: DataFrame) -> DataFrame:
+    """CUBE over (returnflag, linestatus): all 4 grouping combinations in
+    one pass (Expand + single shuffle — same plan family as rollup()).
+    grouping_id disambiguates real NULL group keys from subtotal rows."""
+    return lineitem.cube("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum("l_quantity").alias("sum_qty"),
+        F.grouping_id().cast("long").alias("gid"),
+    )
+
+
+def sales_grouping_sets(lineitem: DataFrame) -> DataFrame:
+    """Explicit GROUPING SETS ((returnflag), (linestatus)): only the two
+    single-dimension marginals — half the Expand width of cube() when the
+    cross product isn't wanted (at 100 TB the Expand multiplier IS the
+    cost: rows are replicated once per grouping set before the shuffle)."""
+    return lineitem.groupingSets(
+        [["l_returnflag"], ["l_linestatus"]], "l_returnflag", "l_linestatus"
+    ).agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum("l_quantity").alias("sum_qty"),
+        F.grouping_id().cast("long").alias("gid"),
+    )

@@ -130,3 +130,26 @@ def test_hash_sample_is_take_ordered(spark):
     df = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
     plan = _plan(sample_frame(df, 100, seed=42, mode="hash", key="o_orderkey"))
     assert "TakeOrderedAndProject" in plan
+
+
+def test_cube_and_grouping_sets(spark):
+    from pyspark.sql import functions as F
+
+    from etl_processes_spark.ops.relational import sales_cube, sales_grouping_sets
+
+    li = spark.createDataFrame(
+        [("A", "F", 1.0), ("A", "O", 2.0), ("R", "F", 3.0), (None, "F", 4.0)],
+        ["l_returnflag", "l_linestatus", "l_quantity"],
+    )
+    cube = {(r["l_returnflag"], r["l_linestatus"], r["gid"]): (r["n_items"], r["sum_qty"])
+            for r in sales_cube(li).collect()}
+    # grand total: gid=3
+    assert cube[(None, None, 3)] == (4, 10.0)
+    # genuine NULL key group distinguished from subtotal by gid
+    assert cube[(None, "F", 0)] == (1, 4.0)     # the real NULL-flag row
+    assert cube[(None, "F", 2)] == (3, 8.0)     # flag subtotal over F
+    gs = sales_grouping_sets(li).collect()
+    # only the two marginals: no (flag, status) detail rows, no grand total
+    assert all(r["gid"] in (1, 2) for r in gs)
+    by = {(r["l_returnflag"], r["l_linestatus"], r["gid"]) for r in gs}
+    assert (None, None, 3) not in by and ("A", "F", 0) not in by
