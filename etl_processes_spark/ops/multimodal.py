@@ -366,3 +366,89 @@ def media_stats(media: DataFrame) -> DataFrame:
         F.avg(F.length("content")).alias("avg_bytes"),
         F.avg("duration_ms").alias("avg_duration_ms"),
     )
+
+
+# ---------------------------------------------------------------------------
+# resize — the decode → resample → re-encode stage of an image pipeline,
+# Arrow-batched; real nearest-neighbor kernel + real BMP writer (the same
+# no-external-codec constraint as the decoders above)
+# ---------------------------------------------------------------------------
+
+
+def resize_nn(img: np.ndarray, width: int, height: int) -> np.ndarray:
+    """Nearest-neighbor resample (h, w, 3) → (height, width, 3): pure numpy
+    integer gather — pixel-center sampling (the same grid PIL NEAREST
+    uses), deterministic, no interpolation state."""
+    h, w = img.shape[:2]
+    rows = np.minimum(((np.arange(height) + 0.5) * h / height).astype(np.int64), h - 1)
+    cols = np.minimum(((np.arange(width) + 0.5) * w / width).astype(np.int64), w - 1)
+    return img[rows][:, cols]
+
+
+def encode_bmp(img: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 RGB → 24-bit bottom-up BI_RGB BMP bytes (the inverse
+    of decode_bmp: decode_bmp(encode_bmp(x)) == x)."""
+    h, w = img.shape[:2]
+    row_bytes = (w * 3 + 3) // 4 * 4
+    body = np.zeros((h, row_bytes), dtype=np.uint8)
+    body[:, : w * 3] = img[::-1, :, ::-1].reshape(h, w * 3)  # bottom-up, RGB→BGR
+    data = body.tobytes()
+    header = struct.pack(
+        "<2sIHHIIiiHHIIiiII",
+        b"BM", 54 + len(data), 0, 0, 54,
+        40, w, h, 1, 24, 0, len(data), 2835, 2835, 0, 0,
+    )
+    return header + data
+
+
+def resize_images(
+    media: DataFrame,
+    width: int,
+    height: int,
+    id_col: str = "media_id",
+    content_col: str = "content",
+) -> DataFrame:
+    """Decode → nearest-neighbor resize → re-encode for every image payload
+    the real codecs understand (BMP-24 / PPM-P6); all output re-encoded as
+    BMP. Output: (id, ok, width, height, n_bytes, content). Undecodable or
+    non-image payloads pass through with ok=false and NULL content — one
+    corrupt blob must never kill the stage (same contract as
+    real_feature_kernel).
+
+    Scale shape: mapInPandas, map-side only — no shuffle; each Arrow batch
+    decodes/resamples/encodes as numpy array ops. This is the image-side
+    normalization step before feature extraction or training-tensor
+    assembly."""
+    if width <= 0 or height <= 0:
+        raise ValueError(f"target dims must be positive, got {width}x{height}")
+    schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("ok", T.BooleanType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("n_bytes", T.LongType()),
+            T.StructField(content_col, T.BinaryType()),
+        ]
+    )
+
+    def run(batches):
+        for pdf in batches:
+            out = []
+            for mid, blob in zip(pdf[id_col], pdf[content_col]):
+                img = None
+                if blob is not None:
+                    raw = bytes(blob)
+                    img = decode_bmp(raw)
+                    if img is None:
+                        img = decode_ppm(raw)
+                if img is None:
+                    out.append((int(mid), False, None, None, None, None))
+                    continue
+                enc = encode_bmp(resize_nn(img, width, height))
+                out.append((int(mid), True, width, height, len(enc), enc))
+            yield pd.DataFrame(
+                out, columns=[id_col, "ok", "width", "height", "n_bytes", content_col]
+            )
+
+    return media.select(id_col, content_col).mapInPandas(run, schema=schema)

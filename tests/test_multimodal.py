@@ -184,3 +184,52 @@ def test_real_kernel_dim_and_empty_wav(spark):
     media = spark.createDataFrame(rows, MEDIA_SCHEMA)
     out = extract_features(media, dim=8, fake_decode=False).collect()[0]
     assert len(out["features"]) == 8
+
+
+def test_resize_roundtrip_and_kernels():
+    import numpy as np
+
+    from etl_processes_spark.ops.multimodal import (
+        decode_bmp,
+        encode_bmp,
+        resize_nn,
+    )
+
+    rng = np.random.RandomState(7)
+    img = rng.randint(0, 256, (6, 10, 3), dtype=np.uint8)
+    # encode/decode are exact inverses
+    assert (decode_bmp(encode_bmp(img)) == img).all()
+    # downsample picks pixel-center sources; upsample replicates
+    small = resize_nn(img, 5, 3)
+    assert small.shape == (3, 5, 3)
+    assert (small[0, 0] == img[1, 1]).all()  # center of 2x2 block
+    big = resize_nn(img, 20, 12)
+    assert big.shape == (12, 20, 3)
+    assert (big[0, 0] == img[0, 0]).all() and (big[-1, -1] == img[-1, -1]).all()
+    # identity resize is lossless
+    assert (resize_nn(img, 10, 6) == img).all()
+
+
+def test_resize_images_spark_stage(spark):
+    import numpy as np
+
+    from etl_processes_spark.ops.multimodal import decode_bmp, resize_images
+
+    bmp = _make_bmp(8, 4, (10, 200, 30))
+    ppm = _make_ppm(6, 6, (1, 2, 3))
+    rows = [(1, bytearray(bmp)), (2, bytearray(ppm)),
+            (3, bytearray(b"\x89PNG not decodable")), (4, None)]
+    media = spark.createDataFrame(rows, "media_id long, content binary")
+    out = {r["media_id"]: r for r in resize_images(media, 4, 4).collect()}
+    for mid in (1, 2):
+        r = out[mid]
+        assert r["ok"] and r["width"] == 4 and r["height"] == 4
+        img = decode_bmp(bytes(r["content"]))
+        assert img is not None and img.shape == (4, 4, 3)
+    assert decode_bmp(bytes(out[2]["content"]))[0, 0].tolist() == [1, 2, 3]
+    for mid in (3, 4):  # undecodable payloads survive with ok=false
+        assert out[mid]["ok"] is False and out[mid]["content"] is None
+    import pytest
+
+    with pytest.raises(ValueError, match="dims"):
+        resize_images(media, 0, 4)
