@@ -289,7 +289,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("lang").alias("stratum"),
             F.col("doc_id").cast("string").alias("key"),
         )
-        return hashed.unionByName(strat).unionByName(mix)
+        # fourth family: deterministic train/val/test assignment (md5
+        # interval test; the oracle reproduces the cumulative-fraction
+        # doubles via the same 0.8+0.1 IEEE addition)
+        from etl_processes_spark.ops.pack import split_assign
+
+        split = split_assign(
+            d, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}, seed=101
+        ).select(
+            F.lit("split_docs").alias("part"),
+            F.col("split").alias("stratum"),
+            F.col("doc_id").cast("string").alias("key"),
+        )
+        return hashed.unionByName(strat).unionByName(mix).unionByName(split)
 
     # -- generators (rows-only: seeded, non-SQL) -------------------------------
 
@@ -2131,6 +2143,16 @@ FROM (WITH per AS (SELECT lang, CAST(count(*) AS DOUBLE) AS c FROM documents GRO
       FROM documents d JOIN r USING (lang)
       WHERE (CAST(concat('0x', substr(md5('77:mix:' || CAST(d.doc_id AS VARCHAR)), 1, 13)) AS BIGINT)
              + 0.5e0) / 4503599627370496e0 < rate)
+UNION ALL
+SELECT 'split_docs' AS part,
+       CASE WHEN u < 0.8e0 THEN 'train'
+            WHEN u < (0.8e0 + 0.1e0) THEN 'val'
+            ELSE 'test' END AS stratum,
+       CAST(doc_id AS VARCHAR) AS key
+FROM (SELECT doc_id,
+             (CAST(concat('0x', substr(md5('101:split:' || CAST(doc_id AS VARCHAR)), 1, 13)) AS BIGINT)
+              + 0.5e0) / 4503599627370496e0 AS u
+      FROM documents)
 """
 
     # synthesize_orders: the ENTIRE reference pipeline (hash-ranked profile

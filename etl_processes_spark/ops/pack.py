@@ -240,3 +240,34 @@ def mixture_sample(
         rate = cond if rate is None else rate.when(F.col(group_col) == g, F.lit(float(r)))
     rate = F.lit(float(default_rate)) if rate is None else rate.otherwise(F.lit(float(default_rate)))
     return df.filter(u < rate)
+
+
+def split_assign(
+    df: DataFrame,
+    key_col: str,
+    fractions: dict[str, float],
+    seed: int = 101,
+) -> DataFrame:
+    """Deterministic train/val/test assignment: each row gets the split
+    label whose cumulative-fraction interval contains its md5-uniform
+    u(seed, key). Fractions must sum to ~1 (validated). Scan-side
+    expression — no shuffle, no state; the assignment of a given key NEVER
+    changes as the corpus grows (new rows hash into splits independently),
+    which is the property that keeps eval sets stable across corpus
+    versions. Adds a ``split`` column."""
+    total = sum(fractions.values())
+    if not fractions or abs(total - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1, got {fractions} (sum {total})")
+    from etl_processes_spark.generate.generators import u_expr
+
+    u = u_expr(seed, "split", F.col(key_col).cast("string"))
+    expr = None
+    hi = 0.0
+    items = list(fractions.items())
+    for name, frac in items[:-1]:
+        hi += frac
+        cond = F.when(u < F.lit(hi), F.lit(name))
+        expr = cond if expr is None else expr.when(u < F.lit(hi), F.lit(name))
+    last = items[-1][0]
+    expr = F.lit(last) if expr is None else expr.otherwise(F.lit(last))
+    return df.withColumn("split", expr)

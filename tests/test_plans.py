@@ -153,3 +153,45 @@ def test_cube_and_grouping_sets(spark):
     assert all(r["gid"] in (1, 2) for r in gs)
     by = {(r["l_returnflag"], r["l_linestatus"], r["gid"]) for r in gs}
     assert (None, None, 3) not in by and ("A", "F", 0) not in by
+
+
+def test_scan_side_assembly_ops_have_no_exchange(spark, sf001):
+    """chunk_documents / mixture_sample / split_assign are the scan-fused
+    stages of the assembly pipeline: their plans must contain NO Exchange
+    (any shuffle here multiplies the cost of a 100 TB pass), and the
+    projections must stay inside whole-stage codegen."""
+    from etl_processes_spark.ops.pack import chunk_documents, mixture_sample, split_assign
+
+    docs = spark.read.parquet(f"{sf001}/documents.parquet")
+    for df in (
+        chunk_documents(docs, "doc_id", "text", 64, 48),
+        mixture_sample(docs, "lang", {"en": 0.5, "de": 1.0}, "doc_id"),
+        split_assign(docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}),
+    ):
+        plan = _plan(df)
+        assert "Exchange" not in plan, plan
+        # formatted mode stars codegen'd nodes; the projection must be one
+        assert "* Project" in plan or "* Filter" in plan, plan
+
+
+def test_split_assign_semantics(spark):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from etl_processes_spark.ops.pack import split_assign
+
+    df = spark.range(5000).withColumnRenamed("id", "k")
+    out = split_assign(df, "k", {"train": 0.8, "val": 0.1, "test": 0.1})
+    counts = {r["split"]: r["n"] for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert set(counts) == {"train", "val", "test"}
+    assert abs(counts["train"] - 4000) < 200 and abs(counts["val"] - 500) < 100
+
+    # growth-stable: the first 1000 keys keep their split when 4000 more appear
+    small = {r["k"]: r["split"] for r in
+             split_assign(df.filter(F.col("k") < 1000), "k",
+                          {"train": 0.8, "val": 0.1, "test": 0.1}).collect()}
+    full = {r["k"]: r["split"] for r in out.filter(F.col("k") < 1000).collect()}
+    assert small == full
+
+    with pytest.raises(ValueError, match="sum to 1"):
+        split_assign(df, "k", {"train": 0.5, "val": 0.1})
