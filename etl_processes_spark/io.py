@@ -14,7 +14,7 @@ from __future__ import annotations
 
 import json
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from etl_processes_spark.profile.types import ColumnProfile
@@ -152,6 +152,74 @@ def clustered_sink(
     (
         df.repartitionByRange(n, *cols)
         .sortWithinPartitions(*cols)
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def zorder_key_expr(bucket_cols: list[Column], bits: int) -> Column:
+    """Interleave the low ``bits`` bits of the given bucket-index columns
+    into one Morton (Z-order) key: bit i of column j lands at position
+    i*len(cols)+j. Pure bitwise Column expressions — codegen'd, no UDF."""
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        for j, c in enumerate(bucket_cols):
+            bit = F.shiftright(c, i).bitwiseAND(F.lit(1))
+            z = z.bitwiseOR(F.shiftleft(bit, i * len(bucket_cols) + j))
+    return z
+
+
+def zorder_sink(
+    df: DataFrame,
+    path: str,
+    cluster_cols: list[str],
+    bits: int = 8,
+    num_files: int | None = None,
+) -> None:
+    """Write parquet Z-ORDERED on several columns at once: each cluster
+    column is bucketized to 2^bits cells (robust 0.5/99.5-percentile
+    scaling, outliers clamped to the edge cells) and the bucket bits are
+    interleaved into a Morton key; files are range-partitioned and sorted
+    by that key.
+
+    Why over ``clustered_sink`` (single-dimension range clustering):
+    range clustering gives tight min/max file statistics on the FIRST
+    column only — a filter on any other column still scans everything.
+    The Morton curve keeps every file inside a small hyper-rectangle of
+    the bucket grid, so parquet min/max pruning works on ANY of the
+    interleaved dimensions (the lakehouse OPTIMIZE ZORDER BY effect).
+    Cost identical to clustered_sink: one range shuffle + in-file sort at
+    write time, paid once."""
+    if not 1 <= bits * len(cluster_cols) <= 63:
+        raise ValueError(
+            f"bits*len(cols) must fit a signed long, got {bits}x{len(cluster_cols)}"
+        )
+    qs = df.select(
+        *[
+            F.expr(
+                f"approx_percentile({c}, array(0.005, 0.995), 10000)"
+            ).alias(c)
+            for c in cluster_cols
+        ]
+    ).first()
+    n_cells = (1 << bits) - 2
+    buckets = []
+    for c in cluster_cols:
+        lo, hi = float(qs[c][0]), float(qs[c][1])
+        if not hi > lo:
+            hi = lo + 1.0
+        b = F.width_bucket(
+            F.col(c).cast("double"), F.lit(lo), F.lit(hi), F.lit(n_cells)
+        )
+        buckets.append(
+            F.least(F.greatest(b, F.lit(0)), F.lit((1 << bits) - 1)).cast("long")
+        )
+    n = num_files or df.sparkSession.sparkContext.defaultParallelism
+    (
+        df.withColumn("__z", zorder_key_expr(buckets, bits))
+        .repartitionByRange(n, F.col("__z"))
+        .sortWithinPartitions("__z")
+        .drop("__z")
         .write.mode("overwrite")
         .parquet(path)
     )

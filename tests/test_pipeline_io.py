@@ -143,3 +143,49 @@ def test_clustered_sink_produces_disjoint_file_ranges(spark, tmp_path):
     assert back.count() == 10000
     plan = back.filter(F.col("k") == 1234)._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters: [IsNotNull(k), EqualTo(k,1234)" in plan
+
+
+def test_zorder_sink_prunes_on_both_dimensions(spark, tmp_path):
+    """Z-ordered layout: per-file min/max spans must be narrow on BOTH
+    interleaved columns (range clustering only achieves this on its first
+    column), so parquet min/max pruning works for filters on either."""
+    import glob
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from etl_processes_spark.io import clustered_sink, zorder_sink
+
+    n = 40_000
+    # independent dims: the full 200x200 grid
+    df = spark.range(n).select(
+        (F.col("id") % 200).cast("double").alias("x"),
+        ((F.col("id") / 200).cast("long") % 200).cast("double").alias("y"),
+    )
+
+    def spans(path, col_idx):
+        out = []
+        for f in glob.glob(f"{path}/part-*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            mins, maxs = [], []
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(col_idx).statistics
+                mins.append(st.min); maxs.append(st.max)
+            out.append(max(maxs) - min(mins))
+        return out
+
+    zpath = str(tmp_path / "zord")
+    cpath = str(tmp_path / "clust")
+    zorder_sink(df, zpath, ["x", "y"], bits=8, num_files=16)
+    clustered_sink(df, cpath, ["x"], num_files=16)
+
+    domain = 199.0
+    z_x, z_y = spans(zpath, 0), spans(zpath, 1)
+    c_y = spans(cpath, 1)
+    # z-order: every file covers a small rectangle in BOTH dims
+    assert sum(z_x) / len(z_x) < 0.45 * domain
+    assert sum(z_y) / len(z_y) < 0.45 * domain
+    # range clustering on x leaves y unclustered (files span ~whole domain)
+    assert sum(c_y) / len(c_y) > 0.9 * domain
+    # and the data round-trips
+    assert spark.read.parquet(zpath).count() == n
