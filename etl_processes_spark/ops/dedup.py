@@ -644,3 +644,108 @@ def select_cluster_survivors(
             (F.col(id_col) == F.col("survivor_id")).alias("is_survivor"),
         )
     )
+
+
+def minhash_index(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 64,
+    bands: int = 16,
+    k: int = 5,
+) -> DataFrame:
+    """The persistable near-dup INDEX of a corpus: one row per (doc, band)
+    with the banded bucket hash AND the full MinHash signature carried —
+    (id, sig, band, bh). An incremental pipeline writes this table once per
+    ingested batch and appends; the raw corpus text is never needed again
+    (signatures stand in for shingle sets at verify time)."""
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(df, id_col, text_col, num_hashes, k)
+
+    def band_hash(i: int) -> Column:
+        bh: Column | None = None
+        for j in range(rows_per_band):
+            s = F.col("sig")[i * rows_per_band + j]
+            bh = s if bh is None else (bh * F.lit(31337) + s) % F.lit(P31)
+        return bh
+
+    band_cols = F.array(
+        *[F.struct(F.lit(i).alias("band"), band_hash(i).alias("bh")) for i in range(bands)]
+    )
+    return sig.select("id", "sig", F.explode(band_cols).alias("b")).select(
+        "id", "sig", F.col("b.band").alias("band"), F.col("b.bh").alias("bh")
+    )
+
+
+def _sig_agreement(a: Column, b: Column, num_hashes: int) -> Column:
+    """MinHash Jaccard estimate: fraction of agreeing signature components
+    (unbiased, stderr ~ 1/sqrt(num_hashes))."""
+    return (
+        F.aggregate(
+            F.zip_with(a, b, lambda x, y: F.when(x == y, 1).otherwise(0)),
+            F.lit(0),
+            lambda acc, v: acc + v,
+        )
+        / F.lit(float(num_hashes))
+    )
+
+
+def near_dup_incremental(
+    new_docs: DataFrame,
+    index: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 64,
+    bands: int = 16,
+    k: int = 5,
+    threshold: float = 0.5,
+) -> tuple[DataFrame, DataFrame]:
+    """Near-dup dedup of a NEW batch against an already-ingested corpus
+    without re-reading the corpus — the append-mode twin of
+    ``minhash_lsh_pairs`` (same role ``dedup_incremental`` plays for exact
+    dups). ``index`` is a prior ``minhash_index`` table.
+
+    A batch doc is a dup if any LSH bucket collision (against the corpus
+    index OR within the batch) verifies at >= threshold on the MinHash
+    ESTIMATE (signature-component agreement — the corpus text is gone, so
+    exact shingle verification is impossible by design; stderr ~
+    1/sqrt(num_hashes), so size num_hashes to the precision the cut
+    needs). Within the batch, the min-id member of a dup group survives.
+
+    Returns (fresh_docs, batch_index): append ``batch_index`` (the FULL
+    batch's index — dups included, so future batches dedup against the
+    canonical copy whichever batch it arrived in) to the corpus index.
+
+    Scale: candidates come only from bucket equi-joins — the corpus index
+    is touched by (band, bh) key, never scanned per batch doc; everything
+    else is batch-sized."""
+    batch_index = minhash_index(new_docs, id_col, text_col, num_hashes, bands, k)
+    batch_index = batch_index.localCheckpoint(eager=False)
+
+    corpus = index.select(
+        F.col("band"), F.col("bh"), F.col("sig").alias("__sig_c")
+    )
+    vs_corpus = (
+        batch_index.join(corpus, ["band", "bh"])
+        .filter(_sig_agreement(F.col("sig"), F.col("__sig_c"), num_hashes) >= threshold)
+        .select("id")
+        .distinct()
+    )
+    a = batch_index.select(
+        F.col("band"), F.col("bh"), F.col("id").alias("id_a"), F.col("sig").alias("__sig_a")
+    )
+    b = batch_index.select(
+        F.col("band"), F.col("bh"), F.col("id").alias("id_b"), F.col("sig").alias("__sig_b")
+    )
+    within = (
+        a.join(b, ["band", "bh"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(_sig_agreement(F.col("__sig_a"), F.col("__sig_b"), num_hashes) >= threshold)
+        .select(F.col("id_b").alias("id"))
+        .distinct()
+    )
+    dup_ids = vs_corpus.union(within).distinct()
+    fresh = new_docs.join(
+        dup_ids.withColumnRenamed("id", id_col), id_col, "left_anti"
+    )
+    return fresh, batch_index

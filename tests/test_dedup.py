@@ -302,3 +302,43 @@ def test_select_cluster_survivors_quality_policy(spark):
     again = {r["doc_id"]: r["survivor_id"] for r in select_cluster_survivors(
         clusters.repartition(5), scores.repartition(3)).collect()}
     assert again == {k: v["survivor_id"] for k, v in out.items()}
+
+
+def test_near_dup_incremental_against_frozen_index(spark):
+    from etl_processes_spark.ops.dedup import minhash_index, near_dup_incremental
+
+    base = ("the quick brown fox jumps over the lazy dog and then runs far "
+            "away into the deep green forest to hide near the old river")
+    corpus = spark.createDataFrame(
+        [(1, base), (2, "completely different text about stars planets moons "
+                        "comets orbits and the vast emptiness between galaxies")],
+        ["doc_id", "text"],
+    )
+    idx = minhash_index(corpus, "doc_id", "text", num_hashes=64, bands=16, k=3)
+    assert set(idx.columns) == {"id", "sig", "band", "bh"}
+
+    batch = spark.createDataFrame(
+        [
+            (10, base),                                        # exact dup of corpus 1
+            (11, base.replace("lazy", "sleepy")),              # near dup of corpus 1
+            (12, "entirely novel content on cooking pasta with "
+                 "garlic butter sage and a hint of lemon zest"),
+            (13, "entirely novel content on cooking pasta with "
+                 "garlic butter sage and a hint of lemon zest"),  # within-batch dup of 12
+        ],
+        ["doc_id", "text"],
+    )
+    fresh, batch_idx = near_dup_incremental(
+        batch, idx, "doc_id", "text", num_hashes=64, bands=16, k=3, threshold=0.5
+    )
+    kept = sorted(r["doc_id"] for r in fresh.collect())
+    assert kept == [12]  # 10/11 dup corpus; 13 dups 12 (min-id 12 survives)
+
+    # batch index covers the WHOLE batch (dups included) and appends cleanly
+    assert batch_idx.select("id").distinct().count() == 4
+    grown = idx.unionByName(batch_idx)
+    # replaying the same batch against the grown index is a no-op
+    fresh2, _ = near_dup_incremental(
+        batch, grown, "doc_id", "text", num_hashes=64, bands=16, k=3, threshold=0.5
+    )
+    assert fresh2.count() == 0
