@@ -215,3 +215,92 @@ def run_training_data_pipeline(
     return filtered.join(
         packed.select(pack_key, "bin_id", "offset_in_bin"), pack_key
     ).drop("__seq_key")
+
+
+def run_incremental_ingest(
+    spark: SparkSession,
+    batch: DataFrame,
+    seen_digests: DataFrame | None = None,
+    near_dup_index: DataFrame | None = None,
+    lm_counts: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_logprob: float | None = None,
+    split_fractions: dict[str, float] | None = None,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 5,
+    near_dup_threshold: float = 0.5,
+    seed: int = 101,
+) -> tuple[DataFrame, dict[str, DataFrame]]:
+    """The APPEND-MODE ingest flow — what a corpus pipeline runs per
+    arriving batch, never re-reading the corpus itself. All corpus-side
+    knowledge lives in three compact state tables the caller persists and
+    passes back in (each None = cold start):
+
+      - ``seen_digests``: (__key) content sha digests → exact dedup
+        (one anti-join; `ops.dedup.dedup_incremental`);
+      - ``near_dup_index``: (id, sig, band, bh) MinHash index → near-dup
+        dedup by bucket join + signature-agreement verify
+        (`ops.dedup.near_dup_incremental`);
+      - ``lm_counts``: (token, c) frozen unigram LM → fluency scoring of
+        the batch against the CORPUS distribution (`unigram_logprob_score`
+        with counts_df — new batches must not re-estimate the LM, or
+        scores drift batch to batch).
+
+    Then deterministic split assignment (``split_fractions``): a doc's
+    split depends only on its key, so assignments never churn as the
+    corpus grows.
+
+    Returns (accepted, new_state) where new_state holds the DELTAS to
+    append: {"digests", "index", "counts"} — counts are the ACCEPTED
+    batch's token counts (merge = unionByName + groupBy-sum on the caller's
+    schedule). Every stage is anti-join/bucket-join shaped: per-batch cost
+    scales with the batch, not the corpus."""
+    from pyspark.sql import functions as F
+
+    from etl_processes_spark.ops.dedup import (
+        content_hash_expr,
+        dedup_incremental,
+        minhash_index,
+        near_dup_incremental,
+    )
+    from etl_processes_spark.ops.pack import split_assign
+    from etl_processes_spark.ops.textstats import unigram_logprob_score
+
+    if seen_digests is not None:
+        batch, _ = dedup_incremental(batch, seen_digests, id_col, text_col)
+    if near_dup_index is not None:
+        batch, index_delta = near_dup_incremental(
+            batch, near_dup_index, id_col, text_col,
+            num_hashes=num_hashes, bands=bands, k=shingle_k,
+            threshold=near_dup_threshold,
+        )
+    else:
+        index_delta = minhash_index(
+            batch, id_col, text_col, num_hashes, bands, shingle_k
+        )
+    accepted = batch
+    if min_logprob is not None and lm_counts is not None:
+        scored = unigram_logprob_score(
+            accepted, id_col, text_col, counts_df=lm_counts
+        )
+        accepted = accepted.join(scored, id_col).filter(
+            F.col("unigram_logprob") >= min_logprob
+        )
+    if split_fractions is not None:
+        accepted = split_assign(accepted, id_col, split_fractions, seed=seed)
+
+    from etl_processes_spark.ops.dedup import tokens_expr
+
+    digests_delta = accepted.select(content_hash_expr(text_col).alias("__key")).distinct()
+    counts_delta = (
+        accepted.select(F.explode(tokens_expr(text_col)).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return accepted, {
+        "digests": digests_delta,
+        "index": index_delta,
+        "counts": counts_delta,
+    }

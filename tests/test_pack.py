@@ -266,3 +266,52 @@ def test_training_pipeline_chunk_mixture_logprob(spark):
     for chunks in per_doc.values():
         assert chunks == set(range(len(chunks)))
     assert any(len(c) >= 2 for c in per_doc.values())
+
+
+def test_incremental_ingest_flow(spark):
+    """Append-mode ingest: exact + near-dup dedup against state tables,
+    frozen-LM scoring, split assignment; state deltas append cleanly and a
+    replayed batch is fully rejected."""
+    from pyspark.sql import functions as F
+
+    from etl_processes_spark.ops.dedup import content_hash_expr
+    from etl_processes_spark.pipeline import run_incremental_ingest
+
+    corpus = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog near the river bank today"),
+         (2, "stars and planets drift in the vast silent emptiness between galaxies")],
+        ["doc_id", "text"],
+    )
+    # cold start: corpus itself ingested first
+    accepted0, st0 = run_incremental_ingest(spark, corpus, shingle_k=3, bands=32)
+    assert accepted0.count() == 2
+
+    digests = st0["digests"]
+    index = st0["index"]
+    counts = st0["counts"]
+
+    batch = spark.createDataFrame(
+        [(10, "the quick brown fox jumps over the lazy dog near the river bank today"),  # exact dup
+         (11, "the quick brown fox jumps over the sleepy dog near the river bank today"),  # near dup
+         (12, "novel cooking text with garlic butter sage pasta and lemon zest aplenty")],
+        ["doc_id", "text"],
+    )
+    accepted, st = run_incremental_ingest(
+        spark, batch,
+        seen_digests=digests, near_dup_index=index, lm_counts=counts,
+        min_logprob=-50.0, split_fractions={"train": 0.9, "val": 0.1},
+        shingle_k=3, bands=32, near_dup_threshold=0.4,
+    )
+    rows = accepted.collect()
+    assert [r["doc_id"] for r in rows] == [12]
+    assert rows[0]["split"] in ("train", "val")
+    assert rows[0]["unigram_logprob"] < 0
+
+    # replay with merged state: everything rejected
+    merged_digests = digests.unionByName(st["digests"]).distinct()
+    merged_index = index.unionByName(st["index"])
+    accepted2, _ = run_incremental_ingest(
+        spark, batch, seen_digests=merged_digests, near_dup_index=merged_index,
+        shingle_k=3, bands=32, near_dup_threshold=0.4,
+    )
+    assert accepted2.count() == 0
