@@ -100,6 +100,83 @@ def content_hash_expr(c: str | Column, normalize: bool = True) -> Column:
 
 
 # ---------------------------------------------------------------------------
+# line-level (boilerplate) dedup
+# ---------------------------------------------------------------------------
+
+
+def line_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    sep: str = "\n",
+    max_doc_freq: int = 1,
+    join_sep: str | None = None,
+) -> DataFrame:
+    """CCNet/C4-style boilerplate-line removal: any line whose NORMALIZED
+    form occurs in more than ``max_doc_freq`` distinct documents is dropped
+    from EVERY document (nav bars, cookie banners, license headers — the
+    lines exact whole-doc dedup can't touch). Returns one row per input doc:
+    (id_col, clean_text, n_lines, n_lines_kept); a doc whose every line is
+    boilerplate survives with clean_text = ''.
+
+    ``sep`` is a Java regex (F.split); the default splits on newlines.
+    ``join_sep`` (default: ``sep``) is the LITERAL separator for
+    reassembly — pass it whenever ``sep`` uses regex metacharacters.
+    Line identity is the 60-bit md5 of the normalized line (lowercase,
+    alnum tokens re-joined) — cross-engine reproducible, so the gate can
+    hash-certify the cleaned text against a DuckDB replay.
+
+    100 TB shape: two shuffles over narrow data — the line-frequency agg
+    keys on the 8-byte line hash (partial-agg'd map-side; count_distinct of
+    doc ids is two-phase), and the reassembly groupBy keys on the doc id.
+    The frequent-line table itself is tiny under any Zipfian corpus (only
+    hashes with df > max_doc_freq survive the HAVING), so the removal join
+    is a BROADCAST anti-join — document bodies never shuffle by line hash.
+    In-doc line order is restored by array_sort over (pos, line) structs,
+    deterministic under any partitioning."""
+    lines = df.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(F.split(F.col(text_col).cast("string"), sep)).alias(
+            "__pos", "__line"
+        ),
+    ).withColumn("__h", md5_long_expr(normalized_text_expr(F.col("__line"))))
+    lines = lines.localCheckpoint(eager=False)  # scan+split+md5 runs once
+
+    frequent = (
+        lines.groupBy("__h")
+        .agg(F.count_distinct("__id").alias("__df"))
+        .filter(F.col("__df") > max_doc_freq)
+        .select("__h")
+    )
+    kept = lines.join(F.broadcast(frequent), "__h", "left_anti")
+    reassembled = kept.groupBy("__id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__pos", "__line"))),
+                lambda s: s["__line"],
+            ),
+            join_sep if join_sep is not None else sep,
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("n_lines_kept"),
+    )
+    base = df.select(
+        F.col(id_col),
+        F.size(F.split(F.col(text_col).cast("string"), sep)).alias("n_lines"),
+    )
+    return (
+        base.join(reassembled, base[id_col] == reassembled["__id"], "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+            F.col("n_lines"),
+            F.coalesce(F.col("n_lines_kept"), F.lit(0)).cast("long").alias(
+                "n_lines_kept"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # n-gram Jaccard near-dup (exact, inverted-index join)
 # ---------------------------------------------------------------------------
 

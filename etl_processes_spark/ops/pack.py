@@ -271,3 +271,29 @@ def split_assign(
     last = items[-1][0]
     expr = F.lit(last) if expr is None else expr.otherwise(F.lit(last))
     return df.withColumn("split", expr)
+
+
+def shuffle_deterministic(
+    df: DataFrame, key_col: str, seed: int = 0, rank_col: str = "shuffle_rank"
+) -> DataFrame:
+    """Deterministic global pseudorandom ordering — the pre-training corpus
+    shuffle. Every row gets ``rank_col`` = 60-bit md5 of (seed, key) and the
+    frame is sorted by (rank, key); the order is a pure function of (seed,
+    key set), so re-runs, resumed jobs and other engines (the DuckDB twin)
+    reproduce the byte-identical sequence, and changing ``seed`` is a fresh
+    epoch-level reshuffle.
+
+    100 TB shape: ONE range-partitioned sort (Spark samples the rank to
+    build partition bounds) — exactly what any global orderBy costs; there
+    is no cheaper distributed total order. The md5 rank is uniform, so the
+    range partitioner is skew-free by construction even when ``key_col``
+    itself is skewed. Downstream sequential writers (e.g. the parquet sink)
+    preserve the order per file, files ordered by partition index."""
+    rank = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col(key_col).cast("string"), F.lit(f":{seed}"))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("long")
+    return df.withColumn(rank_col, rank).orderBy(rank_col, key_col)

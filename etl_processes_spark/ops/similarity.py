@@ -514,3 +514,124 @@ def ann_cosine_ivf(
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
     return cand.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_centroids: int = 64,
+    fit_sample: int = 10_000,
+    seed: int = 42,
+    ndigits: int = 6,
+    block_rows: int = 4096,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster embeddings with a coarse quantizer, then look
+    for near-duplicate pairs ONLY within each cluster — cosine across
+    clusters is below threshold by construction of the quantizer, so the
+    quadratic pair search shrinks from n² to Σ |cell|².
+
+    Returns one row per corpus vector: (id_col, cluster_id, keep) where
+    keep=false marks a semantic duplicate of a kept vector (survivor = min
+    id per within-cluster duplicate component, via connected_components —
+    the same keep-one policy the text dedup family uses).
+
+    100 TB shape: the quantizer is fit driver-side on a seeded sample
+    (identical to ann_cosine_ivf); assignment is a broadcast-centroid GEMM
+    map with NO shuffle; the within-cell pair scan shuffles once on the
+    cell id (applyInPandas), with per-cell work blocked into
+    (block_rows × |cell|) GEMMs so memory stays bounded even in a hot cell.
+    Scale n_centroids with the corpus (cells of ~10-50k rows) to bound
+    Σ|cell|²; the duplicate-pair edge list is sparse, so the component pass
+    is cheap. Approximate like the paper: a duplicate pair straddling a
+    cell boundary is missed (raise n_centroids recall by union-ing a
+    second, shifted-seed clustering if needed)."""
+    spark = corpus.sparkSession
+    sample_pdf = (
+        corpus.select(vec_col)
+        .sample(withReplacement=False, fraction=1.0, seed=seed)
+        .limit(fit_sample)
+        .toPandas()
+    )
+    X = np.stack(sample_pdf[vec_col].to_numpy()).astype(np.float64)
+    X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    C = _spherical_kmeans(X, n_centroids, seed)
+    bC = spark.sparkContext.broadcast(C)
+
+    assign_schema = T.StructType(
+        [
+            T.StructField("__cell", T.IntegerType()),
+            T.StructField("id", T.LongType()),
+            T.StructField("v", T.ArrayType(T.DoubleType())),
+        ]
+    )
+
+    def assign(batches):
+        C_ = bC.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            M = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            Mn = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+            cell = np.argmax(Mn @ C_.T, axis=1).astype(np.int32)
+            yield pd.DataFrame(
+                {
+                    "__cell": cell,
+                    "id": pdf[id_col].to_numpy().astype(np.int64),
+                    "v": [m.tolist() for m in Mn],
+                }
+            )
+
+    assign_per_mb = max(0.5, min(8.0, 8.0 * 64.0 / max(1, n_centroids)))
+    cells = widen(corpus.select(id_col, vec_col), per_mb=assign_per_mb).mapInPandas(
+        assign, schema=assign_schema
+    )
+    cells = cells.localCheckpoint(eager=False)  # feeds both pair scan and output
+
+    edge_schema = T.StructType(
+        [T.StructField("id_a", T.LongType()), T.StructField("id_b", T.LongType())]
+    )
+
+    def cell_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame({"id_a": [], "id_b": []}).astype("int64")
+        pdf = pdf.sort_values("id")
+        ids = pdf["id"].to_numpy().astype(np.int64)
+        M = np.stack(pdf["v"].to_numpy())  # already normalized
+        out_a, out_b = [], []
+        for lo in range(0, n, block_rows):
+            blk = M[lo : lo + block_rows]
+            sims = np.round(blk @ M.T, ndigits)
+            bi, ci = np.nonzero(sims >= threshold - 1e-9)
+            keep_mask = (lo + bi) < ci  # id_a < id_b once, sorted order
+            out_a.append(ids[lo + bi[keep_mask]])
+            out_b.append(ids[ci[keep_mask]])
+        return pd.DataFrame(
+            {"id_a": np.concatenate(out_a), "id_b": np.concatenate(out_b)}
+        )
+
+    edges = cells.groupBy("__cell").applyInPandas(cell_pairs, schema=edge_schema)
+
+    from etl_processes_spark.ops.dedup import connected_components
+
+    comp = connected_components(edges, "id_a", "id_b")
+    return (
+        cells.select(F.col("id").alias(id_col), F.col("__cell").alias("cluster_id"))
+        .join(
+            comp.select(
+                F.col("node").alias(id_col), F.col("cluster_id").alias("__dup_min")
+            ),
+            id_col,
+            "left",
+        )
+        .select(
+            id_col,
+            "cluster_id",
+            (F.col("__dup_min").isNull() | (F.col("__dup_min") == F.col(id_col))).alias(
+                "keep"
+            ),
+        )
+    )

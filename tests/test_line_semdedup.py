@@ -1,0 +1,136 @@
+"""line_dedup (boilerplate-line removal), semantic_dedup (SemDeDup-style)
+and shuffle_deterministic — corpus-hygiene extensions, round 4."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from etl_processes_spark.ops.dedup import line_dedup
+from etl_processes_spark.ops.pack import shuffle_deterministic
+from etl_processes_spark.ops.similarity import semantic_dedup
+
+LDOCS = [
+    (0, "common header\nunique zero\ncommon footer"),
+    (1, "Common   HEADER!!\nunique one\ncommon footer"),  # normalized dup line
+    (2, "common header\nunique two"),
+    (3, "all original content\nnothing shared"),
+    (4, "common header"),  # every line is boilerplate
+]
+
+
+@pytest.fixture(scope="module")
+def ldocs(spark):
+    return spark.createDataFrame(LDOCS, ["doc_id", "text"])
+
+
+def _rows(df):
+    return {r["doc_id"]: r.asDict() for r in df.collect()}
+
+
+def test_line_dedup_drops_frequent_lines(ldocs):
+    out = _rows(line_dedup(ldocs, "doc_id", "text", max_doc_freq=1))
+    assert out[0]["clean_text"] == "unique zero"
+    assert out[1]["clean_text"] == "unique one"
+    assert out[2]["clean_text"] == "unique two"
+    # doc 3 untouched — its lines are unique
+    assert out[3]["clean_text"] == "all original content\nnothing shared"
+    # doc 4 survives as a row with empty text
+    assert out[4]["clean_text"] == ""
+    assert out[4]["n_lines"] == 1 and out[4]["n_lines_kept"] == 0
+    assert out[0]["n_lines"] == 3 and out[0]["n_lines_kept"] == 1
+
+
+def test_line_dedup_threshold(ldocs):
+    # max_doc_freq=2: "common footer" (2 docs) survives, "common header"
+    # (4 docs counting the normalized variant) still drops
+    out = _rows(line_dedup(ldocs, "doc_id", "text", max_doc_freq=2))
+    assert out[0]["clean_text"] == "unique zero\ncommon footer"
+    assert out[1]["clean_text"] == "unique one\ncommon footer"
+
+
+def test_line_dedup_order_preserved(spark):
+    df = spark.createDataFrame(
+        [(0, "z last\na first\nz last again"), (1, "kept\nkept too")],
+        ["doc_id", "text"],
+    )
+    out = _rows(line_dedup(df, "doc_id", "text", max_doc_freq=1))
+    # in-doc order restored (not alphabetical), all lines unique here
+    assert out[0]["clean_text"] == "z last\na first\nz last again"
+
+
+def test_line_dedup_repeated_line_within_one_doc(spark):
+    # a line repeated within ONE doc is not boilerplate (distinct-doc count 1)
+    df = spark.createDataFrame(
+        [(0, "dup\ndup\nbody"), (1, "other")], ["doc_id", "text"]
+    )
+    out = _rows(line_dedup(df, "doc_id", "text", max_doc_freq=1))
+    assert out[0]["clean_text"] == "dup\ndup\nbody"
+
+
+def _vec(*xs):
+    v = np.zeros(8)
+    for i, x in enumerate(xs):
+        v[i] = x
+    return [float(f) for f in v]
+
+
+SEMS = [
+    (0, _vec(1.0)),
+    (1, _vec(1.0)),            # exact dup of 0
+    (2, _vec(1.0, 0.1)),       # cos ~0.995 with 0
+    (3, _vec(0.0, 1.0)),       # distinct direction
+    (4, _vec(0.0, 0.0, 1.0)),  # distinct direction
+    (5, _vec(0.0, 0.0, 2.0)),  # scaled dup of 4 (cos = 1)
+]
+
+
+@pytest.fixture(scope="module")
+def sems(spark):
+    return spark.createDataFrame(SEMS, ["vec_id", "embedding"])
+
+
+def test_semantic_dedup_keep_flags(sems):
+    out = {r["vec_id"]: r for r in semantic_dedup(
+        sems, "vec_id", "embedding", threshold=0.97, n_centroids=3, seed=7
+    ).collect()}
+    assert len(out) == 6  # every vector present
+    assert out[0]["keep"] and not out[1]["keep"] and not out[2]["keep"]
+    assert out[3]["keep"]
+    assert out[4]["keep"] and not out[5]["keep"]
+
+
+def test_semantic_dedup_blocked_path(sems):
+    # block_rows smaller than cell size exercises the blocked GEMM loop;
+    # result must be identical
+    a = semantic_dedup(sems, "vec_id", "embedding", threshold=0.97,
+                       n_centroids=3, seed=7).collect()
+    b = semantic_dedup(sems, "vec_id", "embedding", threshold=0.97,
+                       n_centroids=3, seed=7, block_rows=2).collect()
+    key = lambda rows: sorted((r["vec_id"], r["keep"]) for r in rows)
+    assert key(a) == key(b)
+
+
+def test_semantic_dedup_high_threshold_keeps_near(sems):
+    # at threshold above cos(0,2)=0.995 the near-dup 2 survives, exact dups don't
+    out = {r["vec_id"]: r for r in semantic_dedup(
+        sems, "vec_id", "embedding", threshold=0.999, n_centroids=3, seed=7
+    ).collect()}
+    assert out[2]["keep"]
+    assert not out[1]["keep"] and not out[5]["keep"]
+
+
+def test_shuffle_deterministic(spark):
+    df = spark.range(500).withColumnRenamed("id", "doc_id")
+    a = [r["doc_id"] for r in shuffle_deterministic(df, "doc_id", seed=1).collect()]
+    b = [r["doc_id"] for r in shuffle_deterministic(df, "doc_id", seed=1).collect()]
+    c = [r["doc_id"] for r in shuffle_deterministic(df, "doc_id", seed=2).collect()]
+    assert a == b                      # reproducible
+    assert a != c                      # seed changes the order
+    assert sorted(a) == list(range(500))  # a permutation
+    assert a != list(range(500))       # actually shuffled
+
+    # rank matches the md5 definition for a spot row
+    import hashlib
+    expect = int(hashlib.md5(b"7:1").hexdigest()[:15], 16)
+    row = shuffle_deterministic(df, "doc_id", seed=1).filter(F.col("doc_id") == 7).first()
+    assert row["shuffle_rank"] == expect
