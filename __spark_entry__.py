@@ -301,7 +301,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("split").alias("stratum"),
             F.col("doc_id").cast("string").alias("key"),
         )
-        return hashed.unionByName(strat).unionByName(mix).unionByName(split)
+        # fifth family: deterministic global corpus shuffle — the first 200
+        # positions of the md5-ranked training order; the rank value rides
+        # in the stratum column so the certified semantics is the total
+        # order itself, not just membership
+        from etl_processes_spark.ops.pack import shuffle_deterministic
+
+        shuf = (
+            shuffle_deterministic(d.select("doc_id"), "doc_id", seed=5)
+            .limit(200)
+            .select(
+                F.lit("shuffle_docs").alias("part"),
+                F.col("shuffle_rank").cast("string").alias("stratum"),
+                F.col("doc_id").cast("string").alias("key"),
+            )
+        )
+        return (
+            hashed.unionByName(strat).unionByName(mix).unionByName(split)
+            .unionByName(shuf)
+        )
 
     # -- generators (rows-only: seeded, non-SQL) -------------------------------
 
@@ -632,8 +650,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # -- dedup ------------------------------------------------------------------
 
     def q_dedup_exact(spark, sf):
-        # labeled union of the two exact-dedup modes (raw-text key and
-        # normalized-content sha key) — one gate slot covers both operators
+        # labeled union of the exact-dedup modes (raw-text key and
+        # normalized-content sha key) plus line-level boilerplate removal —
+        # one gate slot covers all three operators. The corpus has no
+        # newlines, so the line part synthesizes breaks deterministically
+        # (every literal ' the ' becomes one) in BOTH engines; the key
+        # encodes (n_lines, n_lines_kept, md5 of the cleaned text), so a
+        # wrong drop OR a wrong reassembly order breaks the hash.
+        from etl_processes_spark.ops.dedup import line_dedup
+
         d = _t(spark, sf, "documents")
         raw = dedup_exact_keep_min(d, "doc_id", F.col("text")).select(
             F.lit("raw_text").alias("mode"), F.col("doc_id"), F.col("__key").alias("key")
@@ -644,7 +669,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .agg(F.min("doc_id").alias("doc_id"))
             .select(F.lit("content_sha").alias("mode"), F.col("doc_id"), F.col("key"))
         )
-        return raw.unionByName(sha)
+        src = d.select(
+            "doc_id", F.regexp_replace(F.col("text"), " the ", "\n").alias("__lt")
+        )
+        line = line_dedup(src, "doc_id", "__lt", max_doc_freq=1).select(
+            F.lit("line_dedup").alias("mode"),
+            F.col("doc_id"),
+            F.concat(
+                F.col("n_lines").cast("string"),
+                F.lit(":"),
+                F.col("n_lines_kept").cast("string"),
+                F.lit(":"),
+                F.md5("clean_text"),
+            ).alias("key"),
+        )
+        return raw.unionByName(sha).unionByName(line)
 
     def q_dedup_clusters(spark, sf):
         # duplicate-cluster resolution: exact + near-dup edges → connected
@@ -988,11 +1027,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     def q_embedding_near_dup(spark, sf):
-        from etl_processes_spark.ops.similarity import embedding_near_dup_pairs
-
-        return embedding_near_dup_pairs(
-            _t(spark, sf, "embeddings"), threshold=0.5, ndigits=ND
+        # BOTH embedding-dedup families in one gate slot, labeled by part:
+        # pairs = exact all-pairs cosine near-dups; semdedup = SemDeDup-style
+        # cluster-then-prune (coarse k-means cells + within-cell pair scan +
+        # min-id survivors). The DuckDB twin re-fits the identical quantizer
+        # (deterministic seeded k-means, centroids as literals) and replays
+        # assignment, within-cell pairs and the component closure.
+        from etl_processes_spark.ops.similarity import (
+            embedding_near_dup_pairs,
+            semantic_dedup,
         )
+
+        e = _t(spark, sf, "embeddings")
+        pairs = embedding_near_dup_pairs(e, threshold=0.5, ndigits=ND).select(
+            F.lit("pairs").alias("part"),
+            F.col("id_a").alias("k1"),
+            F.col("id_b").alias("k2"),
+            F.col("cosine_sim").alias("val"),
+        )
+        sem = semantic_dedup(
+            e, "vec_id", "embedding", threshold=0.5, n_centroids=16, seed=42
+        ).select(
+            F.lit("semdedup").alias("part"),
+            F.col("vec_id").alias("k1"),
+            F.col("cluster_id").cast("long").alias("k2"),
+            F.col("keep").cast("int").cast("double").alias("val"),
+        )
+        return pairs.unionByName(sem)
 
     def q_top_orders_per_priority(spark, sf):
         from etl_processes_spark.ops.relational import top_orders_per_priority
@@ -1500,6 +1561,63 @@ FROM r WHERE rk <= {k}
 """
 
 
+def _semdedup_oracle_sql(
+    sf_dir: str = "/root/testdata/sf0.01",
+    n_centroids: int = 16,
+    threshold: float = 0.5,
+) -> str:
+    """DuckDB twin of the semdedup part of q_embedding_near_dup: centroids
+    come from the ENGINE's own deterministic _spherical_kmeans over the
+    pyarrow-read corpus (same rows, same order — the _ivf_oracle_sql
+    pattern) and enter as literals; assignment (argmax tie → lowest cell),
+    the within-cell pair scan at 6dp-rounded cosine, the recursive min-label
+    closure and the min-id survivor policy are all replayed natively."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from etl_processes_spark.ops.similarity import _spherical_kmeans
+
+    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["embedding"])
+    X = np.stack(
+        [np.asarray(v, dtype=np.float64) for v in tbl.column("embedding").to_pylist()]
+    )[:10_000]
+    X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    C = _spherical_kmeans(X, n_centroids, seed=42)
+    cent_vals = ", ".join(
+        f"({i}, [{', '.join(repr(float(x)) for x in C[i])}])" for i in range(len(C))
+    )
+    return f"""
+SELECT part, k1, k2, val FROM (
+WITH RECURSIVE e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cent(cell, c) AS (VALUES {cent_vals}),
+en AS (SELECT vec_id, v,
+              list_transform(v, x -> x / greatest(sqrt(list_dot_product(v, v)), 1e-12)) AS vn
+       FROM e),
+arank AS (SELECT vec_id, v, cell,
+                 row_number() OVER (PARTITION BY vec_id
+                                    ORDER BY list_dot_product(vn, c) DESC, cell) AS rk
+          FROM en CROSS JOIN cent),
+assign AS (SELECT vec_id, v, cell FROM arank WHERE rk = 1),
+pairs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+          FROM assign a JOIN assign b
+            ON a.cell = b.cell AND a.vec_id < b.vec_id
+          WHERE round(list_cosine_similarity(a.v, b.v), 6) >= {threshold}),
+edges AS (SELECT id_a AS s, id_b AS d FROM pairs
+          UNION ALL SELECT id_b, id_a FROM pairs),
+cc(node, label) AS (
+    SELECT DISTINCT s, s FROM edges
+    UNION
+    SELECT e2.d, c.label FROM cc c JOIN edges e2 ON e2.s = c.node WHERE c.label < e2.d
+),
+comp AS (SELECT node, min(label) AS m FROM cc GROUP BY node)
+SELECT 'semdedup' AS part, CAST(a.vec_id AS BIGINT) AS k1,
+       CAST(a.cell AS BIGINT) AS k2,
+       CAST(CASE WHEN comp.m IS NULL OR comp.m = a.vec_id THEN 1 ELSE 0 END AS DOUBLE) AS val
+FROM assign a LEFT JOIN comp ON comp.node = a.vec_id
+)
+"""
+
+
 def _pca_oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> str:
     """DuckDB twin of q_pca_2d: the top-2 eigenbasis of the sample
     covariance is recomputed by an independent numpy twin (np.linalg.eigh vs
@@ -1863,6 +1981,30 @@ UNION ALL
 SELECT 'content_sha' AS mode, CAST(min(doc_id) AS BIGINT) AS doc_id, content_sha AS key
 FROM (SELECT doc_id, sha256({_NORM_TEXT}) AS content_sha FROM documents)
 GROUP BY content_sha
+UNION ALL
+SELECT 'line_dedup' AS mode, CAST(p.doc_id AS BIGINT) AS doc_id,
+       CAST(len(p.ls) AS VARCHAR) || ':' || CAST(coalesce(a.nk, 0) AS VARCHAR)
+           || ':' || md5(coalesce(a.ct, '')) AS key
+FROM (SELECT doc_id,
+             string_split(replace(text, ' the ', chr(10)), chr(10)) AS ls
+      FROM documents) p
+LEFT JOIN (
+  WITH l0 AS (SELECT doc_id,
+                     string_split(replace(text, ' the ', chr(10)), chr(10)) AS ls
+              FROM documents),
+  l1 AS (SELECT doc_id, unnest(range(1, len(ls) + 1)) AS pos, ls FROM l0),
+  l2 AS (SELECT doc_id, pos, ls[pos] AS line FROM l1),
+  l3 AS (SELECT doc_id, pos, line,
+                CAST(concat('0x', substr(md5(array_to_string(
+                    list_filter(string_split_regex(lower(line), '[^a-z0-9]+'),
+                                x -> x <> ''), ' ')), 1, 15)) AS BIGINT) AS h
+         FROM l2),
+  freq AS (SELECT h FROM l3 GROUP BY h HAVING count(DISTINCT doc_id) > 1),
+  kept AS (SELECT l3.doc_id, l3.pos, l3.line
+           FROM l3 LEFT JOIN freq USING (h) WHERE freq.h IS NULL)
+  SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS ct, count(*) AS nk
+  FROM kept GROUP BY doc_id
+) a USING (doc_id)
 """
 
     # connected components via recursive min-label closure: cc holds every
@@ -2153,6 +2295,12 @@ FROM (SELECT doc_id,
              (CAST(concat('0x', substr(md5('101:split:' || CAST(doc_id AS VARCHAR)), 1, 13)) AS BIGINT)
               + 0.5e0) / 4503599627370496e0 AS u
       FROM documents)
+UNION ALL
+SELECT 'shuffle_docs' AS part, CAST(r AS VARCHAR) AS stratum,
+       CAST(doc_id AS VARCHAR) AS key
+FROM (SELECT doc_id,
+             CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || ':5'), 1, 15)) AS BIGINT) AS r
+      FROM documents ORDER BY r, doc_id LIMIT 200)
 """
 
     # synthesize_orders: the ENTIRE reference pipeline (hash-ranked profile
@@ -2739,13 +2887,15 @@ JOIN region r ON n.n_regionkey = r.r_regionkey
 GROUP BY r.r_name, n.n_name
 """
 
-    sql["embedding_near_dup"] = """
+    sql["embedding_near_dup"] = f"""
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
-SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-       round(list_cosine_similarity(a.v, b.v), 6) AS cosine_sim
+SELECT 'pairs' AS part, CAST(a.vec_id AS BIGINT) AS k1, CAST(b.vec_id AS BIGINT) AS k2,
+       round(list_cosine_similarity(a.v, b.v), 6) AS val
 FROM e a, e b
 WHERE a.vec_id < b.vec_id
   AND round(list_cosine_similarity(a.v, b.v), 6) >= 0.5
+UNION ALL
+{_semdedup_oracle_sql()}
 """
 
     sql["top_orders_per_priority"] = """
