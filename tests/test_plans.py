@@ -195,3 +195,31 @@ def test_split_assign_semantics(spark):
 
     with pytest.raises(ValueError, match="sum to 1"):
         split_assign(df, "k", {"train": 0.5, "val": 0.1})
+
+
+def test_line_dedup_broadcast_anti_join(spark, sf001):
+    from pyspark.sql import functions as F
+
+    from etl_processes_spark.ops.dedup import line_dedup
+
+    d = spark.read.parquet(f"{sf001}/documents.parquet")
+    src = d.select("doc_id", F.regexp_replace("text", " the ", "\n").alias("text"))
+    plan = _plan(line_dedup(src, "doc_id", "text", max_doc_freq=1))
+    # frequent-line removal must be a BROADCAST anti-join — document bodies
+    # never shuffle by line hash
+    assert "BroadcastHashJoin LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+    # shuffle diet: the count_distinct two-phase (h,id → h) + the doc-id
+    # reassembly — no more than 3 data exchanges
+    assert plan.count("hashpartitioning(") <= 3
+
+
+def test_shuffle_deterministic_single_range_sort(spark, sf001):
+    from etl_processes_spark.ops.pack import shuffle_deterministic
+
+    d = spark.read.parquet(f"{sf001}/documents.parquet").select("doc_id")
+    plan = _plan(shuffle_deterministic(d, "doc_id", seed=1))
+    # ONE range-partitioned sort on the md5 rank, nothing else
+    assert plan.count("rangepartitioning(") == 1
+    assert plan.count("hashpartitioning(") == 0
+    assert "shuffle_rank" in plan.split("rangepartitioning")[1][:80]
