@@ -78,12 +78,27 @@ def run_training_data_pipeline(
     mixture_alpha: float | None = None,
     chunk_tokens: int | None = None,
     chunk_stride: int | None = None,
+    line_dedup_max_df: int | None = None,
+    line_sep: str = "\n",
+    semantic_embeddings: DataFrame | None = None,
+    semantic_threshold: float = 0.95,
+    semantic_vec_col: str = "embedding",
+    shuffle_seed: int | None = None,
 ) -> DataFrame:
     """The LLM training-data assembly flow, composed from the extension
     operators — what a user runs over raw documents before tokenization:
 
+      0. optional line-level boilerplate removal (``line_dedup_max_df``):
+         lines shared by more than that many docs are stripped from every
+         doc BEFORE any dedup/scoring (nav bars and banners otherwise both
+         inflate quality scores and glue unrelated docs into near-dup
+         clusters); docs left empty are dropped;
       1. duplicate-cluster resolution (exact ∪ n-gram near-dup edges →
          connected components) — keep one survivor (min id) per cluster;
+      1a. optional semantic dedup (``semantic_embeddings``: a frame of
+          (id_col, embedding)): SemDeDup cluster-then-prune drops semantic
+          duplicates of a kept doc — catches paraphrases the lexical
+          families can't;
       1b. optional benchmark decontamination (``eval_df``): drop documents
           whose k-gram overlap with the eval set reaches the threshold
           (broadcast eval hash set — the corpus never shuffles by gram);
@@ -103,7 +118,10 @@ def run_training_data_pipeline(
       5a. optional sequence chunking (``chunk_tokens`` [, ``chunk_stride``]):
           rows become fixed-size token windows; downstream packing then
           bins CHUNKS, the unit that actually enters a training batch;
-      5. optional token-budget sequence packing.
+      5. optional token-budget sequence packing;
+      6. optional deterministic corpus shuffle (``shuffle_seed``): the
+         returned frame is md5-rank ordered — the reproducible training
+         order; a new seed is a fresh epoch.
 
     Returns (doc_id, text, pred_lang, quality_score, n_tokens
     [, unigram_logprob][, chunk_id][, bin_id, offset_in_bin]). Every stage
@@ -120,11 +138,41 @@ def run_training_data_pipeline(
         token_count_expr,
     )
 
+    if line_dedup_max_df is not None:
+        from etl_processes_spark.ops.dedup import line_dedup
+
+        cleaned = line_dedup(
+            docs, id_col, text_col, sep=line_sep, max_doc_freq=line_dedup_max_df
+        )
+        extra = [c for c in docs.columns if c not in (id_col, text_col)]
+        docs = (
+            cleaned.filter(F.col("n_lines_kept") > 0)
+            .select(id_col, F.col("clean_text").alias(text_col))
+            .join(docs.select(id_col, *extra), id_col)
+            if extra
+            else cleaned.filter(F.col("n_lines_kept") > 0).select(
+                id_col, F.col("clean_text").alias(text_col)
+            )
+        )
+
     clusters = dedup_clusters(
         docs, id_col, text_col, threshold=near_dup_threshold, max_df=max_df
     )  # output keyed by id_col (see dedup_clusters)
     losers = clusters.filter(F.col(id_col) != F.col("cluster_id")).select(id_col)
     kept = docs.join(losers, id_col, "left_anti")
+
+    if semantic_embeddings is not None:
+        from etl_processes_spark.ops.similarity import semantic_dedup
+
+        sem_losers = (
+            semantic_dedup(
+                semantic_embeddings, id_col, semantic_vec_col,
+                threshold=semantic_threshold, seed=seed,
+            )
+            .filter(~F.col("keep"))
+            .select(id_col)
+        )
+        kept = kept.join(sem_losers, id_col, "left_anti")
 
     if eval_df is not None:
         from etl_processes_spark.ops.decontaminate import decontaminate
@@ -207,14 +255,24 @@ def run_training_data_pipeline(
         )
         pack_key = "__seq_key"
     if pack_budget is None:
-        return filtered.drop("__seq_key")
-    # filtered feeds BOTH the packer and the final join — persist so the
-    # dedup/scoring/sampling subtree executes once, not twice
-    filtered = filtered.persist()
-    packed = pack_documents(filtered, pack_key, "n_tokens", pack_budget)
-    return filtered.join(
-        packed.select(pack_key, "bin_id", "offset_in_bin"), pack_key
-    ).drop("__seq_key")
+        out = filtered
+    else:
+        # filtered feeds BOTH the packer and the final join — persist so the
+        # dedup/scoring/sampling subtree executes once, not twice
+        filtered = filtered.persist()
+        packed = pack_documents(filtered, pack_key, "n_tokens", pack_budget)
+        out = filtered.join(
+            packed.select(pack_key, "bin_id", "offset_in_bin"), pack_key
+        )
+    if shuffle_seed is not None:
+        from etl_processes_spark.ops.pack import shuffle_deterministic
+
+        # rank on pack_key: when chunking is on, id_col repeats across
+        # chunks and equal ranks would make the order nondeterministic
+        out = shuffle_deterministic(out, pack_key, seed=shuffle_seed).drop(
+            "shuffle_rank"
+        )
+    return out.drop("__seq_key")
 
 
 def run_incremental_ingest(

@@ -315,3 +315,33 @@ def test_incremental_ingest_flow(spark):
         shingle_k=3, bands=32, near_dup_threshold=0.4,
     )
     assert accepted2.count() == 0
+
+
+def test_training_pipeline_line_semantic_shuffle_stages(spark):
+    """Round-4 stages compose: boilerplate-line removal, semantic dedup over
+    an embedding side-table, and the deterministic output shuffle."""
+    from etl_processes_spark.pipeline import run_training_data_pipeline
+
+    banner = "subscribe to the newsletter for the latest updates"
+    a = banner + "\nthe quick brown fox jumps over the lazy dog in the light"
+    b = banner + "\na tall ship sails across the wide ocean to the old harbor"
+    c = banner + "\nmusic and painting are the arts that people love to share"
+    docs = spark.createDataFrame([(0, a), (1, b), (2, c)], ["doc_id", "text"])
+    # doc 2 is a semantic dup of doc 1 (identical embedding direction)
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0]), (2, [0.0, 2.0])],
+        ["doc_id", "embedding"],
+    )
+    out = run_training_data_pipeline(
+        spark, docs, min_quality=0.0, langs=("en",), pack_budget=None,
+        line_dedup_max_df=1, semantic_embeddings=emb, semantic_threshold=0.99,
+        shuffle_seed=11,
+    )
+    rows = out.collect()
+    ids = sorted(r["doc_id"] for r in rows)
+    assert ids == [0, 1]  # 2 dropped as a semantic dup of 1
+    # the banner line is stripped before scoring
+    assert all("newsletter" not in r["text"] for r in rows)
+    # shuffle: order reproducible and a pure function of the seed
+    again = [r["doc_id"] for r in out.collect()]
+    assert [r["doc_id"] for r in rows] == again
