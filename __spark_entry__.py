@@ -1053,7 +1053,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("cluster_id").cast("long").alias("k2"),
             F.col("keep").cast("int").cast("double").alias("val"),
         )
-        return pairs.unionByName(sem)
+        # third part: model-based quality scoring — sigmoid(w·v + b) as a
+        # pure codegen expression with the shared deterministic weights;
+        # certifies the scan-side scoring path (training itself is pinned
+        # by pytest — L-BFGS output is not cross-engine replayable)
+        from etl_processes_spark.ops.classify import score_with_classifier
+
+        clf = score_with_classifier(
+            e, "embedding", _clf_weights(64), bias=_CLF_BIAS, ndigits=ND
+        ).select(
+            F.lit("clf_score").alias("part"),
+            F.col("vec_id").alias("k1"),
+            F.col("label").cast("long").alias("k2"),
+            F.col("clf_score").alias("val"),
+        )
+        return pairs.unionByName(sem).unionByName(clf)
 
     def q_top_orders_per_priority(spark, sf):
         from etl_processes_spark.ops.relational import top_orders_per_priority
@@ -1559,6 +1573,16 @@ r AS (SELECT *, row_number() OVER (PARTITION BY query_id
 SELECT query_id, neighbor_id, cosine_sim, CAST(rk AS INTEGER) AS rank
 FROM r WHERE rk <= {k}
 """
+
+
+_CLF_BIAS = 0.125
+
+
+def _clf_weights(d: int) -> list[float]:
+    """Deterministic pseudo-weights for the clf_score gate part — a pure
+    Python function both queries() and oracle_sql() call, so the literals
+    agree by construction (alternating-sign 6dp ramp in [-0.5, 0.5])."""
+    return [round(((i * 37 + 11) % 101 / 101.0 - 0.5) * (-1) ** i, 6) for i in range(d)]
 
 
 def _semdedup_oracle_sql(
@@ -2896,6 +2920,12 @@ WHERE a.vec_id < b.vec_id
   AND round(list_cosine_similarity(a.v, b.v), 6) >= 0.5
 UNION ALL
 {_semdedup_oracle_sql()}
+UNION ALL
+SELECT 'clf_score' AS part, CAST(vec_id AS BIGINT) AS k1,
+       CAST(label AS BIGINT) AS k2,
+       round(1.0 / (1.0 + exp(-(list_dot_product(CAST(embedding AS DOUBLE[]),
+             {_clf_weights(64)}) + {_CLF_BIAS}))), 6) AS val
+FROM embeddings
 """
 
     sql["top_orders_per_priority"] = """
