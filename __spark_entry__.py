@@ -1251,6 +1251,57 @@ def bench_components() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         d = _t(spark, sf, "documents").select("doc_id", "n_chars")
         return pack_documents(d, "doc_id", "n_chars", budget=4096)
 
+    def c_dedup_exact(spark, sf):
+        # round-2 workload: raw + sha modes (the gate adds line_dedup)
+        from etl_processes_spark.ops.dedup import (
+            content_hash_expr,
+            dedup_exact_keep_min,
+        )
+
+        d = _t(spark, sf, "documents")
+        raw = dedup_exact_keep_min(d, "doc_id", F.col("text")).select(
+            F.lit("raw_text").alias("mode"), "doc_id", F.col("__key").alias("key")
+        )
+        sha = (
+            d.select("doc_id", content_hash_expr("text").alias("key"))
+            .groupBy("key")
+            .agg(F.min("doc_id").alias("doc_id"))
+            .select(F.lit("content_sha").alias("mode"), "doc_id", "key")
+        )
+        return raw.unionByName(sha)
+
+    def c_embedding_near_dup(spark, sf):
+        # round-2/3 workload: exact all-pairs only (the gate adds semdedup
+        # and the classifier part)
+        from etl_processes_spark.ops.similarity import embedding_near_dup_pairs
+
+        return embedding_near_dup_pairs(
+            _t(spark, sf, "embeddings"), threshold=0.5, ndigits=ND
+        )
+
+    def c_line_dedup(spark, sf):
+        from etl_processes_spark.ops.dedup import line_dedup
+
+        d = _t(spark, sf, "documents")
+        src = d.select(
+            "doc_id", F.regexp_replace(F.col("text"), " the ", "\n").alias("text")
+        )
+        return line_dedup(src, "doc_id", "text", max_doc_freq=1)
+
+    def c_semantic_dedup(spark, sf):
+        from etl_processes_spark.ops.similarity import semantic_dedup
+
+        return semantic_dedup(
+            _t(spark, sf, "embeddings"), "vec_id", "embedding",
+            threshold=0.5, n_centroids=16, seed=42,
+        )
+
+    def c_shuffle(spark, sf):
+        from etl_processes_spark.ops.pack import shuffle_deterministic
+
+        d = _t(spark, sf, "documents").select("doc_id", "n_chars")
+        return shuffle_deterministic(d, "doc_id", seed=5)
+
     return {
         "ngram_jaccard_pairs": c_ngram,
         "minhash_lsh_pairs": c_minhash,
@@ -1261,6 +1312,11 @@ def bench_components() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": c_dedup_clusters,
         "text_analysis": c_text_analysis,
         "pack_documents": c_pack_documents,
+        "dedup_exact": c_dedup_exact,
+        "embedding_near_dup": c_embedding_near_dup,
+        "line_dedup": c_line_dedup,
+        "semantic_dedup": c_semantic_dedup,
+        "shuffle_deterministic": c_shuffle,
     }
 
 

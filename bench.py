@@ -53,6 +53,9 @@ def main() -> None:
         "repetition_stats",
         "pii_scrub",
         "embedding_near_dup",
+        "line_dedup",
+        "semantic_dedup",
+        "shuffle_deterministic",
         "winnowing_fingerprints",
         "range_join_bands",
         "multimodal_features",
