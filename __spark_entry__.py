@@ -756,11 +756,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             lang_id_exprs,
             token_count_expr,
             unigram_logprob_score,
+            url_registered_domain_expr,
         )
         from etl_processes_spark.partitioning import widen
 
+        # web-curation columns ride in the same projection: a URL is
+        # synthesized per doc (source + doc_id), the registered domain is
+        # extracted with the REAL regex path, and the DuckDB twin derives
+        # the domain INDEPENDENTLY (source || '.' || tld, no regex) — a
+        # regex bug breaks the hash
         d = _t(spark, sf, "documents")
         pred_lang, lang_score = lang_id_exprs("text")
+        tld = (
+            F.when(F.col("doc_id") % 3 == 0, "com")
+            .when(F.col("doc_id") % 3 == 1, "org")
+            .otherwise("net")
+        )
+        url = F.concat(
+            F.lit("https://www."), F.col("source"), F.lit("."), tld,
+            F.lit("/doc/"), F.col("doc_id").cast("string"),
+        )
+        dom = url_registered_domain_expr(url)
         rowwise = widen(d, per_mb=2.0).select(
             F.col("doc_id"),
             token_count_expr("text").alias("n_tokens"),
@@ -768,6 +784,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.length(F.col("text").cast("string")).alias("n_chars_measured"),
             pred_lang.alias("pred_lang"),
             lang_score.alias("lang_score"),
+            dom.alias("url_domain"),
+            dom.isin("src0.com", "src1.org", "src2.net").cast("int").alias(
+                "url_blocked"
+            ),
         )
         lm = unigram_logprob_score(d, "doc_id", "text", ndigits=ND).select(
             "doc_id",
@@ -2668,6 +2688,9 @@ SELECT r.doc_id, r.cluster_id, s.survivor_id, (r.doc_id = s.survivor_id) AS is_s
 FROM r JOIN s USING (cluster_id)
 """
 
+    # url_domain is derived INDEPENDENTLY of the engine's regex path:
+    # source || '.' || tld reconstructs what the regex must extract from
+    # the synthesized https://www.<source>.<tld>/doc/<id> URL
     sql["text_analysis"] = f"""
 WITH tc AS ({_tc_sql}), li AS ({_li_sql}), qs AS ({_qs_sql}),
 up AS (
@@ -2680,8 +2703,19 @@ up AS (
            round(avg(ln(CAST(cnt.c AS DOUBLE) / (SELECT n FROM tot))), 6) AS unigram_logprob
     FROM tok JOIN cnt USING (token)
     GROUP BY tok.doc_id) s USING (doc_id)
+),
+uc AS (
+  SELECT doc_id, url_domain,
+         CAST(CASE WHEN url_domain IN ('src0.com', 'src1.org', 'src2.net')
+              THEN 1 ELSE 0 END AS INTEGER) AS url_blocked
+  FROM (SELECT doc_id,
+               lower(source) || '.' ||
+               (CASE doc_id % 3 WHEN 0 THEN 'com' WHEN 1 THEN 'org' ELSE 'net' END)
+                   AS url_domain
+        FROM documents)
 )
 SELECT * FROM tc JOIN li USING (doc_id) JOIN qs USING (doc_id) JOIN up USING (doc_id)
+              JOIN uc USING (doc_id)
 """
 
     # dedup_incremental: sha256-over-normalized-text digests; corpus =

@@ -380,3 +380,70 @@ def unigram_logprob_score(
     )
     # left join back so token-less docs survive with NULL
     return df.select(id_col).join(scored, id_col, "left")
+
+
+# ---------------------------------------------------------------------------
+# web-corpus curation: URL/domain filtering
+# ---------------------------------------------------------------------------
+
+# scheme / userinfo stripped, host captured up to port/path/query/fragment.
+# RE2-portable (no backrefs/lookarounds) so the DuckDB oracle replays it.
+_URL_HOST_RE = r"^(?:[a-z][a-z0-9+.-]*://)?(?:[^@/\s]+@)?([^:/\s?#]+)"
+
+
+def url_host_expr(c: str | Column) -> Column:
+    """Hostname of a URL ('' when the value has no host) — one row-wise
+    regexp, fuses into the scan projection."""
+    col = F.col(c) if isinstance(c, str) else c
+    return F.regexp_extract(F.lower(col.cast("string")), _URL_HOST_RE, 1)
+
+
+def url_registered_domain_expr(c: str | Column) -> Column:
+    """Registered domain = last two host labels ('docs.example.com' →
+    'example.com'). A deliberate public-suffix-list-free approximation
+    (the PSL is a lookup table — broadcast-join one in when exactness on
+    co.uk-style suffixes matters); '' propagates for host-less values."""
+    host = url_host_expr(c)
+    labels = F.split(host, r"\.")
+    return F.when(
+        F.size(labels) >= 2, F.concat_ws(".", F.slice(labels, -2, 2))
+    ).otherwise(host)
+
+
+def domain_blocklist_filter(
+    df: DataFrame,
+    url_col: str,
+    blocked: list[str] | DataFrame,
+    keep_unparsed: bool = True,
+) -> DataFrame:
+    """Drop rows whose registered domain is on the blocklist (UT1-style
+    corpus hygiene). A Python list becomes a scan-side ``isin`` predicate
+    (codegen, shuffle-free — right for the usual few-thousand-entry list);
+    a DataFrame blocklist (single column of domains) becomes a BROADCAST
+    anti-join — the corpus never shuffles by domain either way."""
+    dom = url_registered_domain_expr(url_col)
+    if isinstance(blocked, DataFrame):
+        bl = blocked.select(
+            F.lower(F.col(blocked.columns[0]).cast("string")).alias("__blocked_dom")
+        )
+        out = df.withColumn("__dom", dom).join(
+            F.broadcast(bl), F.col("__dom") == F.col("__blocked_dom"), "left_anti"
+        )
+        return out.drop("__dom")
+    pred = ~dom.isin([b.lower() for b in blocked])
+    if keep_unparsed:
+        pred = pred | (dom == "")
+    return df.filter(pred)
+
+
+def per_domain_cap(
+    df: DataFrame, url_col: str, cap: int, key_col: str, seed: int = 0
+) -> DataFrame:
+    """At most ``cap`` rows per registered domain, chosen deterministically
+    (md5-ranked — the stratified_sample policy keyed on the domain): the
+    anti-SEO guard against a single host flooding the corpus. Bounded
+    per-group sort; the hot domain IS the skew case this exists to cap."""
+    from etl_processes_spark.ops.pack import stratified_sample
+
+    with_dom = df.withColumn("__domain", url_registered_domain_expr(url_col))
+    return stratified_sample(with_dom, "__domain", cap, key_col, seed).drop("__domain")

@@ -78,3 +78,28 @@ def test_pack_and_windows_under_ansi(ansi, spark):
         ["event_id", "user_id", "ts", "event_type", "value"],
     )
     assert sessionize(ev, gap_minutes=30).count() == 3
+
+
+def test_round4_ops_under_ansi(ansi, spark):
+    from etl_processes_spark.ops.classify import score_with_classifier
+    from etl_processes_spark.ops.dedup import line_dedup
+    from etl_processes_spark.ops.pack import shuffle_deterministic
+
+    docs = spark.createDataFrame(
+        [(0, "shared line\nunique zero"), (1, "shared line\nunique one"),
+         (2, ""), (3, None)],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in line_dedup(docs, "doc_id", "text").collect()}
+    assert out[0]["clean_text"] == "unique zero"
+    assert out[1]["clean_text"] == "unique one"
+    # null/empty text rows survive (empty normalizes to the shared '' hash)
+    assert 2 in out and 3 in out
+
+    df = spark.range(50).withColumnRenamed("id", "k")
+    ordered = [r["k"] for r in shuffle_deterministic(df, "k", seed=3).collect()]
+    assert sorted(ordered) == list(range(50))
+
+    emb = spark.createDataFrame([(0, [0.5, -0.5]), (1, [1.0, 1.0])], ["id", "v"])
+    scored = score_with_classifier(emb, "v", [0.3, 0.7], 0.1).collect()
+    assert all(0.0 <= r["clf_score"] <= 1.0 for r in scored)
