@@ -134,20 +134,45 @@ def line_dedup(
     is a BROADCAST anti-join — document bodies never shuffle by line hash.
     In-doc line order is restored by array_sort over (pos, line) structs,
     deterministic under any partitioning."""
+    lines = _exploded_lines(df, id_col, text_col, sep)
+    frequent = (
+        _line_doc_freq(lines)
+        .filter(F.col("line_df") > max_doc_freq)
+        .select("__h")
+    )
+    return _remove_and_reassemble(
+        df, lines, frequent, id_col, text_col, sep, join_sep
+    )
+
+
+def _exploded_lines(
+    df: DataFrame, id_col: str, text_col: str, sep: str
+) -> DataFrame:
+    """(__id, __pos, __line, __h) — one row per line, hashed; checkpointed
+    so scan+split+md5 runs once across the frequency and removal passes."""
     lines = df.select(
         F.col(id_col).alias("__id"),
         F.posexplode(F.split(F.col(text_col).cast("string"), sep)).alias(
             "__pos", "__line"
         ),
     ).withColumn("__h", md5_long_expr(normalized_text_expr(F.col("__line"))))
-    lines = lines.localCheckpoint(eager=False)  # scan+split+md5 runs once
+    return lines.localCheckpoint(eager=False)
 
-    frequent = (
-        lines.groupBy("__h")
-        .agg(F.count_distinct("__id").alias("__df"))
-        .filter(F.col("__df") > max_doc_freq)
-        .select("__h")
-    )
+
+def _line_doc_freq(lines: DataFrame) -> DataFrame:
+    """(__h, line_df): per-line-hash distinct document count."""
+    return lines.groupBy("__h").agg(F.count_distinct("__id").alias("line_df"))
+
+
+def _remove_and_reassemble(
+    df: DataFrame,
+    lines: DataFrame,
+    frequent: DataFrame,
+    id_col: str,
+    text_col: str,
+    sep: str,
+    join_sep: str | None,
+) -> DataFrame:
     kept = lines.join(F.broadcast(frequent), "__h", "left_anti")
     reassembled = kept.groupBy("__id").agg(
         F.array_join(
@@ -174,6 +199,50 @@ def line_dedup(
             ),
         )
     )
+
+
+def line_dedup_incremental(
+    batch: DataFrame,
+    line_counts: DataFrame | None,
+    id_col: str,
+    text_col: str,
+    sep: str = "\n",
+    max_doc_freq: int = 1,
+    join_sep: str | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Append-mode ``line_dedup``: clean a new BATCH against the corpus's
+    accumulated line-frequency state without re-reading any earlier batch.
+
+    ``line_counts`` is the state table (__h, line_df) — the union-summed
+    deltas of every prior batch (None/empty for a cold start). A line is
+    boilerplate when its TOTAL document frequency (state + this batch)
+    exceeds ``max_doc_freq``, so a banner that arrives one-doc-per-batch is
+    still caught once its cumulative count crosses the threshold.
+
+    Returns (cleaned_batch, counts_delta): ``cleaned_batch`` has the
+    ``line_dedup`` output schema; ``counts_delta`` is this batch's
+    (__h, line_df) to APPEND to the state table (consumers re-aggregate by
+    sum — the append-mode state-table pattern of ``dedup_incremental`` /
+    ``near_dup_incremental``, SCALING.md §append-mode). Cost scales with
+    the batch: the state table is touched only by the frequency merge
+    (aggregated state + batch delta), never re-derived from corpus text.
+    """
+    lines = _exploded_lines(batch, id_col, text_col, sep)
+    delta = _line_doc_freq(lines)
+    if line_counts is not None:
+        merged = (
+            line_counts.select("__h", "line_df")
+            .unionByName(delta)
+            .groupBy("__h")
+            .agg(F.sum("line_df").alias("line_df"))
+        )
+    else:
+        merged = delta
+    frequent = merged.filter(F.col("line_df") > max_doc_freq).select("__h")
+    cleaned = _remove_and_reassemble(
+        batch, lines, frequent, id_col, text_col, sep, join_sep
+    )
+    return cleaned, delta
 
 
 # ---------------------------------------------------------------------------

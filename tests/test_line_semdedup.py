@@ -134,3 +134,60 @@ def test_shuffle_deterministic(spark):
     expect = int(hashlib.md5(b"7:1").hexdigest()[:15], 16)
     row = shuffle_deterministic(df, "doc_id", seed=1).filter(F.col("doc_id") == 7).first()
     assert row["shuffle_rank"] == expect
+
+
+def test_line_dedup_incremental_flow(spark):
+    from etl_processes_spark.ops.dedup import line_dedup, line_dedup_incremental
+
+    b1 = spark.createDataFrame(
+        [(0, "banner\ndoc zero body"), (1, "banner\ndoc one body")],
+        ["doc_id", "text"],
+    )
+    b2 = spark.createDataFrame(
+        [(2, "banner\ndoc two body"), (3, "fresh\nno shared lines")],
+        ["doc_id", "text"],
+    )
+    # cold start: banner hits 2 docs in batch 1 → dropped there already
+    c1, d1 = line_dedup_incremental(b1, None, "doc_id", "text", max_doc_freq=1)
+    out1 = {r["doc_id"]: r["clean_text"] for r in c1.collect()}
+    assert out1[0] == "doc zero body" and out1[1] == "doc one body"
+
+    # batch 2: banner appears in ONE doc here, but state says df=2 → still dropped
+    c2, d2 = line_dedup_incremental(b2, d1, "doc_id", "text", max_doc_freq=1)
+    out2 = {r["doc_id"]: r["clean_text"] for r in c2.collect()}
+    assert out2[2] == "doc two body"
+    assert out2[3] == "fresh\nno shared lines"
+
+    # incremental result equals batch line_dedup over the full corpus
+    full = {r["doc_id"]: r["clean_text"]
+            for r in line_dedup(b1.unionByName(b2), "doc_id", "text").collect()}
+    assert {**out1, **out2} == full
+
+    # state delta is per-batch: appending d1+d2 and re-running batch 2 is
+    # deterministic (replay yields the identical cleaned output)
+    state = d1.unionByName(d2)
+    c2b, _ = line_dedup_incremental(b2, d1, "doc_id", "text", max_doc_freq=1)
+    assert {r["doc_id"]: r["clean_text"] for r in c2b.collect()} == out2
+    assert state.groupBy("__h").count().count() > 0
+
+
+def test_line_dedup_incremental_cross_batch_threshold(spark):
+    from etl_processes_spark.ops.dedup import line_dedup_incremental
+
+    # a banner arriving one-doc-per-batch crosses max_doc_freq=2 on batch 3
+    batches = [
+        spark.createDataFrame([(i, "slow banner\nbody %d" % i)], ["doc_id", "text"])
+        for i in range(3)
+    ]
+    state = None
+    outs = {}
+    for b in batches:
+        cleaned, delta = line_dedup_incremental(
+            b, state, "doc_id", "text", max_doc_freq=2
+        )
+        for r in cleaned.collect():
+            outs[r["doc_id"]] = r["clean_text"]
+        state = delta if state is None else state.unionByName(delta)
+    assert outs[0] == "slow banner\nbody 0"   # df=1 at the time
+    assert outs[1] == "slow banner\nbody 1"   # df=2 — at the threshold
+    assert outs[2] == "body 2"                # df=3 > 2 → dropped
