@@ -290,6 +290,9 @@ def run_incremental_ingest(
     shingle_k: int = 5,
     near_dup_threshold: float = 0.5,
     seed: int = 101,
+    line_counts: DataFrame | None = None,
+    line_dedup_max_df: int | None = None,
+    line_sep: str = "\n",
 ) -> tuple[DataFrame, dict[str, DataFrame]]:
     """The APPEND-MODE ingest flow — what a corpus pipeline runs per
     arriving batch, never re-reading the corpus itself. All corpus-side
@@ -304,17 +307,22 @@ def run_incremental_ingest(
       - ``lm_counts``: (token, c) frozen unigram LM → fluency scoring of
         the batch against the CORPUS distribution (`unigram_logprob_score`
         with counts_df — new batches must not re-estimate the LM, or
-        scores drift batch to batch).
+        scores drift batch to batch);
+      - ``line_counts`` (with ``line_dedup_max_df``): (__h, line_df)
+        accumulated line-frequency table → boilerplate-line removal
+        against the WHOLE corpus's counts (`line_dedup_incremental`) —
+        runs FIRST, so a doc that is an exact dup only because of its
+        banner still dedups after cleaning; docs emptied by cleaning drop.
 
     Then deterministic split assignment (``split_fractions``): a doc's
     split depends only on its key, so assignments never churn as the
     corpus grows.
 
     Returns (accepted, new_state) where new_state holds the DELTAS to
-    append: {"digests", "index", "counts"} — counts are the ACCEPTED
-    batch's token counts (merge = unionByName + groupBy-sum on the caller's
-    schedule). Every stage is anti-join/bucket-join shaped: per-batch cost
-    scales with the batch, not the corpus."""
+    append: {"digests", "index", "counts"[, "line_counts"]} — counts are
+    the ACCEPTED batch's token counts (merge = unionByName + groupBy-sum on
+    the caller's schedule). Every stage is anti-join/bucket-join shaped:
+    per-batch cost scales with the batch, not the corpus."""
     from pyspark.sql import functions as F
 
     from etl_processes_spark.ops.dedup import (
@@ -325,6 +333,20 @@ def run_incremental_ingest(
     )
     from etl_processes_spark.ops.pack import split_assign
     from etl_processes_spark.ops.textstats import unigram_logprob_score
+
+    line_counts_delta = None
+    if line_dedup_max_df is not None:
+        from etl_processes_spark.ops.dedup import line_dedup_incremental
+
+        cleaned, line_counts_delta = line_dedup_incremental(
+            batch, line_counts, id_col, text_col,
+            sep=line_sep, max_doc_freq=line_dedup_max_df,
+        )
+        extra = [c for c in batch.columns if c not in (id_col, text_col)]
+        cleaned = cleaned.filter(F.col("n_lines_kept") > 0).select(
+            id_col, F.col("clean_text").alias(text_col)
+        )
+        batch = cleaned.join(batch.select(id_col, *extra), id_col) if extra else cleaned
 
     if seen_digests is not None:
         batch, _ = dedup_incremental(batch, seen_digests, id_col, text_col)
@@ -357,8 +379,11 @@ def run_incremental_ingest(
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("c"))
     )
-    return accepted, {
+    state = {
         "digests": digests_delta,
         "index": index_delta,
         "counts": counts_delta,
     }
+    if line_counts_delta is not None:
+        state["line_counts"] = line_counts_delta
+    return accepted, state

@@ -345,3 +345,40 @@ def test_training_pipeline_line_semantic_shuffle_stages(spark):
     # shuffle: order reproducible and a pure function of the seed
     again = [r["doc_id"] for r in out.collect()]
     assert [r["doc_id"] for r in rows] == again
+
+
+def test_incremental_ingest_with_line_state(spark):
+    """Line-frequency state composes into the per-batch ingest: the banner
+    learned from batch 1 is stripped from batch 2's single occurrence, and
+    a doc that differs ONLY by its banner dedups exactly after cleaning."""
+    from etl_processes_spark.pipeline import run_incremental_ingest
+
+    b1 = spark.createDataFrame(
+        [(0, "banner line\nthe quick brown fox jumps over the lazy dog"),
+         (1, "banner line\na tall ship sails across the wide ocean tonight")],
+        ["doc_id", "text"],
+    )
+    acc1, st1 = run_incremental_ingest(
+        spark, b1, shingle_k=3, bands=32, line_dedup_max_df=1
+    )
+    assert sorted(r["doc_id"] for r in acc1.select("doc_id").collect()) == [0, 1]
+    assert "line_counts" in st1
+    texts1 = {r["doc_id"]: r["text"] for r in acc1.select("doc_id", "text").collect()}
+    assert all("banner" not in t for t in texts1.values())
+
+    # batch 2: doc 2 = doc 0's body + the banner → after cleaning it is an
+    # exact dup of accepted doc 0's digest → rejected
+    b2 = spark.createDataFrame(
+        [(2, "banner line\nthe quick brown fox jumps over the lazy dog"),
+         (3, "genuinely new content about mountains and rivers far away")],
+        ["doc_id", "text"],
+    )
+    acc2, st2 = run_incremental_ingest(
+        spark, b2,
+        seen_digests=st1["digests"], near_dup_index=st1["index"],
+        line_counts=st1["line_counts"], shingle_k=3, bands=32,
+        line_dedup_max_df=1,
+    )
+    ids2 = sorted(r["doc_id"] for r in acc2.select("doc_id").collect())
+    assert ids2 == [3]
+    assert "line_counts" in st2
