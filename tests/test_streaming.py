@@ -299,3 +299,59 @@ def test_stateless_assembly_ops_on_stream_match_batch(spark):
     finally:
         for d in (src, out, ckpt, out2, ckpt2):
             shutil.rmtree(d, ignore_errors=True)
+
+
+def test_incremental_ingest_stream_dedups_across_batches(spark, tmp_path):
+    """foreachBatch ingest: per-micro-batch state accumulation — a doc
+    arriving in a later file that duplicates an earlier batch's content is
+    rejected, and the state tables grow by appended deltas only."""
+    from etl_processes_spark.streaming.ingest import incremental_ingest_stream
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+
+    a = "the quick brown fox jumps over the lazy dog tonight again"
+    b = "a tall ship sails across the wide ocean to the old harbor"
+    c = "music and painting are the arts people love most of all"
+    # file 1: docs 0,1 ; file 2: doc 2 (dup of 0) + fresh doc 3 — placed as
+    # PLAIN parquet files in the stream dir (a file source reads files, not
+    # nested write.parquet directories)
+    import glob
+    import os
+    import shutil as sh
+
+    os.makedirs(src)
+    for name, rows in (
+        ("f1", [(0, a), (1, b)]),
+        ("f2", [(2, a), (3, c)]),
+    ):
+        tmp = str(tmp_path / ("w_" + name))
+        spark.createDataFrame(rows, ["doc_id", "text"]).coalesce(1)\
+            .write.parquet(tmp)
+        part = glob.glob(tmp + "/part-*.parquet")[0]
+        sh.copy(part, os.path.join(src, name + ".parquet"))
+
+    q = incremental_ingest_stream(
+        spark, src, out, state, ckpt,
+        max_files_per_trigger=1, shingle_k=3,
+    )
+    q.awaitTermination()
+
+    got = spark.read.parquet(out)
+    ids = sorted(r["doc_id"] for r in got.select("doc_id").collect())
+    # 2 is a content dup of 0 — rejected in whichever batch ran second
+    assert 3 in ids and len(ids) == 3
+    assert (2 in ids) != (0 in ids) or (0 in ids and 2 not in ids)
+
+    digests = spark.read.parquet(state + "/digests")
+    assert digests.distinct().count() == 3  # one digest per unique text
+
+    # restart over the same source: checkpoint says nothing new — no growth
+    q2 = incremental_ingest_stream(
+        spark, src, out, state, ckpt,
+        max_files_per_trigger=1, shingle_k=3,
+    )
+    q2.awaitTermination()
+    assert spark.read.parquet(out).count() == 3
