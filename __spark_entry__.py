@@ -845,7 +845,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("n_tokens").alias("k3"),
             F.md5(F.col("chunk_text")).alias("payload"),
         )
-        return bins.unionByName(chunks)
+        # third part: ExactSubstr-style duplicated-span removal (k=5 token
+        # windows shared by >= 2 docs vanish from every doc); payload =
+        # md5 of the cleaned text, so wrong coverage merging breaks the hash
+        from etl_processes_spark.ops.dedup import remove_duplicate_spans
+
+        despan = remove_duplicate_spans(
+            d.select("doc_id", "text"), "doc_id", "text", k=5, min_df=2
+        ).select(
+            F.lit("despan").alias("part"),
+            "doc_id",
+            F.col("n_tokens").alias("k1"),
+            F.col("n_tokens_kept").alias("k2"),
+            F.col("n_dup_windows").alias("k3"),
+            F.md5(F.col("clean_text")).alias("payload"),
+        )
+        return bins.unionByName(chunks).unionByName(despan)
 
     def q_cascading_rollup(spark, sf):
         # hypertable-style cascade: the DAILY layer aggregates the hourly
@@ -2737,7 +2752,7 @@ FROM cand c JOIN surv USING (h, doc_id)
     # cumsum; n_chars plays the token count, budget 4096
     # bin + chunk in one slot; chunk replays the whitespace tokenization,
     # the ceil((n-64)/48)+1 window count, and md5 of each window's text
-    sql["pack_documents"] = """
+    sql["pack_documents"] = f"""
 WITH c AS (SELECT doc_id, n_chars AS n_tokens,
                   coalesce(sum(n_chars) OVER (
                       ORDER BY doc_id
@@ -2767,6 +2782,30 @@ FROM (
                     ELSE CAST(ceil((n - 64) / 48.0) AS INT) + 1 END AS nk
         FROM tk)
   SELECT doc_id, t, n, unnest(range(0, nk)) AS chunk_id FROM k
+)
+UNION ALL
+SELECT 'despan' AS part, CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(n AS BIGINT) AS k1, CAST(len(kept) AS BIGINT) AS k2,
+       CAST(len(starts) AS BIGINT) AS k3,
+       md5(coalesce(array_to_string(kept, ' '), '')) AS payload
+FROM (
+  WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+  tk AS (SELECT doc_id, t, len(t) AS n FROM toks),
+  w AS (SELECT doc_id, unnest(range(1, n - 5 + 2)) AS s, t FROM tk WHERE n >= 5),
+  wh AS (SELECT doc_id, s,
+                CAST(concat('0x', substr(md5(array_to_string(t[s:s+4], ' ')), 1, 15)) AS BIGINT) AS h
+         FROM w),
+  f AS (SELECT h FROM wh GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+  st AS (SELECT doc_id, list_sort(list(DISTINCT s)) AS starts
+         FROM wh JOIN f USING (h) GROUP BY doc_id)
+  SELECT tk.doc_id, tk.n, coalesce(st.starts, []) AS starts,
+         list_filter(
+             list_transform(range(1, tk.n + 1), i ->
+                 CASE WHEN len(list_filter(coalesce(st.starts, []),
+                                           s -> s <= i AND i < s + 5)) = 0
+                      THEN tk.t[i] ELSE NULL END),
+             x -> x IS NOT NULL) AS kept
+  FROM tk LEFT JOIN st USING (doc_id)
 )
 """
 

@@ -895,3 +895,94 @@ def near_dup_incremental(
         dup_ids.withColumnRenamed("id", id_col), id_col, "left_anti"
     )
     return fresh, batch_index
+
+
+# ---------------------------------------------------------------------------
+# exact-substring (duplicated-span) dedup
+# ---------------------------------------------------------------------------
+
+
+def remove_duplicate_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+    min_df: int = 2,
+    max_df: int | None = None,
+) -> DataFrame:
+    """ExactSubstr-style span removal (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better"): every token covered by a
+    k-token window whose normalized hash occurs in >= ``min_df`` distinct
+    documents is removed from EVERY document — catches quoted passages and
+    copied paragraphs that whole-doc and line dedup both miss. Text is
+    canonicalized to single-space-joined tokens (the dedup family's
+    normalization). Returns (id_col, clean_text, n_tokens, n_tokens_kept,
+    n_dup_windows).
+
+    Plan (suffix-array-free — the classic formulation needs a global
+    suffix array; the window form is the same detection at fixed k and is
+    join-shaped): stride-1 k-token windows explode per doc (≈ one row per
+    token — the cost ceiling), keyed by 60-bit md5 of the window;
+    frequency agg on the 8-byte hash (distinct-doc count, partial-agg'd);
+    duplicated-window starts come back via an equi-join on the hash
+    (AQE picks broadcast when the frequent set is small; a quoted-passage
+    set is NOT guaranteed Zipf-tiny, so no broadcast is forced) and
+    collapse to one sorted array per doc; coverage is then a pure
+    array-expression filter — exists(starts, s <= i < s+k) per token index
+    — inside whole-stage codegen, no UDF. ``max_df`` caps pathological
+    windows (boilerplate detected by line dedup is cheaper there)."""
+    toks = tokens_expr(text_col)
+    base = df.select(
+        F.col(id_col).alias("__id"), toks.alias("__toks"), F.size(toks).alias("__n")
+    )
+    base = base.localCheckpoint(eager=False)  # feeds windows AND reassembly
+
+    win = base.filter(F.col("__n") >= k).select(
+        "__id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.col("__n") - k + 1),
+                lambda i: F.array_join(F.slice("__toks", i, k), " "),
+            )
+        ).alias("__p", "__w"),
+    ).select(
+        "__id", (F.col("__p") + 1).alias("__start"), md5_long_expr("__w").alias("__h")
+    )
+    win = win.localCheckpoint(eager=False)
+
+    freq = win.groupBy("__h").agg(F.count_distinct("__id").alias("__df"))
+    dup_pred = F.col("__df") >= min_df
+    if max_df is not None:
+        dup_pred = dup_pred & (F.col("__df") <= max_df)
+    frequent = freq.filter(dup_pred).select("__h")
+
+    starts = (
+        win.join(frequent, "__h")
+        .groupBy("__id")
+        .agg(F.array_sort(F.collect_set("__start")).alias("__starts"))
+    )
+
+    j = base.join(starts, "__id", "left").withColumn(
+        "__starts", F.coalesce("__starts", F.array().cast("array<int>"))
+    )
+    covered = lambda i: F.exists(
+        F.col("__starts"), lambda s: (s <= i) & (i < s + F.lit(k))
+    )
+    # sequence(1, 0) would generate a DESCENDING [1, 0] — token-less docs
+    # must map to an empty index list explicitly
+    idx = F.when(
+        F.col("__n") >= 1, F.sequence(F.lit(1), F.col("__n"))
+    ).otherwise(F.array().cast("array<int>"))
+    kept = F.filter(
+        F.transform(
+            idx, lambda i: F.when(~covered(i), F.element_at("__toks", i))
+        ),
+        lambda t: t.isNotNull(),
+    )
+    return j.select(
+        F.col("__id").alias(id_col),
+        F.array_join(kept, " ").alias("clean_text"),
+        F.col("__n").cast("long").alias("n_tokens"),
+        F.size(kept).cast("long").alias("n_tokens_kept"),
+        F.size("__starts").cast("long").alias("n_dup_windows"),
+    )

@@ -191,3 +191,62 @@ def test_line_dedup_incremental_cross_batch_threshold(spark):
     assert outs[0] == "slow banner\nbody 0"   # df=1 at the time
     assert outs[1] == "slow banner\nbody 1"   # df=2 — at the threshold
     assert outs[2] == "body 2"                # df=3 > 2 → dropped
+
+
+SPAN = "alpha bravo charlie delta echo foxtrot golf hotel"  # 8 tokens
+
+
+def test_remove_duplicate_spans(spark):
+    from etl_processes_spark.ops.dedup import remove_duplicate_spans
+
+    docs = spark.createDataFrame(
+        [
+            (0, f"intro words here {SPAN} closing remarks now"),
+            (1, f"different opening {SPAN} and a different ending"),
+            (2, "wholly original text with no copied passage inside it"),
+            (3, ""),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in remove_duplicate_spans(
+        docs, "doc_id", "text", k=8, min_df=2
+    ).collect()}
+    # the shared 8-token span vanishes from BOTH docs; surrounding text stays
+    assert out[0]["clean_text"] == "intro words here closing remarks now"
+    assert out[1]["clean_text"] == "different opening and a different ending"
+    assert out[2]["clean_text"] == "wholly original text with no copied passage inside it"
+    assert out[3]["clean_text"] == "" and out[3]["n_tokens"] == 0
+    assert out[0]["n_dup_windows"] == 1 and out[2]["n_dup_windows"] == 0
+    assert out[0]["n_tokens_kept"] == out[0]["n_tokens"] - 8
+
+
+def test_remove_duplicate_spans_overlapping_windows_merge(spark):
+    from etl_processes_spark.ops.dedup import remove_duplicate_spans
+
+    # a 10-token shared passage spawns 3 overlapping k=8 windows whose
+    # coverage must merge into one contiguous removed span
+    passage = SPAN + " india juliett"
+    docs = spark.createDataFrame(
+        [(0, f"aa bb {passage} cc dd"), (1, f"xx {passage} yy")],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r["clean_text"] for r in remove_duplicate_spans(
+        docs, "doc_id", "text", k=8, min_df=2
+    ).collect()}
+    assert out[0] == "aa bb cc dd"
+    assert out[1] == "xx yy"
+
+
+def test_remove_duplicate_spans_within_doc_repeat_not_removed(spark):
+    from etl_processes_spark.ops.dedup import remove_duplicate_spans
+
+    # min_df counts DISTINCT docs: a span repeated within one doc survives
+    docs = spark.createDataFrame(
+        [(0, f"{SPAN} middle {SPAN}"), (1, "unrelated text entirely")],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in remove_duplicate_spans(
+        docs, "doc_id", "text", k=8, min_df=2
+    ).collect()}
+    assert out[0]["n_dup_windows"] == 0
+    assert "alpha" in out[0]["clean_text"]
