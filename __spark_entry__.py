@@ -1337,6 +1337,14 @@ def bench_components() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         d = _t(spark, sf, "documents").select("doc_id", "n_chars")
         return shuffle_deterministic(d, "doc_id", seed=5)
 
+    def c_despan(spark, sf):
+        from etl_processes_spark.ops.dedup import remove_duplicate_spans
+
+        return remove_duplicate_spans(
+            _t(spark, sf, "documents").select("doc_id", "text"),
+            "doc_id", "text", k=5, min_df=2,
+        )
+
     return {
         "ngram_jaccard_pairs": c_ngram,
         "minhash_lsh_pairs": c_minhash,
@@ -1352,6 +1360,7 @@ def bench_components() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup": c_line_dedup,
         "semantic_dedup": c_semantic_dedup,
         "shuffle_deterministic": c_shuffle,
+        "remove_duplicate_spans": c_despan,
     }
 
 

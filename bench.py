@@ -54,6 +54,7 @@ def main() -> None:
         "pii_scrub",
         "embedding_near_dup",
         "line_dedup",
+        "remove_duplicate_spans",
         "semantic_dedup",
         "shuffle_deterministic",
         "winnowing_fingerprints",

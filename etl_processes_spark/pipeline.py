@@ -80,6 +80,8 @@ def run_training_data_pipeline(
     chunk_stride: int | None = None,
     line_dedup_max_df: int | None = None,
     line_sep: str = "\n",
+    span_dedup_k: int | None = None,
+    span_dedup_min_df: int = 2,
     semantic_embeddings: DataFrame | None = None,
     semantic_threshold: float = 0.95,
     semantic_vec_col: str = "embedding",
@@ -93,6 +95,10 @@ def run_training_data_pipeline(
          doc BEFORE any dedup/scoring (nav bars and banners otherwise both
          inflate quality scores and glue unrelated docs into near-dup
          clusters); docs left empty are dropped;
+      0b. optional exact-substring span removal (``span_dedup_k``):
+          k-token windows shared by >= span_dedup_min_df docs vanish from
+          every doc (copied passages); canonicalizes text to
+          space-joined tokens; emptied docs drop;
       1. duplicate-cluster resolution (exact ∪ n-gram near-dup edges →
          connected components) — keep one survivor (min id) per cluster;
       1a. optional semantic dedup (``semantic_embeddings``: a frame of
@@ -153,6 +159,22 @@ def run_training_data_pipeline(
             else cleaned.filter(F.col("n_lines_kept") > 0).select(
                 id_col, F.col("clean_text").alias(text_col)
             )
+        )
+
+    if span_dedup_k is not None:
+        from etl_processes_spark.ops.dedup import remove_duplicate_spans
+
+        despanned = remove_duplicate_spans(
+            docs, id_col, text_col, k=span_dedup_k, min_df=span_dedup_min_df
+        )
+        extra = [c for c in docs.columns if c not in (id_col, text_col)]
+        despanned = despanned.filter(F.col("n_tokens_kept") > 0).select(
+            id_col, F.col("clean_text").alias(text_col)
+        )
+        docs = (
+            despanned.join(docs.select(id_col, *extra), id_col)
+            if extra
+            else despanned
         )
 
     clusters = dedup_clusters(

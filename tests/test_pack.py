@@ -382,3 +382,23 @@ def test_incremental_ingest_with_line_state(spark):
     ids2 = sorted(r["doc_id"] for r in acc2.select("doc_id").collect())
     assert ids2 == [3]
     assert "line_counts" in st2
+
+
+def test_training_pipeline_span_dedup_stage(spark):
+    from etl_processes_spark.pipeline import run_training_data_pipeline
+
+    span = "alpha bravo charlie delta echo foxtrot golf hotel"
+    docs = spark.createDataFrame(
+        [(0, f"the original story begins here {span} and then continues onward"),
+         (1, f"a different tale opens now {span} with its own special ending"),
+         (2, "the entirely distinct content of the day has no copied passage")],
+        ["doc_id", "text"],
+    )
+    out = run_training_data_pipeline(
+        spark, docs, min_quality=0.0, langs=("en",), pack_budget=None,
+        span_dedup_k=8, near_dup_threshold=0.9,
+    ).collect()
+    texts = {r["doc_id"]: r["text"] for r in out}
+    assert sorted(texts) == [0, 1, 2]
+    assert all("alpha" not in t for t in texts.values())
+    assert "original story" in texts[0]
