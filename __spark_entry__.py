@@ -15,6 +15,11 @@ embedding statistics (md5 Box-Muller embeddings + 9dp-quantized moments,
 Cholesky/eigenbasis literals from numpy twins), PCA (sign-invariant
 projections), and both end-to-end profile→generate pipelines
 (synthesize_orders on orders, reference_pipeline on the fixture CSV).
+
+Round-4 labeled parts inside existing slots: line_dedup (dedup_exact),
+SemDeDup + classifier scoring (embedding_near_dup), ExactSubstr span
+removal (pack_documents despan), deterministic corpus shuffle (sampling
+shuffle_docs), URL-domain curation columns (text_analysis).
 """
 
 from __future__ import annotations
