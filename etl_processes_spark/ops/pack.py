@@ -297,3 +297,38 @@ def shuffle_deterministic(
         10,
     ).cast("long")
     return df.withColumn(rank_col, rank).orderBy(rank_col, key_col)
+
+
+def assemble_bins(
+    df: DataFrame,
+    bin_col: str = "bin_id",
+    offset_col: str = "offset_in_bin",
+    text_col: str = "text",
+    tokens_col: str = "n_tokens",
+    doc_sep: str = " ",
+) -> DataFrame:
+    """Materialize the packed TRAINING SEQUENCES: one row per bin with the
+    member texts concatenated in offset order (what actually feeds the
+    tokenizer), plus n_docs and the summed token count. The final step
+    after ``pack_documents``/``chunk_documents`` assigned bins.
+
+    One shuffle on the bin id; in-bin order is restored by array_sort over
+    (offset, text) structs — partition-invariant, the same reassembly
+    contract as line_dedup. Each output row is bounded by the pack budget
+    (plus one straddling doc), so rows stay small no matter the corpus."""
+    return (
+        df.groupBy(F.col(bin_col))
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col(offset_col), F.col(text_col)))
+                    ),
+                    lambda s: s[text_col],
+                ),
+                doc_sep,
+            ).alias("sequence"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(tokens_col).cast("long").alias("n_tokens"),
+        )
+    )

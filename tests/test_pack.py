@@ -402,3 +402,22 @@ def test_training_pipeline_span_dedup_stage(spark):
     assert sorted(texts) == [0, 1, 2]
     assert all("alpha" not in t for t in texts.values())
     assert "original story" in texts[0]
+
+
+def test_assemble_bins_materializes_sequences(spark):
+    from etl_processes_spark.ops.pack import assemble_bins, pack_documents
+
+    rows = [(i, f"doc{i} body", 40) for i in range(6)]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "n_tokens"])
+    packed = pack_documents(df, "doc_id", "n_tokens", budget=100).join(
+        df.select("doc_id", "text"), "doc_id"
+    )
+    seqs = {r["bin_id"]: r for r in assemble_bins(packed).collect()}
+    # 6 docs x 40 tokens, budget 100: bins 0..2 by the cumulative rule
+    assert sorted(seqs) == [0, 1, 2]
+    assert seqs[0]["sequence"] == "doc0 body doc1 body doc2 body"
+    assert seqs[0]["n_docs"] == 3 and seqs[0]["n_tokens"] == 120
+    # partition-invariant order
+    seqs2 = {r["bin_id"]: r["sequence"]
+             for r in assemble_bins(packed.repartition(7)).collect()}
+    assert {b: s["sequence"] for b, s in seqs.items()} == seqs2
