@@ -294,6 +294,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("lang").alias("stratum"),
             F.col("doc_id").cast("string").alias("key"),
         )
+        # token-weighted variant: rates from each language's TOKEN mass
+        # (n_chars as the proxy the table carries) — what production
+        # mixtures actually flatten; same scan-side Bernoulli machinery
+        from etl_processes_spark.ops.pack import mixture_rates_by_tokens
+
+        dt = _t(spark, sf, "documents").select("doc_id", "lang", "n_chars")
+        trates = mixture_rates_by_tokens(dt, "lang", "n_chars", alpha=0.5)
+        tmix = mixture_sample(dt, "lang", trates, "doc_id", seed=78).select(
+            F.lit("mixture_tokens").alias("part"),
+            F.col("lang").alias("stratum"),
+            F.col("doc_id").cast("string").alias("key"),
+        )
         # fourth family: deterministic train/val/test assignment (md5
         # interval test; the oracle reproduces the cumulative-fraction
         # doubles via the same 0.8+0.1 IEEE addition)
@@ -322,8 +334,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
         )
         return (
-            hashed.unionByName(strat).unionByName(mix).unionByName(split)
-            .unionByName(shuf)
+            hashed.unionByName(strat).unionByName(mix).unionByName(tmix)
+            .unionByName(split).unionByName(shuf)
         )
 
     # -- generators (rows-only: seeded, non-SQL) -------------------------------
@@ -2413,6 +2425,14 @@ FROM (WITH per AS (SELECT lang, CAST(count(*) AS DOUBLE) AS c FROM documents GRO
       SELECT d.doc_id, d.lang
       FROM documents d JOIN r USING (lang)
       WHERE (CAST(concat('0x', substr(md5('77:mix:' || CAST(d.doc_id AS VARCHAR)), 1, 13)) AS BIGINT)
+             + 0.5e0) / 4503599627370496e0 < rate)
+UNION ALL
+SELECT 'mixture_tokens' AS part, lang AS stratum, CAST(doc_id AS VARCHAR) AS key
+FROM (WITH per AS (SELECT lang, CAST(sum(n_chars) AS DOUBLE) AS t FROM documents GROUP BY lang),
+           r AS (SELECT lang, round(sqrt((SELECT min(t) FROM per) / t), 6) AS rate FROM per)
+      SELECT d.doc_id, d.lang
+      FROM documents d JOIN r USING (lang)
+      WHERE (CAST(concat('0x', substr(md5('78:mix:' || CAST(d.doc_id AS VARCHAR)), 1, 13)) AS BIGINT)
              + 0.5e0) / 4503599627370496e0 < rate)
 UNION ALL
 SELECT 'split_docs' AS part,

@@ -215,6 +215,40 @@ def mixture_rates(
     return {g: round(_pow(mn / c, 1.0 - alpha), ndigits) for g, c in counts.items()}
 
 
+def mixture_rates_by_tokens(
+    df: DataFrame,
+    group_col: str,
+    token_col: str,
+    alpha: float = 0.5,
+    ndigits: int = 6,
+) -> dict[str, float]:
+    """``mixture_rates`` weighted by TOKEN MASS instead of document count —
+    what production mixtures actually target (a group of few huge docs is
+    over-represented in training tokens even when its doc count is small):
+    rate_g = round((min_tokens / tokens_g) ** (1 - alpha), ndigits).
+
+    Same contract as mixture_rates: one |groups|-row aggregate, rates are
+    plain literals for the scan-side Bernoulli filter, sqrt-exact at the
+    default alpha so an external engine replays the selection. Note the
+    thinning is still per-DOCUMENT (keep/drop whole docs with probability
+    rate_g); the expected kept token share per group is rate_g * tokens_g,
+    which is what the temperature flattening operates on."""
+    import math
+
+    rows = (
+        df.groupBy(group_col).agg(F.sum(token_col).alias("__tok")).collect()
+    )
+    tokens = {r[group_col]: float(r["__tok"]) for r in rows if r["__tok"]}
+    if not tokens:
+        return {}
+    mn = min(tokens.values())
+
+    def _pow(x: float, e: float) -> float:
+        return math.sqrt(x) if e == 0.5 else x**e
+
+    return {g: round(_pow(mn / t, 1.0 - alpha), ndigits) for g, t in tokens.items()}
+
+
 def mixture_sample(
     df: DataFrame,
     group_col: str,

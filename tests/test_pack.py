@@ -421,3 +421,26 @@ def test_assemble_bins_materializes_sequences(spark):
     seqs2 = {r["bin_id"]: r["sequence"]
              for r in assemble_bins(packed.repartition(7)).collect()}
     assert {b: s["sequence"] for b, s in seqs.items()} == seqs2
+
+
+def test_mixture_rates_by_tokens(spark):
+    from etl_processes_spark.ops.pack import mixture_rates_by_tokens, mixture_sample
+
+    # en: few docs but huge token mass; de: many small docs
+    rows = [(i, "en", 1000) for i in range(5)] + [
+        (100 + i, "de", 10) for i in range(50)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "lang", "n_tokens"])
+    rates = mixture_rates_by_tokens(df, "lang", "n_tokens", alpha=0.5)
+    # token mass: en=5000, de=500 -> en rate sqrt(500/5000)=sqrt(0.1), de=1.0
+    import math
+    assert rates["de"] == 1.0
+    assert abs(rates["en"] - round(math.sqrt(0.1), 6)) < 1e-12
+    # doc-count rates would go the other way (en has FEWER docs)
+    from etl_processes_spark.ops.pack import mixture_rates
+    doc_rates = mixture_rates(df, "lang", alpha=0.5)
+    assert doc_rates["en"] == 1.0 and doc_rates["de"] < 1.0
+
+    kept = mixture_sample(df, "lang", rates, "doc_id", seed=7)
+    assert kept.filter("lang = 'de'").count() == 50  # rate 1.0 keeps all
+    assert 0 < kept.filter("lang = 'en'").count() <= 5
