@@ -204,3 +204,39 @@ def test_interval_overlap_join(spark):
 
     with pytest.raises(ValueError, match="granularity"):
         interval_overlap_join(left, right, "lo", "hi", "lo_r", "hi_r", granularity=0)
+
+
+def test_round4_ops_degenerate_inputs(spark):
+    """Empty/singleton/degenerate frames must not error in the round-4 ops."""
+    from etl_processes_spark.ops.dedup import line_dedup, remove_duplicate_spans
+    from etl_processes_spark.ops.pack import assemble_bins, shuffle_deterministic
+    from etl_processes_spark.ops.similarity import semantic_dedup
+    from pyspark.sql import types as T
+
+    empty = spark.createDataFrame(
+        [], T.StructType([T.StructField("doc_id", T.LongType()),
+                          T.StructField("text", T.StringType())])
+    )
+    assert line_dedup(empty, "doc_id", "text").count() == 0
+    assert remove_duplicate_spans(empty, "doc_id", "text").count() == 0
+    assert shuffle_deterministic(empty.select("doc_id"), "doc_id").count() == 0
+
+    one = spark.createDataFrame([(1, "just one doc")], ["doc_id", "text"])
+    r = line_dedup(one, "doc_id", "text").first()
+    assert r["clean_text"] == "just one doc"
+    r2 = remove_duplicate_spans(one, "doc_id", "text", k=2).first()
+    assert r2["clean_text"] == "just one doc"
+
+    # single vector: no pairs, must keep itself
+    sv = spark.createDataFrame([(7, [1.0, 0.0])], ["vec_id", "embedding"])
+    out = semantic_dedup(sv, "vec_id", "embedding", n_centroids=4).collect()
+    assert len(out) == 1 and out[0]["keep"]
+
+    # assemble over an empty packed frame
+    pe = spark.createDataFrame(
+        [], T.StructType([T.StructField("bin_id", T.LongType()),
+                          T.StructField("offset_in_bin", T.LongType()),
+                          T.StructField("text", T.StringType()),
+                          T.StructField("n_tokens", T.LongType())])
+    )
+    assert assemble_bins(pe).count() == 0
