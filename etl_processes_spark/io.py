@@ -223,3 +223,53 @@ def zorder_sink(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def sharded_sink(
+    df: DataFrame,
+    path: str,
+    rows_per_shard: int,
+    order_col: str | None = None,
+    manifest: bool = True,
+) -> None:
+    """Write the frame as bounded-size parquet SHARDS — the training-loader
+    layout (webdataset/Mosaic-style): every file holds at most
+    ``rows_per_shard`` rows, so loader workers can stripe shards without
+    opening footers first. ``order_col`` (e.g. the shuffle_rank from
+    shuffle_deterministic) makes shard boundaries follow a deterministic
+    global order: shard k holds positions [k*rows, (k+1)*rows).
+
+    A ``_manifest`` parquet subdir records (file, n_rows) per shard —
+    loaders size their work queue from |manifest| rows instead of listing
+    and footer-probing the directory (at 100 TB the listing alone is a
+    metadata storm).
+
+    Plan: with ``order_col`` this is ONE range-partitioned sort (the same
+    cost shuffle_deterministic already pays — compose them by passing its
+    rank column) sized so each partition holds one shard; without it, a
+    round-robin repartition (no sort). ``maxRecordsPerFile`` caps any
+    residual straggler partition."""
+    if rows_per_shard <= 0:
+        raise ValueError("rows_per_shard must be positive")
+    n_rows = df.count()
+    n_shards = max(1, -(-n_rows // rows_per_shard))
+    if order_col is not None:
+        out = df.repartitionByRange(n_shards, F.col(order_col)).sortWithinPartitions(
+            order_col
+        )
+    else:
+        out = df.repartition(n_shards)
+    (
+        out.write.mode("overwrite")
+        .option("maxRecordsPerFile", rows_per_shard)
+        .parquet(path)
+    )
+    if manifest:
+        spark = df.sparkSession
+        files = (
+            spark.read.parquet(path)
+            .select(F.input_file_name().alias("file"))
+            .groupBy("file")
+            .agg(F.count(F.lit(1)).alias("n_rows"))
+        )
+        files.coalesce(1).write.mode("overwrite").parquet(path + "/_manifest")
