@@ -310,6 +310,11 @@ def text_profile(
     for callers that only need the moment stats (validation re-embedding
     compares mean/std/skew/kurt only, Latanova_v1.py:433-446)."""
     base = df.filter(F.col(c).isNotNull())
+    if build_vocab:
+        # base feeds BOTH the embedding pass and the vocabulary build —
+        # persist so the source scan+filter runs once, not twice (profile
+        # inputs are bounded samples by contract, so caching text is safe)
+        base = base.persist()
     vec_df = embed_entries(base, c, vector_size).persist()
     try:
         d = MAX_TOKENS_PER_ENTRY * vector_size
@@ -355,6 +360,8 @@ def text_profile(
         }
     finally:
         vec_df.unpersist()
+        if build_vocab:
+            base.unpersist()
 
 
 # ---------------------------------------------------------------------------
