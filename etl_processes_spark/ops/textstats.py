@@ -447,3 +447,80 @@ def per_domain_cap(
 
     with_dom = df.withColumn("__domain", url_registered_domain_expr(url_col))
     return stratified_sample(with_dom, "__domain", cap, key_col, seed).drop("__domain")
+
+
+# ---------------------------------------------------------------------------
+# corpus-level reporting / snapshot diff
+# ---------------------------------------------------------------------------
+
+
+def corpus_stats(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    group_col: str | None = None,
+    ndigits: int = 6,
+) -> DataFrame:
+    """One-call corpus health report, per ``group_col`` (source/lang; None =
+    one global row): doc count, token count, token/doc quantiles, mean
+    quality score, exact-dup rate (1 - distinct content hashes / docs).
+    The per-doc signals are ONE fused projection + ONE aggregation — the
+    wide-agg pattern the profiling core uses; quantiles via
+    percentile_approx (sketch-mergeable, no sort)."""
+    from etl_processes_spark.ops.dedup import content_hash_expr
+
+    toks = token_count_expr(text_col)
+    per_doc = df.select(
+        F.col(id_col),
+        (F.lit(None) if group_col is None else F.col(group_col)).alias("__g"),
+        toks.alias("__tok"),
+        content_hash_expr(text_col).alias("__sha"),
+    )
+    # quality needs its own agg pass (token explode); join on the group
+    # would re-shuffle per doc — aggregate it per group directly instead
+    q = quality_features(df, id_col, text_col, ndigits=ndigits).select(
+        F.col(id_col), F.col("quality_score")
+    )
+    per_doc = per_doc.join(q, id_col, "left")
+    agg = per_doc.groupBy("__g").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("__tok").cast("long").alias("n_tokens"),
+        F.round(F.avg("__tok"), ndigits).alias("avg_tokens"),
+        F.percentile_approx("__tok", [0.5, 0.9, 0.99]).alias("__tq"),
+        F.round(F.avg("quality_score"), ndigits).alias("avg_quality"),
+        F.count_distinct("__sha").alias("__uniq"),
+    )
+    return agg.select(
+        F.col("__g").alias(group_col or "group"),
+        "n_docs",
+        "n_tokens",
+        "avg_tokens",
+        F.element_at("__tq", 1).alias("p50_tokens"),
+        F.element_at("__tq", 2).alias("p90_tokens"),
+        F.element_at("__tq", 3).alias("p99_tokens"),
+        "avg_quality",
+        F.round(1.0 - F.col("__uniq") / F.col("n_docs"), ndigits).alias("dup_rate"),
+    )
+
+
+def corpus_diff(
+    old: DataFrame, new: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Snapshot diff by id and normalized content: one row per doc present
+    in either snapshot, status ∈ {added, removed, changed, unchanged}.
+    Two anti-join-shaped hash joins on the id — no content ever compares
+    byte-wise across the wire (sha digests travel instead), so the diff of
+    two 100 TB snapshots moves ids + 64-byte hashes only."""
+    from etl_processes_spark.ops.dedup import content_hash_expr
+
+    o = old.select(F.col(id_col), content_hash_expr(text_col).alias("__old_sha"))
+    n = new.select(F.col(id_col), content_hash_expr(text_col).alias("__new_sha"))
+    j = o.join(n, id_col, "full_outer")
+    return j.select(
+        id_col,
+        F.when(F.col("__old_sha").isNull(), "added")
+        .when(F.col("__new_sha").isNull(), "removed")
+        .when(F.col("__old_sha") != F.col("__new_sha"), "changed")
+        .otherwise("unchanged")
+        .alias("status"),
+    )

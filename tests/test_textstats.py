@@ -229,3 +229,44 @@ def test_unigram_logprob_score(spark):
         for r in unigram_logprob_score(docs.repartition(7), "doc_id", "text").collect()
     )
     assert a == b
+
+
+def test_corpus_stats_per_group(spark):
+    from etl_processes_spark.ops.textstats import corpus_stats
+
+    rows = (
+        [(i, "en", "the quick brown fox jumps over the lazy dog") for i in range(4)]
+        + [(10, "de", "der hund und die katze laufen durch den park im regen")]
+    )
+    df = spark.createDataFrame(rows, ["doc_id", "lang", "text"])
+    out = {r["lang"]: r for r in corpus_stats(df, "doc_id", "text", "lang").collect()}
+    assert out["en"]["n_docs"] == 4 and out["de"]["n_docs"] == 1
+    assert out["en"]["n_tokens"] == 4 * 9
+    # 4 identical en docs -> 1 unique sha -> dup rate 0.75
+    assert abs(out["en"]["dup_rate"] - 0.75) < 1e-9
+    assert out["de"]["dup_rate"] == 0.0
+    assert out["en"]["p50_tokens"] == 9
+
+    # global (no group): one row
+    g = corpus_stats(df, "doc_id", "text").collect()
+    assert len(g) == 1 and g[0]["n_docs"] == 5
+
+
+def test_corpus_diff_statuses(spark):
+    from etl_processes_spark.ops.textstats import corpus_diff
+
+    old = spark.createDataFrame(
+        [(1, "stays the same"), (2, "gets edited soon"), (3, "will be removed")],
+        ["doc_id", "text"],
+    )
+    new = spark.createDataFrame(
+        [(1, "stays the same"), (2, "was edited now"), (4, "brand new doc")],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r["status"] for r in corpus_diff(old, new, "doc_id", "text").collect()}
+    assert out == {1: "unchanged", 2: "changed", 3: "removed", 4: "added"}
+    # normalization: case/punctuation differences are NOT changes
+    new2 = spark.createDataFrame([(1, "STAYS the same!!")], ["doc_id", "text"])
+    out2 = {r["doc_id"]: r["status"]
+            for r in corpus_diff(old.filter("doc_id=1"), new2, "doc_id", "text").collect()}
+    assert out2 == {1: "unchanged"}
