@@ -1,0 +1,73 @@
+"""Large-scale data-processing operators (driver-mandated extension
+families). Import from the submodules for the full surface; the names
+below are the high-traffic entry points re-exported for discoverability.
+
+Submodules: dedup (exact / near / line / span / semantic / incremental),
+similarity (top-k, ANN, SemDeDup), textstats (lang-ID, quality, PII,
+repetition, web curation, corpus reports), classify (model-based quality
+filter), pack (sampling, mixtures, splits, chunking, packing, shuffle),
+decontaminate, multimodal, asof, rangejoin, skew, relational.
+"""
+
+from etl_processes_spark.ops.classify import (
+    filter_by_classifier,
+    score_with_classifier,
+    train_logistic,
+)
+from etl_processes_spark.ops.dedup import (
+    dedup_clusters,
+    dedup_exact,
+    dedup_incremental,
+    line_dedup,
+    line_dedup_incremental,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    remove_duplicate_spans,
+    simhash_fingerprints,
+)
+from etl_processes_spark.ops.decontaminate import contamination_report, decontaminate
+from etl_processes_spark.ops.pack import (
+    assemble_bins,
+    chunk_documents,
+    mixture_rates,
+    mixture_rates_by_tokens,
+    mixture_sample,
+    pack_documents,
+    shuffle_deterministic,
+    split_assign,
+    stratified_sample,
+)
+from etl_processes_spark.ops.similarity import (
+    ann_cosine_ivf,
+    ann_cosine_lsh,
+    cosine_topk_fast,
+    embedding_near_dup_pairs,
+    semantic_dedup,
+)
+from etl_processes_spark.ops.textstats import (
+    corpus_diff,
+    corpus_stats,
+    domain_blocklist_filter,
+    lang_id,
+    per_domain_cap,
+    pii_scrub,
+    quality_features,
+    repetition_stats,
+    token_count,
+    unigram_logprob_score,
+)
+
+__all__ = [
+    "ann_cosine_ivf", "ann_cosine_lsh", "assemble_bins", "chunk_documents",
+    "contamination_report", "corpus_diff", "corpus_stats", "cosine_topk_fast",
+    "decontaminate", "dedup_clusters", "dedup_exact", "dedup_incremental",
+    "domain_blocklist_filter", "embedding_near_dup_pairs",
+    "filter_by_classifier", "lang_id", "line_dedup", "line_dedup_incremental",
+    "minhash_lsh_pairs", "mixture_rates", "mixture_rates_by_tokens",
+    "mixture_sample", "ngram_jaccard_pairs", "pack_documents", "per_domain_cap",
+    "pii_scrub", "quality_features", "remove_duplicate_spans",
+    "repetition_stats", "score_with_classifier", "semantic_dedup",
+    "shuffle_deterministic", "simhash_fingerprints", "split_assign",
+    "stratified_sample", "token_count", "train_logistic",
+    "unigram_logprob_score",
+]
