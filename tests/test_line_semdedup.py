@@ -313,3 +313,16 @@ def test_remove_duplicate_spans_conservative(spark, docs, k):
         assert out[i]["n_tokens"] == len(toks)
         assert out[i]["n_tokens_kept"] == len(kept)
         assert 0 <= out[i]["n_dup_windows"] <= max(0, len(toks) - k + 1)
+
+
+def test_remove_duplicate_spans_partition_invariant(spark):
+    from etl_processes_spark.ops.dedup import remove_duplicate_spans
+
+    span = "alpha bravo charlie delta echo foxtrot golf hotel"
+    docs = [(i, f"filler {i} words {span} trailing {i}") for i in range(20)]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    a = sorted(map(tuple, remove_duplicate_spans(df, "doc_id", "text", k=8).collect()))
+    b = sorted(map(tuple, remove_duplicate_spans(
+        df.repartition(11), "doc_id", "text", k=8
+    ).collect()))
+    assert a == b

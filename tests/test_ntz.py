@@ -111,3 +111,24 @@ def test_rollups_and_windows_ntz(events_ts, events_ntz):
         ["day", "event_type", "n_events", "sum_value"],
     )
     assert a == b and len(a) > 0
+
+
+def test_ntz_with_ansi_combined(spark, events_ts, events_ntz):
+    """The driver runs NTZ input under ANSI mode — exercise both at once
+    for the time-ordered operators (casts that silently truncate without
+    ANSI can throw with it)."""
+    prev = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    try:
+        a = sorted(map(tuple, sessionize(events_ntz.limit(500)).collect()))
+        b = sorted(map(tuple, sessionize(events_ts.limit(500)).collect()))
+        assert a == b
+        left = events_ntz.limit(200).select("event_id", "user_id", "ts")
+        right = events_ntz.limit(200).select(
+            "user_id", "ts", F.col("value").alias("v")
+        )
+        out = asof_join(left, right, on="user_id")
+        assert out.count() == 200
+        assert hourly_event_rollup(events_ntz.limit(500)).count() > 0
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", prev)
