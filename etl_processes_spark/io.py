@@ -251,19 +251,26 @@ def sharded_sink(
     residual straggler partition."""
     if rows_per_shard <= 0:
         raise ValueError("rows_per_shard must be positive")
-    n_rows = df.count()
-    n_shards = max(1, -(-n_rows // rows_per_shard))
-    if order_col is not None:
-        out = df.repartitionByRange(n_shards, F.col(order_col)).sortWithinPartitions(
-            order_col
+    # the count and the write both consume the (possibly expensive — a
+    # global sort when composed with shuffle_deterministic) upstream plan:
+    # persist so it executes once
+    df = df.persist()
+    try:
+        n_rows = df.count()
+        n_shards = max(1, -(-n_rows // rows_per_shard))
+        if order_col is not None:
+            out = df.repartitionByRange(
+                n_shards, F.col(order_col)
+            ).sortWithinPartitions(order_col)
+        else:
+            out = df.repartition(n_shards)
+        (
+            out.write.mode("overwrite")
+            .option("maxRecordsPerFile", rows_per_shard)
+            .parquet(path)
         )
-    else:
-        out = df.repartition(n_shards)
-    (
-        out.write.mode("overwrite")
-        .option("maxRecordsPerFile", rows_per_shard)
-        .parquet(path)
-    )
+    finally:
+        df.unpersist()
     if manifest:
         spark = df.sparkSession
         files = (

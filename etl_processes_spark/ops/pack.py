@@ -238,15 +238,24 @@ def mixture_rates_by_tokens(
     rows = (
         df.groupBy(group_col).agg(F.sum(token_col).alias("__tok")).collect()
     )
-    tokens = {r[group_col]: float(r["__tok"]) for r in rows if r["__tok"]}
+    tokens = {r[group_col]: float(r["__tok"] or 0.0) for r in rows}
+    positive = [t for t in tokens.values() if t > 0]
     if not tokens:
         return {}
-    mn = min(tokens.values())
+    if not positive:  # no group carries tokens — keep everything
+        return {g: 1.0 for g in tokens}
+    mn = min(positive)
 
     def _pow(x: float, e: float) -> float:
         return math.sqrt(x) if e == 0.5 else x**e
 
-    return {g: round(_pow(mn / t, 1.0 - alpha), ndigits) for g, t in tokens.items()}
+    # zero/NULL-mass groups keep rate 1.0 (they contribute no tokens, and
+    # an absent dict entry would hit mixture_sample's default_rate=0.0 —
+    # silently deleting the whole group)
+    return {
+        g: (1.0 if t <= 0 else round(_pow(mn / t, 1.0 - alpha), ndigits))
+        for g, t in tokens.items()
+    }
 
 
 def mixture_sample(

@@ -555,6 +555,12 @@ def semantic_dedup(
         .limit(fit_sample)
         .toPandas()
     )
+    if len(sample_pdf) == 0:  # empty corpus: nothing to cluster or prune
+        return corpus.select(
+            F.col(id_col),
+            F.lit(0).cast("int").alias("cluster_id"),
+            F.lit(True).alias("keep"),
+        )
     X = np.stack(sample_pdf[vec_col].to_numpy()).astype(np.float64)
     X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
     C = _spherical_kmeans(X, n_centroids, seed)

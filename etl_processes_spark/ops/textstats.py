@@ -422,17 +422,24 @@ def domain_blocklist_filter(
     a DataFrame blocklist (single column of domains) becomes a BROADCAST
     anti-join — the corpus never shuffles by domain either way."""
     dom = url_registered_domain_expr(url_col)
+    # NULL url → NULL domain; '' → regex miss. Both are "unparsed" and must
+    # be decided by keep_unparsed EXPLICITLY on both paths — a bare filter
+    # predicate evaluating to NULL silently drops the row otherwise.
+    unparsed = dom.isNull() | (dom == "")
     if isinstance(blocked, DataFrame):
         bl = blocked.select(
             F.lower(F.col(blocked.columns[0]).cast("string")).alias("__blocked_dom")
         )
-        out = df.withColumn("__dom", dom).join(
+        out = df.withColumn("__dom", dom)
+        if not keep_unparsed:
+            out = out.filter(~(F.col("__dom").isNull() | (F.col("__dom") == "")))
+        out = out.join(
             F.broadcast(bl), F.col("__dom") == F.col("__blocked_dom"), "left_anti"
         )
         return out.drop("__dom")
-    pred = ~dom.isin([b.lower() for b in blocked])
-    if keep_unparsed:
-        pred = pred | (dom == "")
+    pred = F.when(unparsed, F.lit(keep_unparsed)).otherwise(
+        ~dom.isin([b.lower() for b in blocked])
+    )
     return df.filter(pred)
 
 
@@ -474,10 +481,14 @@ def corpus_stats(
         F.col(id_col),
         (F.lit(None) if group_col is None else F.col(group_col)).alias("__g"),
         toks.alias("__tok"),
-        content_hash_expr(text_col).alias("__sha"),
+        # NULL text hashes to NULL, which count_distinct would skip while
+        # n_docs counts the row — coalesce so all-null docs form ONE
+        # empty-content group and the dup rate stays consistent
+        F.coalesce(content_hash_expr(text_col), F.lit("")).alias("__sha"),
     )
-    # quality needs its own agg pass (token explode); join on the group
-    # would re-shuffle per doc — aggregate it per group directly instead
+    # quality_score comes from its own aggregation pass (token explode), so
+    # one id-keyed join is unavoidable — but both sides are two narrow
+    # columns (id + score / id + group), never document bodies
     q = quality_features(df, id_col, text_col, ndigits=ndigits).select(
         F.col(id_col), F.col("quality_score")
     )
@@ -513,14 +524,24 @@ def corpus_diff(
     two 100 TB snapshots moves ids + 64-byte hashes only."""
     from etl_processes_spark.ops.dedup import content_hash_expr
 
-    o = old.select(F.col(id_col), content_hash_expr(text_col).alias("__old_sha"))
-    n = new.select(F.col(id_col), content_hash_expr(text_col).alias("__new_sha"))
+    # explicit presence flags: a doc with NULL text hashes to NULL, which a
+    # sha-only null check would misread as absent (added/removed)
+    o = old.select(
+        F.col(id_col),
+        F.lit(True).alias("__in_old"),
+        content_hash_expr(text_col).alias("__old_sha"),
+    )
+    n = new.select(
+        F.col(id_col),
+        F.lit(True).alias("__in_new"),
+        content_hash_expr(text_col).alias("__new_sha"),
+    )
     j = o.join(n, id_col, "full_outer")
     return j.select(
         id_col,
-        F.when(F.col("__old_sha").isNull(), "added")
-        .when(F.col("__new_sha").isNull(), "removed")
-        .when(F.col("__old_sha") != F.col("__new_sha"), "changed")
+        F.when(F.col("__in_old").isNull(), "added")
+        .when(F.col("__in_new").isNull(), "removed")
+        .when(~F.col("__old_sha").eqNullSafe(F.col("__new_sha")), "changed")
         .otherwise("unchanged")
         .alias("status"),
     )

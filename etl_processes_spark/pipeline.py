@@ -186,9 +186,16 @@ def run_training_data_pipeline(
     if semantic_embeddings is not None:
         from etl_processes_spark.ops.similarity import semantic_dedup
 
+        # restrict to ids still alive after lexical dedup BEFORE computing
+        # components: otherwise a component whose min-id representative was
+        # already removed (or has no doc row) loses ALL its members — the
+        # survivor must be a doc that actually remains in the corpus
+        live_emb = semantic_embeddings.join(
+            kept.select(id_col), id_col, "left_semi"
+        )
         sem_losers = (
             semantic_dedup(
-                semantic_embeddings, id_col, semantic_vec_col,
+                live_emb, id_col, semantic_vec_col,
                 threshold=semantic_threshold, seed=seed,
             )
             .filter(~F.col("keep"))
@@ -356,11 +363,12 @@ def run_incremental_ingest(
     from etl_processes_spark.ops.pack import split_assign
     from etl_processes_spark.ops.textstats import unigram_logprob_score
 
-    line_counts_delta = None
-    if line_dedup_max_df is not None:
+    raw_batch = batch  # pre-cleaning originals, for the accepted-only line delta
+    line_cleaning = line_dedup_max_df is not None
+    if line_cleaning:
         from etl_processes_spark.ops.dedup import line_dedup_incremental
 
-        cleaned, line_counts_delta = line_dedup_incremental(
+        cleaned, _ = line_dedup_incremental(
             batch, line_counts, id_col, text_col,
             sep=line_sep, max_doc_freq=line_dedup_max_df,
         )
@@ -406,6 +414,19 @@ def run_incremental_ingest(
         "index": index_delta,
         "counts": counts_delta,
     }
-    if line_counts_delta is not None:
-        state["line_counts"] = line_counts_delta
+    if line_cleaning:
+        # the line-frequency delta counts the ORIGINAL (pre-cleaning) lines
+        # of ACCEPTED docs only — state describes the ingested corpus, so a
+        # replayed batch (nothing accepted) appends an EMPTY delta
+        # (idempotence), and duplicate docs never inflate the counts. The
+        # original lines (not the cleaned ones) keep already-stripped
+        # boilerplate counted so it stays above the cap in future batches.
+        from etl_processes_spark.ops.dedup import _exploded_lines, _line_doc_freq
+
+        accepted_raw = raw_batch.join(
+            accepted.select(id_col), id_col, "left_semi"
+        )
+        state["line_counts"] = _line_doc_freq(
+            _exploded_lines(accepted_raw, id_col, text_col, line_sep)
+        )
     return accepted, state

@@ -3,12 +3,13 @@ append-mode pipeline (`pipeline.run_incremental_ingest`).
 
 A file-source stream delivers document batches; ``foreachBatch`` runs the
 per-batch ingest (exact + near-dup dedup, optional line cleaning and
-LM-fluency floor against FROZEN corpus state), appends accepted docs to the
-output table and the per-batch deltas to the parquet state tables. State is
-re-read per batch, so the stream picks up exactly where it stopped — the
-checkpoint makes source progress exactly-once, and a replayed batch dedups
-against its own already-appended digests (the ingest flow's idempotence),
-so retries cannot double-ingest.
+LM-fluency floor against FROZEN corpus state). Every write — accepted docs
+and each state delta — lands in a per-epoch ``batch=<id>`` partition dir
+with OVERWRITE semantics: a replayed micro-batch (crash anywhere between
+writes, checkpoint not committed) recomputes against only EARLIER epochs'
+state (its own half-written deltas are filtered out by epoch id) and
+rewrites its own partition dirs, so retries can neither double-ingest nor
+lose the batch — the idempotent-foreachBatch-sink pattern.
 
 At 100 TB this is the steady-state shape: per-batch cost scales with the
 batch (anti-join / bucket-join against compact state), never the corpus;
@@ -17,22 +18,36 @@ the state tables are ordinary parquet directories any engine can read.
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession
 
 
 STATE_TABLES = ("digests", "index", "counts", "line_counts")
 
 
-def _load_state(spark: SparkSession, state_dir: str, name: str) -> DataFrame | None:
-    path = os.path.join(state_dir, name)
+def _load_state(
+    spark: SparkSession,
+    state_dir: str,
+    name: str,
+    before_batch: int | None = None,
+) -> DataFrame | None:
+    """Read a state table if it exists. Goes through the Spark reader (no
+    driver-local listing), so state_dir may live on any Hadoop-compatible
+    filesystem (hdfs://, s3a://, file:); absent/empty tables are a cold
+    start, not an error. Epoch subdirs are partition-discovered; with
+    ``before_batch`` only earlier epochs' deltas are visible — a REPLAYED
+    micro-batch must not see its own half-written deltas, or it would
+    reject its whole batch and overwrite good output with nothing."""
     try:
-        if any(f.endswith(".parquet") for f in os.listdir(path)):
-            return spark.read.parquet(path)
-    except OSError:
-        pass
-    return None
+        df = spark.read.parquet(f"{state_dir}/{name}")
+        if "batch" in df.columns:
+            from pyspark.sql import functions as F
+
+            if before_batch is not None:
+                df = df.filter(F.col("batch") < before_batch)
+            df = df.drop("batch")
+        return df
+    except Exception:
+        return None
 
 
 def _merged_counts(df: DataFrame | None, key: str, val: str) -> DataFrame | None:
@@ -76,12 +91,15 @@ def incremental_ingest_stream(
         if batch_df.isEmpty():
             return
         sess = batch_df.sparkSession
-        digests = _load_state(sess, state_dir, "digests")
-        index = _load_state(sess, state_dir, "index")
+        digests = _load_state(sess, state_dir, "digests", before_batch=batch_id)
+        index = _load_state(sess, state_dir, "index", before_batch=batch_id)
         counts = _merged_counts(
-            _load_state(sess, state_dir, "counts"), "token", "c"
+            _load_state(sess, state_dir, "counts", before_batch=batch_id),
+            "token", "c",
         )
-        line_counts = _load_state(sess, state_dir, "line_counts")
+        line_counts = _load_state(
+            sess, state_dir, "line_counts", before_batch=batch_id
+        )
         accepted, deltas = run_incremental_ingest(
             sess,
             batch_df,
@@ -99,11 +117,18 @@ def incremental_ingest_stream(
         # persist so the dedup subtree runs once per batch, not once per sink
         accepted = accepted.persist()
         try:
-            accepted.write.mode("append").parquet(out_dir)
+            # every write lands in a PER-EPOCH partition dir with overwrite:
+            # a replayed micro-batch (crash between writes, checkpoint not
+            # yet committed) rewrites its own batch=<id> dirs instead of
+            # appending duplicates — the idempotent-foreachBatch-sink
+            # pattern; readers partition-discover the epoch subdirs
+            accepted.write.mode("overwrite").parquet(
+                f"{out_dir}/batch={batch_id}"
+            )
             for name in STATE_TABLES:
                 if name in deltas:
-                    deltas[name].write.mode("append").parquet(
-                        os.path.join(state_dir, name)
+                    deltas[name].write.mode("overwrite").parquet(
+                        f"{state_dir}/{name}/batch={batch_id}"
                     )
         finally:
             accepted.unpersist()

@@ -240,3 +240,17 @@ def test_round4_ops_degenerate_inputs(spark):
                           T.StructField("n_tokens", T.LongType())])
     )
     assert assemble_bins(pe).count() == 0
+
+
+def test_semantic_dedup_empty_corpus(spark):
+    from pyspark.sql import types as T
+
+    from etl_processes_spark.ops.similarity import semantic_dedup
+
+    empty = spark.createDataFrame(
+        [], T.StructType([T.StructField("vec_id", T.LongType()),
+                          T.StructField("embedding", T.ArrayType(T.DoubleType()))])
+    )
+    out = semantic_dedup(empty, "vec_id", "embedding")
+    assert out.count() == 0
+    assert set(out.columns) == {"vec_id", "cluster_id", "keep"}

@@ -444,3 +444,38 @@ def test_mixture_rates_by_tokens(spark):
     kept = mixture_sample(df, "lang", rates, "doc_id", seed=7)
     assert kept.filter("lang = 'de'").count() == 50  # rate 1.0 keeps all
     assert 0 < kept.filter("lang = 'en'").count() <= 5
+
+
+def test_mixture_rates_by_tokens_zero_token_group(spark):
+    from etl_processes_spark.ops.pack import mixture_rates_by_tokens
+
+    df = spark.createDataFrame(
+        [(1, "en", 100), (2, "en", 100), (3, "xx", 0)],
+        ["doc_id", "lang", "n_tokens"],
+    )
+    rates = mixture_rates_by_tokens(df, "lang", "n_tokens")
+    # a zero-mass group keeps rate 1.0 — an absent entry would be deleted
+    # wholesale by mixture_sample's default_rate=0.0
+    assert rates["xx"] == 1.0 and rates["en"] == 1.0
+
+
+def test_incremental_ingest_line_state_replay_is_noop(spark):
+    """Replaying a batch against state that already contains it must
+    produce an EMPTY line-frequency delta (idempotent ingest)."""
+    from etl_processes_spark.pipeline import run_incremental_ingest
+
+    b = spark.createDataFrame(
+        [(0, "banner\nthe quick brown fox jumps high"),
+         (1, "banner\na tall ship sails away tonight")],
+        ["doc_id", "text"],
+    )
+    acc1, st1 = run_incremental_ingest(spark, b, shingle_k=3, line_dedup_max_df=1)
+    assert st1["line_counts"].count() > 0
+    # replay the SAME batch with the state appended: all docs rejected
+    acc2, st2 = run_incremental_ingest(
+        spark, b, seen_digests=st1["digests"], near_dup_index=st1["index"],
+        line_counts=st1["line_counts"], shingle_k=3, line_dedup_max_df=1,
+    )
+    assert acc2.count() == 0
+    assert st2["line_counts"].count() == 0   # no double-counted lines
+    assert st2["digests"].count() == 0

@@ -270,3 +270,12 @@ def test_corpus_diff_statuses(spark):
     out2 = {r["doc_id"]: r["status"]
             for r in corpus_diff(old.filter("doc_id=1"), new2, "doc_id", "text").collect()}
     assert out2 == {1: "unchanged"}
+
+
+def test_corpus_diff_null_text(spark):
+    from etl_processes_spark.ops.textstats import corpus_diff
+
+    old = spark.createDataFrame([(1, None), (2, "text"), (3, None)], ["doc_id", "text"])
+    new = spark.createDataFrame([(1, "filled"), (2, None), (3, None)], ["doc_id", "text"])
+    out = {r["doc_id"]: r["status"] for r in corpus_diff(old, new, "doc_id", "text").collect()}
+    assert out == {1: "changed", 2: "changed", 3: "unchanged"}

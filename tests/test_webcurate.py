@@ -79,3 +79,20 @@ def test_per_domain_cap(spark):
     a = sorted(r["id"] for r in capped.collect())
     b = sorted(r["id"] for r in per_domain_cap(df, "url", 10, "id", seed=1).collect())
     assert a == b
+
+
+def test_blocklist_null_url_and_keep_unparsed(urls, spark):
+    # NULL/unparseable urls follow keep_unparsed on BOTH paths
+    kept = {r["id"] for r in domain_blocklist_filter(
+        urls, "url", ["bad-site.net"], keep_unparsed=True
+    ).collect()}
+    assert 5 in kept and 4 in kept          # NULL + junk kept
+    dropped = {r["id"] for r in domain_blocklist_filter(
+        urls, "url", ["bad-site.net"], keep_unparsed=False
+    ).collect()}
+    assert 5 not in dropped
+    bl = spark.createDataFrame([("bad-site.net",)], ["domain"])
+    strict = {r["id"] for r in domain_blocklist_filter(
+        urls, "url", bl, keep_unparsed=False
+    ).collect()}
+    assert 5 not in strict and 1 not in strict
