@@ -59,11 +59,17 @@ def generate(
     # the ONLY column named "id" through every intermediate stage, or a
     # profiled column named "id" makes each reference AMBIGUOUS.
     tmp_of = {name: f"__etl_gen_{i}__" for i, name in enumerate(profiles)}
-    # Materialize one uniform column per categorical target FIRST: a raw
-    # F.rand() inside a when-chain re-draws per branch (see gen_categorical).
+    # Materialize one uniform column per INLINE categorical target FIRST: a
+    # raw F.rand() inside a when-chain re-draws per branch (see
+    # gen_categorical). Join-path categoricals (> _MAX_INLINE categories)
+    # draw their own 'catj' uniform inside gen_categorical_join — giving
+    # them a __r_i would leave a dead expression node in every row.
     rand_cols: dict[str, str] = {}
     for i, (name, prof) in enumerate(profiles.items()):
         if prof.logical_type == CATEGORICAL:
+            cats = prof.stats.get("categories")
+            if cats and len(cats) > _MAX_INLINE:
+                continue  # join path: never reads __r_i
             rc = f"__r_{i}"
             frame = frame.withColumn(rc, gen_u_expr(seed + 7919 * i, "cat"))
             rand_cols[name] = rc

@@ -196,15 +196,28 @@ def profile(
                         F.max(F.abs(F.col(c) * 100 - F.round(F.col(c) * 100, 0))).alias(
                             "frac"
                         ),
+                        F.max(F.abs(F.col(c) - F.round(F.col(c), 0))).alias("ifrac"),
+                        F.count(F.lit(1)).alias("n"),
                     ).collect()[0]
                     if guard["mx"] is None or float(guard["mx"]) >= 1e9:
                         return None  # out of exact-decimal range
+                    # Σy⁴ must fit decimal(38,0): with ANSI off an overflow
+                    # is a silent NULL (kurt would come back None), with
+                    # ANSI on it throws — refuse the exact path up front
+                    if float(guard["mx"]) ** 4 * int(guard["n"]) >= 9e37:
+                        return None
                     # tolerance: a 2dp value stored as double leaves ~1e-9
                     # representation noise in c*100 (4755.8*100 =
                     # 475579.99999...); only genuine >2dp data (frac >= 0.1
                     # after cents scaling) must keep double moments
                     if t == FLOAT and float(guard["frac"] or 0.0) > 1e-6:
                         return None  # >2dp values: cents scaling would corrupt
+                    # INTEGER-typed columns can still hold fractional values
+                    # (int_ratio >= 0.95 admits 5% non-integers) — the
+                    # decimal(9,0) cast would silently ROUND them, changing
+                    # the stats; same 'ifrac' guard validate.py uses
+                    if t == INTEGER and float(guard["ifrac"] or 0.0) > 1e-6:
+                        return None
                 return numeric_profile_exact_df(nn, y, out_mult=mult).collect()[0]
 
             todo_exact = {
@@ -220,13 +233,34 @@ def profile(
                         if row is None:
                             continue
                         p = f"{c}__"
-                        for k_out, k_row in (
-                            ("mean", "mean"), ("std", "std"), ("median", "median"),
-                            ("min_val", "min_val"), ("max_val", "max_val"),
-                            ("skew", "skew"), ("kurt", "kurt"),
-                            ("q1", "q1"), ("q3", "q3"),
+                        # sanity backstop against the exact path's two known
+                        # numeric hazards (decimal overflow → NULL; m2 =
+                        # s2/n - m² catastrophic cancellation when |mean| >>
+                        # std): any NULL stat, or mean/std disagreeing with
+                        # the stage-3 double moments beyond low-order-bit
+                        # noise, keeps the double values instead. For data
+                        # the exact path was built for, both paths agree to
+                        # ~1e-9 relative, so this never fires there.
+                        keys = ("mean", "std", "median", "min_val", "max_val",
+                                "skew", "kurt", "q1", "q3")
+                        if any(row[k] is None for k in keys):
+                            continue
+
+                        def _far(a, b):
+                            if a is None or b is None:
+                                return False
+                            return abs(a - b) > 1e-4 * max(abs(a), abs(b), 1.0)
+
+                        # (DATETIME is exempt: its exact path day-truncates,
+                        # so it differs from the stage-3 epoch-second
+                        # moments by construction, not by error)
+                        if todo_exact[c] in (INTEGER, FLOAT) and (
+                            _far(row["mean"], wide.get(f"{p}mean"))
+                            or _far(row["std"], wide.get(f"{p}std"))
                         ):
-                            wide[f"{p}{k_out}"] = row[k_row]
+                            continue
+                        for k in keys:
+                            wide[f"{p}{k}"] = row[k]
 
         # ALL categorical columns profile in ONE exploded groupBy (one
         # shuffle total, not one per column — in full-frame mode each
@@ -345,9 +379,13 @@ def profile(
                 stats = {"raw_entries": entries, "n_samples": len(entries)}
                 tp = text_profiles.get(c)
                 if tp:
-                    tp = dict(tp)
-                    tp["n_samples"] = stats["n_samples"]
-                    stats.update(tp)
+                    # the embedding moments were fit over the FULL column —
+                    # keep text_profile's own n_samples (overwriting it with
+                    # the capped retained-entry count misreports the MVN
+                    # fit size whenever rows > max_retained_entries); the
+                    # retained count stays available as n_retained
+                    stats["n_retained"] = len(entries)
+                    stats.update(dict(tp))
                 profiles[c] = ColumnProfile(c, t, t if t in (EMAIL, PHONE) else None, stats)
             else:
                 profiles[c] = ColumnProfile(c, UNKNOWN, None, {})

@@ -318,13 +318,16 @@ def histogram_df(df: DataFrame, c: str, bins: int = 50) -> DataFrame:
     )
 
 
+# NaN exclusion mirrors histogram_df: DuckDB also orders NaN above every
+# double, so without it one NaN row gives the twin mx=NaN and collapses its
+# histogram while the Spark side (hardened above) stays correct
 HISTOGRAM_SQL = """
 WITH mm AS (SELECT min(CAST({col} AS DOUBLE)) AS mn, max(CAST({col} AS DOUBLE)) AS mx
-            FROM {tbl} WHERE {col} IS NOT NULL)
+            FROM {tbl} WHERE {col} IS NOT NULL AND NOT isnan(CAST({col} AS DOUBLE)))
 SELECT CAST(CASE WHEN mx = mn THEN 0
             ELSE least(floor((CAST({col} AS DOUBLE) - mn) / ((mx - mn) / {binsf})), {binsm1}) END AS INTEGER) AS bin,
        CAST(count(*) AS BIGINT) AS n
-FROM {tbl}, mm WHERE {col} IS NOT NULL
+FROM {tbl}, mm WHERE {col} IS NOT NULL AND NOT isnan(CAST({col} AS DOUBLE))
 GROUP BY 1 ORDER BY 1
 """
 

@@ -488,6 +488,38 @@ def knn_decode(
     return out
 
 
+# Model broadcasts (Cholesky + vocab matrix, tens of MB for large vocabs)
+# are cached by content fingerprint with unpersist-on-evict: a long-lived
+# session calling generate() repeatedly reuses one broadcast per distinct
+# model instead of leaking one per call (Spark broadcasts are only
+# reclaimed when the Python handle is GC'd, which the task closure pins).
+# Eviction uses unpersist (drops executor copies, re-ships on demand), not
+# destroy — a lazily-built DataFrame may still reference an evicted model.
+_MODEL_BCAST: "dict[tuple, object]" = {}
+_MODEL_BCAST_MAX = 4
+
+
+def _model_broadcast(spark, payload):
+    chol, fallback, mu, vocab, vocab_mat = payload
+    key = (
+        None if chol is None else hash(chol.tobytes()),
+        fallback,
+        hash(mu.tobytes()),
+        hash(tuple(vocab)),
+    )
+    b = _MODEL_BCAST.get(key)
+    if b is None:
+        while len(_MODEL_BCAST) >= _MODEL_BCAST_MAX:
+            _, old = _MODEL_BCAST.popitem()
+            try:
+                old.unpersist(blocking=False)
+            except Exception:
+                pass
+        b = spark.sparkContext.broadcast(payload)
+        _MODEL_BCAST[key] = b
+    return b
+
+
 def gen_text_column(
     spark: SparkSession,
     frame: DataFrame,
@@ -527,8 +559,7 @@ def gen_text_column(
         chol = None
         fallback = (float(s["overall_mean"]), float(s["overall_std"]))
     vocab_mat = _vocab_matrix(vocab, vector_size)
-    sc = spark.sparkContext
-    b = sc.broadcast((chol, fallback, mu, vocab, vocab_mat))
+    b = _model_broadcast(spark, (chol, fallback, mu, vocab, vocab_mat))
 
     if "id" not in frame.columns:
         raise ValueError("gen_text_column expects the spark.range seed frame with an 'id' column")

@@ -87,3 +87,37 @@ def test_datetime_profile_epoch_parity(spark):
     assert p["date_format"] == "YYYY-MM-DD"
     assert p["min_date"] == "2020-01-01 00:00:00"
     assert p["max_date"] == "2021-12-31 00:00:00"
+
+
+def test_deterministic_exact_path_large_magnitude_falls_back(spark):
+    """A mostly-small INTEGER column with a 9-digit tail passes the old
+    mx<1e9 guard, but sum(y^4) overflows decimal(38,0) — a silent NULL
+    kurt with ANSI off, an exception with it. The n-aware guard must
+    decline the exact path and keep the correct double moments."""
+    from etl_processes_spark.profile import profile
+
+    vals = [i % 1000 for i in range(9600)] + [
+        900_000_000 + i for i in range(400)  # 4% long-digit: still INTEGER
+    ]
+    df = spark.createDataFrame([(int(v),) for v in vals], ["big"])
+    p = profile(df, deterministic=True, sample_key="big", sample_rows=None)["big"]
+    assert p.logical_type == "integer"
+    stats = p.stats
+    assert stats["kurtosis"] is not None        # not the overflow NULL
+    mean = sum(vals) / len(vals)
+    assert abs(stats["mean"] - mean) / mean < 1e-6
+
+
+def test_deterministic_integer_with_fractions_not_rounded(spark):
+    """int_ratio >= 0.95 classes a column INTEGER even with a few
+    fractional values; the decimal(9,0) cast must NOT silently round them
+    (the 'ifrac' guard validate.py already had)."""
+    from etl_processes_spark.profile import profile
+
+    vals = [float(i % 9) for i in range(96)] + [1.5, 2.5, 3.5, 4.5]
+    df = spark.createDataFrame([(v,) for v in vals], ["mostly_int"])
+    p = profile(df, deterministic=True, sample_key="mostly_int", sample_rows=None)[
+        "mostly_int"
+    ]
+    true_mean = sum(vals) / len(vals)
+    assert abs(p.stats["mean"] - true_mean) < 1e-9
