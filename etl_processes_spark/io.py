@@ -196,15 +196,20 @@ def zorder_sink(
         )
     qs = df.select(
         *[
-            F.expr(
-                f"approx_percentile({c}, array(0.005, 0.995), 10000)"
-            ).alias(c)
+            F.percentile_approx(F.col(c), F.array(F.lit(0.005), F.lit(0.995)), 10000)
+            .alias(c)
             for c in cluster_cols
         ]
     ).first()
     n_cells = (1 << bits) - 2
     buckets = []
     for c in cluster_cols:
+        # empty frame / all-NULL column: no percentile range to bucket on
+        if qs[c] is None or qs[c][0] is None:
+            raise ValueError(
+                f"zorder_sink: cluster column {c!r} has no non-null values "
+                "to derive a bucket range from (empty input?)"
+            )
         lo, hi = float(qs[c][0]), float(qs[c][1])
         if not hi > lo:
             hi = lo + 1.0

@@ -172,8 +172,14 @@ def _remove_and_reassemble(
     text_col: str,
     sep: str,
     join_sep: str | None,
+    broadcast_frequent: bool = True,
 ) -> DataFrame:
-    kept = lines.join(F.broadcast(frequent), "__h", "left_anti")
+    # single-corpus line_dedup's frequent set (df > cap within ONE corpus
+    # pass) is Zipf-tiny and safely force-broadcast; the INCREMENTAL path's
+    # merged state (every line ever shared across the whole corpus history)
+    # is not bounded that way — there AQE decides (broadcast_frequent=False)
+    freq_side = F.broadcast(frequent) if broadcast_frequent else frequent
+    kept = lines.join(freq_side, "__h", "left_anti")
     reassembled = kept.groupBy("__id").agg(
         F.array_join(
             F.transform(
@@ -240,7 +246,8 @@ def line_dedup_incremental(
         merged = delta
     frequent = merged.filter(F.col("line_df") > max_doc_freq).select("__h")
     cleaned = _remove_and_reassemble(
-        batch, lines, frequent, id_col, text_col, sep, join_sep
+        batch, lines, frequent, id_col, text_col, sep, join_sep,
+        broadcast_frequent=False,
     )
     return cleaned, delta
 
@@ -371,6 +378,12 @@ def minhash_lsh_pairs(
     rows-per-band = num_hashes // bands; two docs are candidates if any band
     of their signatures collides. The bucket join is an equi-join on
     (band, band_hash) — no quadratic candidate explosion."""
+    if bands < 1 or num_hashes % bands != 0:
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must be a positive multiple of "
+            f"bands ({bands}) — a non-divisible split would silently drop "
+            "signature components (bands > num_hashes would crash)"
+        )
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(df, id_col, text_col, num_hashes, k)
 
@@ -805,6 +818,12 @@ def minhash_index(
     (id, sig, band, bh). An incremental pipeline writes this table once per
     ingested batch and appends; the raw corpus text is never needed again
     (signatures stand in for shingle sets at verify time)."""
+    if bands < 1 or num_hashes % bands != 0:
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must be a positive multiple of "
+            f"bands ({bands}) — a non-divisible split would silently drop "
+            "signature components (bands > num_hashes would crash)"
+        )
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(df, id_col, text_col, num_hashes, k)
 

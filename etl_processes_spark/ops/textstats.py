@@ -358,7 +358,12 @@ def unigram_logprob_score(
 
     ``counts_df`` lets callers score a stream/batch against a PRE-BUILT
     corpus LM ((token, c) plus an N = sum(c) literal is trivial to derive) —
-    the incremental-scoring twin of dedup_incremental's digest table.
+    the incremental-scoring twin of dedup_incremental's digest table. In
+    this mode OUT-OF-VOCABULARY tokens exist (self-scoring has none) and
+    each contributes ln(0.5/N) — a half-count floor. An inner join would
+    silently DROP them instead, so 'the asdkjh qwpoeiru zzkjhg' would be
+    scored on 'the' alone and rare-token soup would sail past the fluency
+    floor it exists to enforce.
 
     Scale shape: one explode + one groupBy(token) to build the LM (the
     unigram table is bounded by vocabulary, not corpus size), one
@@ -368,13 +373,16 @@ def unigram_logprob_score(
     from etl_processes_spark.ops.dedup import tokens_expr
 
     tok = df.select(F.col(id_col), F.explode(tokens_expr(text_col)).alias("token"))
-    if counts_df is None:
+    frozen_lm = counts_df is not None
+    if not frozen_lm:
         counts_df = tok.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
     total = counts_df.agg(F.sum("c").cast("double").alias("n"))
+    joined = tok.join(counts_df, "token", "left" if frozen_lm else "inner")
+    cnt = F.coalesce(F.col("c").cast("double"), F.lit(0.5)) if frozen_lm else F.col("c")
     scored = (
-        tok.join(counts_df, "token")
+        joined
         .crossJoin(F.broadcast(total))
-        .select(F.col(id_col), (F.log(F.col("c") / F.col("n"))).alias("__lp"))
+        .select(F.col(id_col), (F.log(cnt / F.col("n"))).alias("__lp"))
         .groupBy(id_col)
         .agg(F.round(F.avg("__lp"), ndigits).alias("unigram_logprob"))
     )

@@ -35,6 +35,21 @@ _SHUFFLE_TOKENS = (
     "GlobalLimit",
 )
 
+# Plan-node detection is anchored to tree positions (start of a plan line,
+# after the :- +- drawing characters): a raw substring test would also
+# match column names/literals printed inside Project/Relation nodes (a
+# column called 'JoinDate' or 'WindowId' would silently disable widening —
+# the CPU-heavy stage then runs on however few tasks the scan produced).
+# Node names keep a trailing \w* so RepartitionByExpression still matches.
+import re as _re
+
+_SHUFFLE_RE = _re.compile(
+    r"(?m)^[\s:+\-]*(?:" + "|".join(_SHUFFLE_TOKENS) + r")\w*\b"
+)
+# the file-scan leaf prints as 'Relation [cols] parquet' at a tree
+# position; 'LocalRelation' starts with 'L' there and does not match
+_FILESCAN_RE = _re.compile(r"(?m)^[\s:+\-]*Relation\b")
+
 
 # Logical-stats sizeInBytes at/above this is "unknown" (LocalRelation and
 # some leaves report Long.MaxValue-ish defaults rather than a real size).
@@ -92,7 +107,7 @@ def widen(df: DataFrame, min_factor: int = 2, per_mb: float | None = None) -> Da
         plan = df._jdf.queryExecution().optimizedPlan().toString()
     except Exception:
         return df
-    if any(tok in plan for tok in _SHUFFLE_TOKENS):
+    if _SHUFFLE_RE.search(plan):
         return df
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
@@ -104,10 +119,7 @@ def widen(df: DataFrame, min_factor: int = 2, per_mb: float | None = None) -> Da
         target = min(target, max(1, int(size / (per_mb * 1024 * 1024)) + 1))
         if target <= 1:
             return df
-    try:
-        plan_has_filescan = "Relation" in plan
-    except Exception:
-        plan_has_filescan = False
+    plan_has_filescan = bool(_FILESCAN_RE.search(plan))
     if size is not None and plan_has_filescan:
         # File scans: estimate the scan width with Spark's own split
         # formula — maxSplitBytes = min(maxPartitionBytes, max(openCost,

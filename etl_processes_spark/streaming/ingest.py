@@ -46,8 +46,16 @@ def _load_state(
                 df = df.filter(F.col("batch") < before_batch)
             df = df.drop("batch")
         return df
-    except Exception:
-        return None
+    except Exception as e:
+        # ONLY a genuinely absent/empty table is a cold start. Any other
+        # read failure (auth expiry, throttling, corrupt footer) must FAIL
+        # the batch so the stream retries — swallowing it would run the
+        # batch stateless and permanently pollute the corpus with
+        # duplicates that a later retry can't undo.
+        msg = str(e)
+        if "PATH_NOT_FOUND" in msg or "UNABLE_TO_INFER_SCHEMA" in msg:
+            return None
+        raise
 
 
 def _merged_counts(df: DataFrame | None, key: str, val: str) -> DataFrame | None:
@@ -97,8 +105,9 @@ def incremental_ingest_stream(
             _load_state(sess, state_dir, "counts", before_batch=batch_id),
             "token", "c",
         )
-        line_counts = _load_state(
-            sess, state_dir, "line_counts", before_batch=batch_id
+        line_counts = _merged_counts(
+            _load_state(sess, state_dir, "line_counts", before_batch=batch_id),
+            "__h", "line_df",
         )
         accepted, deltas = run_incremental_ingest(
             sess,
@@ -106,6 +115,7 @@ def incremental_ingest_stream(
             seen_digests=digests,
             near_dup_index=index,
             lm_counts=counts,
+            line_counts=line_counts,
             id_col=id_col,
             text_col=text_col,
             min_logprob=min_logprob,

@@ -173,7 +173,14 @@ def sessionize_stream(
     sum — memory is O(distinct users ever seen), the price of batch-equal
     ordinals (key sessions by start timestamp instead if that is
     unacceptable). Late in-watermark events merge into the open session
-    with min/max start/end. Requires a UTC-pinned session (the engine
+    with min/max start/end — INCLUDING an event that precedes the open
+    session's start by more than the gap: the batch twin would SPLIT that
+    into two sessions, but a stateful stream cannot retroactively split an
+    open session without buffering all events per key, so the stream
+    extends the bounds instead (a documented divergence on top of the
+    equal-only-for-watermark-closed caveat; shrink the watermark or run
+    the batch sessionize over the landed data when exact parity matters).
+    Requires a UTC-pinned session (the engine
     default): applyInPandasWithState delivers session-local naive
     timestamps, and the timeout registration below converts them to epoch
     assuming no offset."""

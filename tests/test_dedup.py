@@ -342,3 +342,14 @@ def test_near_dup_incremental_against_frozen_index(spark):
         batch, grown, "doc_id", "text", num_hashes=64, bands=16, k=3, threshold=0.5
     )
     assert fresh2.count() == 0
+
+
+def test_minhash_band_validation(docs):
+    import pytest
+
+    from etl_processes_spark.ops.dedup import minhash_lsh_pairs
+
+    with pytest.raises(ValueError, match="multiple"):
+        minhash_lsh_pairs(docs, "doc_id", "text", num_hashes=8, bands=16)
+    with pytest.raises(ValueError, match="multiple"):
+        minhash_lsh_pairs(docs, "doc_id", "text", num_hashes=64, bands=10)

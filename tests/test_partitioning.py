@@ -93,3 +93,23 @@ def test_widen_noop_for_post_shuffle_frames(spark):
     a, b = spark.range(50), spark.range(50)
     j = a.join(b, "id")
     assert widen(j) is j
+
+
+def test_widen_ignores_shuffleish_column_names(spark, tmp_path):
+    """A column named 'JoinDate'/'WindowId' must not read as a plan node
+    and silently disable widening."""
+    from etl_processes_spark.partitioning import widen
+
+    p = str(tmp_path / "t")
+    spark.range(1000).selectExpr(
+        "id", "id AS JoinDate", "id AS WindowId", "id AS SortKey"
+    ).coalesce(1).write.parquet(p)
+    df = spark.read.parquet(p)
+    before = df.rdd.getNumPartitions()
+    after = widen(df).rdd.getNumPartitions()
+    assert before == 1
+    assert after == spark.sparkContext.defaultParallelism  # widened
+
+    # a real aggregation still blocks widening
+    agg = df.groupBy("JoinDate").count()
+    assert widen(agg) is agg

@@ -355,3 +355,39 @@ def test_incremental_ingest_stream_dedups_across_batches(spark, tmp_path):
     )
     q2.awaitTermination()
     assert spark.read.parquet(out).count() == 3
+
+
+def test_incremental_ingest_stream_line_state_flows(spark, tmp_path):
+    """The line-frequency state must actually reach each micro-batch: a
+    banner seen once per batch crosses max_doc_freq only via state."""
+    import glob
+    import os
+    import shutil as sh
+
+    from etl_processes_spark.streaming.ingest import incremental_ingest_stream
+
+    src = str(tmp_path / "src"); os.makedirs(src)
+    out = str(tmp_path / "out"); state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+
+    banner = "subscribe to the newsletter now"
+    for name, rows in (
+        ("f1", [(0, banner + "\nthe quick brown fox jumps over the dog")]),
+        ("f2", [(1, banner + "\na tall ship sails across the wide sea")]),
+    ):
+        tmp = str(tmp_path / ("w_" + name))
+        spark.createDataFrame(rows, ["doc_id", "text"]).coalesce(1).write.parquet(tmp)
+        sh.copy(glob.glob(tmp + "/part-*.parquet")[0], os.path.join(src, name + ".parquet"))
+
+    q = incremental_ingest_stream(
+        spark, src, out, state, ckpt,
+        max_files_per_trigger=1, shingle_k=3, line_dedup_max_df=1,
+    )
+    q.awaitTermination()
+    texts = {r["doc_id"]: r["text"]
+             for r in spark.read.parquet(out).select("doc_id", "text").collect()}
+    # batch 1: banner df=1 (kept); batch 2: state df=1 + batch df=1 = 2 > 1
+    # → stripped from doc 1 — only possible if state reached the batch
+    assert "subscribe" in texts[0]
+    assert "subscribe" not in texts[1]
+    assert "tall ship" in texts[1]

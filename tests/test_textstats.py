@@ -279,3 +279,29 @@ def test_corpus_diff_null_text(spark):
     new = spark.createDataFrame([(1, "filled"), (2, None), (3, None)], ["doc_id", "text"])
     out = {r["doc_id"]: r["status"] for r in corpus_diff(old, new, "doc_id", "text").collect()}
     assert out == {1: "changed", 2: "changed", 3: "unchanged"}
+
+
+def test_unigram_frozen_lm_oov_floor(spark):
+    from etl_processes_spark.ops.textstats import unigram_logprob_score
+
+    corpus = spark.createDataFrame(
+        [(0, "the cat sat on the mat"), (1, "the dog sat on the rug")],
+        ["doc_id", "text"],
+    )
+    from etl_processes_spark.ops.dedup import tokens_expr
+    counts = (
+        corpus.select(F.explode(tokens_expr("text")).alias("token"))
+        .groupBy("token").count().withColumnRenamed("count", "c")
+    )
+    batch = spark.createDataFrame(
+        [(10, "the cat sat"),                     # all in-vocab
+         (11, "the asdkjh qwpoeiru zzkjhg"),      # 3 OOV of 4 tokens
+         (12, "xqzzv wplk jjhq")],                # all OOV
+        ["doc_id", "text"],
+    )
+    s = {r["doc_id"]: r["unigram_logprob"]
+         for r in unigram_logprob_score(batch, "doc_id", "text", counts_df=counts).collect()}
+    # gibberish must score BELOW prose (inner join used to score doc 11 on
+    # 'the' alone, above doc 10)
+    assert s[11] < s[10]
+    assert s[12] is not None and s[12] < s[11]
