@@ -1009,7 +1009,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # array is joined to a string (the driver's canonicalizer cannot
         # hash array cells — round-1 gate error); it is sorted+distinct so
         # the join is deterministic.
-        d = _t(spark, sf, "documents")
+        # NULL-text rows are excluded on BOTH sides: the three families
+        # disagree with the oracle on NULL (Spark md5 → NULL vs DuckDB
+        # coalesce-to-''; winnowing whole-doc fallback vs NULL), so the
+        # gate pins fingerprints of PRESENT texts only
+        d = _t(spark, sf, "documents").filter(F.col("text").isNotNull())
         md5fp = fingerprint(d, "doc_id", "text").select(
             F.lit("md5").alias("method"), "doc_id", "fingerprint"
         )
@@ -1799,6 +1803,25 @@ _FIXTURE_COLS = (
 ).split()
 
 
+def _usql(seed: int, salt: str) -> str:
+    """DuckDB twin of generators.u_expr: the md5-uniform contract (13-hex
+    slice, +0.5, /2^52). ONE definition — this formula is what makes every
+    seeded generator cross-engine reproducible; a drifting copy would
+    silently break a hash gate."""
+    return (
+        f"(CAST(concat('0x', substr(md5('{seed}:{salt}:' || CAST(id AS VARCHAR)), 1, 13)) AS BIGINT)"
+        " + 0.5e0) / 4503599627370496e0"
+    )
+
+
+def _zsql(seed: int, salt: str) -> str:
+    """DuckDB twin of generators.z_expr (Box-Muller over two md5 uniforms)."""
+    return (
+        f"sqrt(-2.0e0 * ln({_usql(seed, salt + 'a')})) * "
+        f"cos(6.283185307179586e0 * {_usql(seed, salt + 'b')})"
+    )
+
+
 def _reference_pipeline_oracle_sql(n_rows: int = 100, seed: int = 41) -> str:
     """DuckDB twin of q_reference_pipeline: regenerate the 13-column
     synthetic table from the reference fixture CSV — read_csv + na.drop →
@@ -1825,18 +1848,6 @@ def _reference_pipeline_oracle_sql(n_rows: int = 100, seed: int = 41) -> str:
         for c in ("name", "feedback")
     }
     con.close()
-
-    def _usql(s: int, salt: str) -> str:
-        return (
-            f"(CAST(concat('0x', substr(md5('{s}:{salt}:' || CAST(id AS VARCHAR)), 1, 13)) AS BIGINT)"
-            " + 0.5e0) / 4503599627370496e0"
-        )
-
-    def _zsql(s: int, salt: str) -> str:
-        return (
-            f"sqrt(-2.0e0 * ln({_usql(s, salt + 'a')})) * "
-            f"cos(6.283185307179586e0 * {_usql(s, salt + 'b')})"
-        )
 
     def _exact(y: str, notnull_col: str, mult: str) -> str:
         return NUMERIC_PROFILE_EXACT_SQL.format(
@@ -1916,7 +1927,7 @@ JOIN fb ON fb.rid = ids.id
 """
 
 
-def oracle_sql() -> dict[str, str]:
+def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
     from etl_processes_spark.profile.profilers import NUMERIC_PROFILE_EXACT_SQL
 
     sql: dict[str, str] = {}
@@ -2354,18 +2365,6 @@ SELECT id, CAST({_fp} AS BIGINT) AS simhash FROM sums
     # draw md5-derived uniforms (bit-identical cross-engine; e0 literals
     # force double arithmetic, plain decimals would round differently) and
     # stats come from the exact-decimal profilers. round_even = Spark bround.
-    def _usql(seed: int, salt: str) -> str:
-        return (
-            f"(CAST(concat('0x', substr(md5('{seed}:{salt}:' || CAST(id AS VARCHAR)), 1, 13)) AS BIGINT)"
-            " + 0.5e0) / 4503599627370496e0"
-        )
-
-    def _zsql(seed: int, salt: str) -> str:
-        return (
-            f"sqrt(-2.0e0 * ln({_usql(seed, salt + 'a')})) * "
-            f"cos(6.283185307179586e0 * {_usql(seed, salt + 'b')})"
-        )
-
     _gc_ns = NUMERIC_PROFILE_EXACT_SQL.format(
         y="round(l_extendedprice * 100)", tbl="lineitem",
         notnull="l_extendedprice", mult="CAST(0.01 AS DOUBLE)",
@@ -2428,8 +2427,13 @@ FROM (WITH per AS (SELECT lang, CAST(count(*) AS DOUBLE) AS c FROM documents GRO
              + 0.5e0) / 4503599627370496e0 < rate)
 UNION ALL
 SELECT 'mixture_tokens' AS part, lang AS stratum, CAST(doc_id AS VARCHAR) AS key
-FROM (WITH per AS (SELECT lang, CAST(sum(n_chars) AS DOUBLE) AS t FROM documents GROUP BY lang),
-           r AS (SELECT lang, round(sqrt((SELECT min(t) FROM per) / t), 6) AS rate FROM per)
+FROM (WITH per AS (SELECT lang, CAST(coalesce(sum(n_chars), 0) AS DOUBLE) AS t
+                   FROM documents GROUP BY lang),
+           r AS (SELECT lang,
+                        CASE WHEN t <= 0 THEN 1.0
+                             ELSE round(sqrt((SELECT min(t) FROM per WHERE t > 0) / t), 6)
+                        END AS rate
+                 FROM per)
       SELECT d.doc_id, d.lang
       FROM documents d JOIN r USING (lang)
       WHERE (CAST(concat('0x', substr(md5('78:mix:' || CAST(d.doc_id AS VARCHAR)), 1, 13)) AS BIGINT)
@@ -2654,7 +2658,7 @@ SELECT query_id, neighbor_id, cosine_sim, CAST(rk AS INTEGER) AS rank FROM r WHE
     # always emits the exact+lsh+ivf union, so a partial oracle would
     # guarantee a mismatch; rows-only degradation is the correct fallback.
     try:
-        _ivf_sql = _ivf_oracle_sql()
+        _ivf_sql = _ivf_oracle_sql(sf_dir)
         sql["similarity_topk"] = (
             f"SELECT 'exact' AS method, * FROM ({_exact_topk_sql})\n"
             f"UNION ALL\nSELECT 'lsh' AS method, * FROM ({_lsh_sql})\n"
@@ -2968,12 +2972,15 @@ GROUP BY o_orderpriority
     # BIGINT and winnowing set-string cast to one VARCHAR payload column
     sql["fingerprints"] = f"""
 SELECT 'md5' AS method, doc_id, md5({_NORM_TEXT}) AS fingerprint FROM documents
+WHERE text IS NOT NULL
 UNION ALL
 SELECT 'simhash' AS method, id AS doc_id, CAST(simhash AS VARCHAR) AS fingerprint
 FROM ({_simhash_sql})
+WHERE id IN (SELECT doc_id FROM documents WHERE text IS NOT NULL)
 UNION ALL
 SELECT 'winnowing' AS method, doc_id, fingerprints AS fingerprint
 FROM ({_winnowing_sql})
+WHERE doc_id IN (SELECT doc_id FROM documents WHERE text IS NOT NULL)
 """
 
     # -- events ----------------------------------------------------------------------
@@ -3082,7 +3089,7 @@ FROM e a, e b
 WHERE a.vec_id < b.vec_id
   AND round(list_cosine_similarity(a.v, b.v), 6) >= 0.5
 UNION ALL
-{_semdedup_oracle_sql()}
+{_semdedup_oracle_sql(sf_dir)}
 UNION ALL
 SELECT 'clf_score' AS part, CAST(vec_id AS BIGINT) AS k1,
        CAST(label AS BIGINT) AS k2,
@@ -3146,7 +3153,7 @@ FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
 GROUP BY p.p_type
 """
 
-    sql["gen_text_mvn"] = _mvn_oracle_sql()
+    sql["gen_text_mvn"] = _mvn_oracle_sql(sf_dir)
 
     # reference_pipeline needs the fixture CSV on disk at oracle-build time;
     # if anything about that environment differs, fall back to rows-only
@@ -3157,7 +3164,7 @@ GROUP BY p.p_type
         pass
 
     try:
-        sql["pca_2d"] = _pca_oracle_sql()
+        sql["pca_2d"] = _pca_oracle_sql(sf_dir)
     except Exception:
         pass
 

@@ -179,15 +179,26 @@ def repetition_stats(
     token mode needs a two-level aggregation — groupBy(doc, token) then
     groupBy(doc) — both partial-agg'd, keyed by doc, so skew is bounded by
     the longest single document. A synthetic row key (__rid) preserves
-    per-row semantics under duplicate ids, like quality_features."""
+    per-row semantics under duplicate ids, like quality_features.
+
+    The token array is CHECKPOINTED before the five size/gram consumers:
+    higher-order functions are interpreted (not codegen'd) and Catalyst
+    does NOT common-subexpression-eliminate them across consumers, so
+    deriving every stat straight from the text re-ran the full
+    tokenize+gram pipeline per column (measured 12.7s -> 0.9s at sf0.1)."""
     toks = F.coalesce(tokens_expr(text_col), F.array().cast("array<string>"))
-    g2 = grams_from_tokens_expr(toks, 2)
-    g3 = grams_from_tokens_expr(toks, 3)
-    base = widen(df, per_mb=2.0).select(
+    toks_frame = widen(df, per_mb=2.0).select(
         F.col(id_col),
         F.monotonically_increasing_id().alias("__rid"),
         toks.alias("__toks"),
-        F.size(toks).cast("double").alias("__n"),
+    ).localCheckpoint(eager=False)
+    g2 = grams_from_tokens_expr(F.col("__toks"), 2)
+    g3 = grams_from_tokens_expr(F.col("__toks"), 3)
+    base = toks_frame.select(
+        F.col(id_col),
+        F.col("__rid"),
+        F.col("__toks"),
+        F.size("__toks").cast("double").alias("__n"),
         F.size(g2).cast("double").alias("__t2"),
         F.size(F.array_distinct(g2)).cast("double").alias("__d2"),
         F.size(g3).cast("double").alias("__t3"),

@@ -73,7 +73,7 @@ def main() -> None:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
 
     qs = entrymod.queries()
-    oracles = entrymod.oracle_sql()
+    oracles = entrymod.oracle_sql(SF_DIR)
     results = {}
     for name, fn in qs.items():
         if ONLY and name not in ONLY:
@@ -96,7 +96,14 @@ def main() -> None:
             results[name] = ("DUCK-ERROR", traceback.format_exc(limit=4))
             print(f"[{name}] DUCK-ERROR", flush=True)
             continue
-        problems = compare(name, sdf, ddf)
+        try:
+            problems = compare(name, sdf, ddf)
+        except Exception:
+            # a comparison crash (e.g. mixed float/object dtype coercion)
+            # must cost only this query's verdict, not the whole run
+            results[name] = ("COMPARE-ERROR", traceback.format_exc(limit=4))
+            print(f"[{name}] COMPARE-ERROR", flush=True)
+            continue
         if problems:
             results[name] = ("MISMATCH", problems)
             print(f"[{name}] MISMATCH: {problems[:3]}", flush=True)
