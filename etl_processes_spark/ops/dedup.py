@@ -950,11 +950,13 @@ def remove_duplicate_spans(
     array-expression filter — exists(starts, s <= i < s+k) per token index
     — inside whole-stage codegen, no UDF. ``max_df`` caps pathological
     windows (boilerplate detected by line dedup is cheaper there)."""
-    toks = tokens_expr(text_col)
-    base = df.select(
-        F.col(id_col).alias("__id"), toks.alias("__toks"), F.size(toks).alias("__n")
+    # tokenize ONCE: interpreted HOFs are not CSE'd across consumers, so
+    # size(toks) alongside toks.alias() would re-run the tokenize pipeline
+    base = (
+        df.select(F.col(id_col).alias("__id"), tokens_expr(text_col).alias("__toks"))
+        .localCheckpoint(eager=False)  # feeds windows AND reassembly
+        .withColumn("__n", F.size("__toks"))
     )
-    base = base.localCheckpoint(eager=False)  # feeds windows AND reassembly
 
     win = base.filter(F.col("__n") >= k).select(
         "__id",
