@@ -160,22 +160,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # -- profiling core ------------------------------------------------------
 
-    from etl_processes_spark.profile.profilers import numeric_profile_exact_df
+    from etl_processes_spark.profile.profilers import (
+        numeric_profile_exact_df,
+        numeric_profile_exact_multi_df,
+    )
 
     def q_numeric_profile(spark, sf):
         # cents-scaled exact power sums (hash-stable; see numeric_profile_exact_df);
         # both profiled columns in one labeled result (keeps the driver's
-        # 50-query gate budget while certifying both)
+        # 50-query gate budget while certifying both). ONE scan + ONE
+        # aggregate for both columns — the aggregates skip NULLs natively,
+        # so the per-column isNotNull pre-filter is redundant.
         li = _t(spark, sf, "lineitem")
-        ep = numeric_profile_exact_df(
-            li.filter(F.col("l_extendedprice").isNotNull()),
-            F.round(F.col("l_extendedprice") * 100, 0),
-            out_mult=0.01,
-        ).withColumn("col_name", F.lit("l_extendedprice"))
-        qt = numeric_profile_exact_df(
-            li.filter(F.col("l_quantity").isNotNull()), F.col("l_quantity"), out_mult=1.0
-        ).withColumn("col_name", F.lit("l_quantity"))
-        return ep.unionByName(qt)
+        return numeric_profile_exact_multi_df(
+            li,
+            [
+                ("l_extendedprice", F.round(F.col("l_extendedprice") * 100, 0), 0.01),
+                ("l_quantity", F.col("l_quantity"), 1.0),
+            ],
+        )
 
     def q_datetime_profile(spark, sf):
         # integer days since epoch (orderdate is date-level), rescaled to secs

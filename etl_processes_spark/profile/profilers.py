@@ -356,59 +356,102 @@ def numeric_profile_exact_df(
     Still the reference's statistics exactly (population moments, linear-
     interpolated percentiles); ``out_mult`` rescales from integer units
     (cents → /100 ⇒ 0.01; days → ×86400)."""
+    return numeric_profile_exact_multi_df(df, [(None, y, out_mult)], ndigits=ndigits)
+
+
+def _exact_agg_exprs(y: Column, tag: str) -> list[Column]:
+    """The per-column aggregate expressions behind the exact profile: exact
+    decimal power sums S1..S4, count/min/max, and ONE array-percentile
+    aggregate (three scalar percentile() calls each buffer+sort the column
+    independently — measured 4.2s -> 2.0s on 600k rows; the array form
+    returns bit-identical quantiles from one buffer). Every aggregate skips
+    NULLs natively, so no pre-filter is needed per column."""
     yd = y.cast("decimal(9,0)")
     yf = y.cast("double")
-    # ONE array-percentile aggregate: three scalar percentile() calls each
-    # buffer+sort the column independently (measured 4.2s -> 2.0s on 600k
-    # rows); the array form returns bit-identical quantiles from one buffer
-    agg = df.agg(
-        F.sum(yd).cast("double").alias("s1"),
-        F.sum(yd * yd).cast("double").alias("s2"),
-        F.sum(yd * yd * yd).cast("double").alias("s3"),
-        F.sum(yd * yd * yd * yd).cast("double").alias("s4"),
-        F.count(yd).alias("n"),
-        F.min(yf).alias("mn"),
-        F.max(yf).alias("mx"),
-        F.percentile(
-            yf, F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75))
-        ).alias("pq"),
-    ).select(
-        "*",
-        F.element_at("pq", 1).alias("p25"),
-        F.element_at("pq", 2).alias("p50"),
-        F.element_at("pq", 3).alias("p75"),
-    )
-    n = F.col("n")
-    m = F.col("s1") / n
-    m2 = F.col("s2") / n - m * m
-    m3 = F.col("s3") / n - 3 * m * (F.col("s2") / n) + 2 * m * m * m
-    m4 = (
-        F.col("s4") / n
-        - 4 * m * (F.col("s3") / n)
-        + 6 * m * m * (F.col("s2") / n)
-        - 3 * m * m * m * m
-    )
+    return [
+        F.sum(yd).cast("double").alias(f"s1{tag}"),
+        F.sum(yd * yd).cast("double").alias(f"s2{tag}"),
+        F.sum(yd * yd * yd).cast("double").alias(f"s3{tag}"),
+        F.sum(yd * yd * yd * yd).cast("double").alias(f"s4{tag}"),
+        F.count(yd).alias(f"n{tag}"),
+        F.min(yf).alias(f"mn{tag}"),
+        F.max(yf).alias(f"mx{tag}"),
+        F.percentile(yf, F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75))).alias(
+            f"pq{tag}"
+        ),
+    ]
+
+
+def _exact_stat_exprs(tag: str, out_mult: float, ndigits: int) -> list[Column]:
+    """Moment/percentile formulas over the tagged aggregate columns. These are
+    the IDENTICAL IEEE-754 expressions the DuckDB twin evaluates — see
+    numeric_profile_exact_df's docstring for why exactness matters."""
+    n = F.col(f"n{tag}")
+    s1, s2, s3, s4 = (F.col(f"s{i}{tag}") for i in (1, 2, 3, 4))
+    p25 = F.element_at(f"pq{tag}", 1)
+    p50 = F.element_at(f"pq{tag}", 2)
+    p75 = F.element_at(f"pq{tag}", 3)
+    m = s1 / n
+    m2 = s2 / n - m * m
+    m3 = s3 / n - 3 * m * (s2 / n) + 2 * m * m * m
+    m4 = s4 / n - 4 * m * (s3 / n) + 6 * m * m * (s2 / n) - 3 * m * m * m * m
     mult = F.lit(float(out_mult))
-    out = agg.select(
+    return [
         F.round(m * mult, ndigits).alias("mean"),
         F.round(
             F.when(n > 1, F.sqrt(F.greatest(m2, F.lit(0.0))) * mult).otherwise(0.0),
             ndigits,
         ).alias("std"),
-        F.round(F.col("p50") * mult, ndigits).alias("median"),
-        F.round(F.col("mn") * mult, ndigits).alias("min_val"),
-        F.round(F.col("mx") * mult, ndigits).alias("max_val"),
+        F.round(p50 * mult, ndigits).alias("median"),
+        F.round(F.col(f"mn{tag}") * mult, ndigits).alias("min_val"),
+        F.round(F.col(f"mx{tag}") * mult, ndigits).alias("max_val"),
         F.round(
             F.when((n > 2) & (m2 > 0), m3 / (F.sqrt(m2) * m2)).otherwise(0.0), ndigits
         ).alias("skew"),
         F.round(
             F.when((n > 3) & (m2 > 0), m4 / (m2 * m2) - 3).otherwise(0.0), ndigits
         ).alias("kurt"),
-        F.round(F.col("p25") * mult, ndigits).alias("q1"),
-        F.round(F.col("p75") * mult, ndigits).alias("q3"),
+        F.round(p25 * mult, ndigits).alias("q1"),
+        F.round(p75 * mult, ndigits).alias("q3"),
         n.alias("n_samples"),
+    ]
+
+
+def numeric_profile_exact_multi_df(
+    df: DataFrame,
+    specs: list[tuple[str | None, Column, float]],
+    ndigits: int = 6,
+) -> DataFrame:
+    """Exact profiles for SEVERAL columns in ONE scan + ONE aggregate (the
+    separate-agg form re-reads the table per column — measured 4.7s -> 2.6s
+    for two lineitem columns at sf0.1). ``specs`` is ``[(name, y, out_mult)]``;
+    with ``name`` set, rows carry a ``col_name`` label. Values are identical
+    to per-column ``numeric_profile_exact_df`` calls: the aggregate and stat
+    expressions are shared, and partial aggregation keeps the shuffle at one
+    row per partition regardless of how many columns ride along."""
+    aggs: list[Column] = []
+    for i, (_, y, _) in enumerate(specs):
+        aggs.extend(_exact_agg_exprs(y, f"_{i}"))
+    agg = df.agg(*aggs)
+    labeled = specs[0][0] is not None
+    # one wide row -> one row per spec via stack(): avoids re-deriving the
+    # aggregate once per column branch (a union of selects over the same agg
+    # frame plans the aggregate N times)
+    parts: list[Column] = []
+    stat_names = None
+    for i, (name, _, out_mult) in enumerate(specs):
+        stats = _exact_stat_exprs(f"_{i}", out_mult, ndigits)
+        if stat_names is None:
+            stat_names = ["mean", "std", "median", "min_val", "max_val",
+                          "skew", "kurt", "q1", "q3", "n_samples"]
+        if labeled:
+            parts.append(F.lit(name))
+        parts.extend(stats)
+    out_cols = (["col_name"] if labeled else []) + stat_names
+    stacked = agg.select(
+        F.stack(F.lit(len(specs)), *parts).alias(*out_cols)
     )
-    return out
+    return stacked
 
 
 NUMERIC_PROFILE_EXACT_SQL = """
