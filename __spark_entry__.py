@@ -738,14 +738,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # -- similarity ---------------------------------------------------------------
 
     def q_similarity_topk(spark, sf):
-        # ALL THREE top-k index families in one gate slot (50-query budget),
+        # ALL FOUR top-k index families in one gate slot (50-query budget),
         # labeled by method: exact (BLAS blocked — corpus streamed, query
         # matrix broadcast, one GEMM per Arrow batch), hyperplane-LSH
-        # buckets, and IVF coarse-quantizer cells. Each is fully replayed by
-        # the DuckDB twin — the IVF centroids are deterministic (seeded
-        # spherical k-means over the stable-order sample) and enter the
+        # buckets, IVF coarse-quantizer cells, and PQ asymmetric-distance
+        # search over the quantized codes. Each is fully replayed by the
+        # DuckDB twin — the IVF centroids and PQ codebooks are deterministic
+        # (seeded k-means over the stable-order sample) and enter the
         # oracle as literals.
-        from etl_processes_spark.ops.similarity import ann_cosine_ivf
+        from etl_processes_spark.ops.similarity import ann_cosine_ivf, ann_cosine_pq
 
         e = _t(spark, sf, "embeddings")
         q = e.filter(F.col("vec_id") < 20)
@@ -758,7 +759,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ivf = ann_cosine_ivf(
             e, q, "vec_id", "embedding", k=5, n_centroids=64, n_probe=8
         ).select(F.lit("ivf").alias("method"), "query_id", "neighbor_id", "cosine_sim", "rank")
-        return exact.unionByName(lsh).unionByName(ivf)
+        pq = ann_cosine_pq(
+            e, q, "vec_id", "embedding", k=5, m=8, ksub=16
+        ).select(F.lit("pq").alias("method"), "query_id", "neighbor_id", "cosine_sim", "rank")
+        return exact.unionByName(lsh).unionByName(ivf).unionByName(pq)
 
     # -- text analysis -------------------------------------------------------------
 
@@ -1274,6 +1278,14 @@ def bench_components() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             e, e.filter(F.col("vec_id") < 20), "vec_id", "embedding", k=5, ndigits=ND
         )
 
+    def c_pq_topk(spark, sf):
+        from etl_processes_spark.ops.similarity import ann_cosine_pq
+
+        e = _t(spark, sf, "embeddings")
+        return ann_cosine_pq(
+            e, e.filter(F.col("vec_id") < 20), "vec_id", "embedding", k=5, m=8, ksub=16
+        )
+
     def c_stratified(spark, sf):
         d = _t(spark, sf, "documents").select("doc_id", "lang", "source")
         return stratified_sample(d, "lang", 30, "doc_id", seed=42)
@@ -1375,6 +1387,7 @@ def bench_components() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_fingerprints": c_simhash,
         "winnowing_fingerprints": c_winnowing,
         "cosine_topk": c_cosine_topk,
+        "pq_topk": c_pq_topk,
         "stratified_sample": c_stratified,
         "dedup_clusters": c_dedup_clusters,
         "text_analysis": c_text_analysis,
@@ -1694,6 +1707,65 @@ cand AS (SELECT p.query_id, a.vec_id AS neighbor_id,
 r AS (SELECT *, row_number() OVER (PARTITION BY query_id
                                    ORDER BY cosine_sim DESC, neighbor_id) AS rk
       FROM cand)
+SELECT query_id, neighbor_id, cosine_sim, CAST(rk AS INTEGER) AS rank
+FROM r WHERE rk <= {k}
+"""
+
+
+def _pq_oracle_sql(
+    sf_dir: str = "/root/testdata/sf0.01",
+    m: int = 8,
+    ksub: int = 16,
+    k: int = 5,
+) -> str:
+    """DuckDB twin of the PQ part of q_similarity_topk: codebooks are refit
+    by the ENGINE's own deterministic _pq_fit on the pyarrow-read sample
+    (bit-identical, the _ivf_oracle_sql pattern) and enter as literals;
+    encoding (argmin subspace L2, tie → lowest code) and ADC scoring
+    (per-subspace inner products summed, 6dp) are replayed natively."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from etl_processes_spark.ops.similarity import _pq_fit
+
+    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["embedding"])
+    X = np.stack(
+        [np.asarray(v, dtype=np.float64) for v in tbl.column("embedding").to_pylist()]
+    )[:10_000]
+    X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    books = _pq_fit(X, m=m, ksub=ksub)
+    _, _, dsub = books.shape
+    cent_vals = ", ".join(
+        f"({s}, {j}, [{', '.join(repr(float(x)) for x in books[s, j])}])"
+        for s in range(m)
+        for j in range(ksub)
+    )
+    subs_vals = ", ".join(f"({s})" for s in range(m))
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+en AS (SELECT vec_id,
+              list_transform(v, x -> x / greatest(sqrt(list_dot_product(v, v)), 1e-12)) AS vn
+       FROM e),
+cent(s, code, c) AS (VALUES {cent_vals}),
+subs(s) AS (VALUES {subs_vals}),
+sub AS (SELECT vec_id, subs.s, vn[subs.s*{dsub}+1:(subs.s+1)*{dsub}] AS sv
+        FROM en CROSS JOIN subs),
+arank AS (SELECT vec_id, sub.s, code,
+                 row_number() OVER (PARTITION BY vec_id, sub.s
+                                    ORDER BY list_distance(sv, c), code) AS rk
+          FROM sub JOIN cent ON cent.s = sub.s),
+codes AS (SELECT vec_id, s, code FROM arank WHERE rk = 1),
+qsub AS (SELECT vec_id AS query_id, s, sv AS qs FROM sub WHERE vec_id < 20),
+contrib AS (SELECT q.query_id, codes.vec_id AS neighbor_id,
+                   list_dot_product(q.qs, cent.c) AS part
+            FROM qsub q
+            JOIN codes ON codes.s = q.s AND codes.vec_id <> q.query_id
+            JOIN cent ON cent.s = q.s AND cent.code = codes.code),
+score AS (SELECT query_id, neighbor_id, round(sum(part), 6) AS cosine_sim
+          FROM contrib GROUP BY query_id, neighbor_id),
+r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine_sim DESC, neighbor_id) AS rk
+      FROM score)
 SELECT query_id, neighbor_id, cosine_sim, CAST(rk AS INTEGER) AS rank
 FROM r WHERE rk <= {k}
 """
@@ -2655,17 +2727,20 @@ r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine_sim DES
 SELECT query_id, neighbor_id, cosine_sim, CAST(rk AS INTEGER) AS rank FROM r WHERE rk <= 5
 """
 
-    # all three top-k families in the one gate slot; IVF centroids need the
-    # parquet at oracle-build time (same contract as _mvn_oracle_sql /
-    # _pca_oracle_sql). On build failure OMIT the key — the Spark query
-    # always emits the exact+lsh+ivf union, so a partial oracle would
-    # guarantee a mismatch; rows-only degradation is the correct fallback.
+    # all four top-k families in the one gate slot; IVF centroids and PQ
+    # codebooks need the parquet at oracle-build time (same contract as
+    # _mvn_oracle_sql / _pca_oracle_sql). On build failure OMIT the key —
+    # the Spark query always emits the exact+lsh+ivf+pq union, so a partial
+    # oracle would guarantee a mismatch; rows-only degradation is the
+    # correct fallback.
     try:
         _ivf_sql = _ivf_oracle_sql(sf_dir)
+        _pq_sql = _pq_oracle_sql(sf_dir)
         sql["similarity_topk"] = (
             f"SELECT 'exact' AS method, * FROM ({_exact_topk_sql})\n"
             f"UNION ALL\nSELECT 'lsh' AS method, * FROM ({_lsh_sql})\n"
-            f"UNION ALL\nSELECT 'ivf' AS method, * FROM ({_ivf_sql})"
+            f"UNION ALL\nSELECT 'ivf' AS method, * FROM ({_ivf_sql})\n"
+            f"UNION ALL\nSELECT 'pq' AS method, * FROM ({_pq_sql})"
         )
     except Exception:
         pass

@@ -46,6 +46,7 @@ def main() -> None:
         "minhash_lsh_pairs",
         "simhash_fingerprints",
         "cosine_topk",
+        "pq_topk",
         "text_profile_stats",
         "gen_text_mvn",
         "text_analysis",

@@ -641,3 +641,211 @@ def semantic_dedup(
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# product quantization (PQ)
+# ---------------------------------------------------------------------------
+
+
+def _pq_fit(X: np.ndarray, m: int, ksub: int, max_iter: int = 10) -> np.ndarray:
+    """Deterministic per-subspace Euclidean k-means for PQ codebooks.
+    ``X`` is the ROW-NORMALIZED (n, d) training sample; the d dims split
+    into ``m`` contiguous subspaces of d/m dims, each quantized with its own
+    ``ksub``-entry codebook. Same determinism contract as _spherical_kmeans:
+    evenly spaced init over the (stable) sample order, first-min argmin
+    tie-break, fixed iteration count, empty cluster keeps its previous
+    centroid — so an oracle can refit bit-identical codebooks from the same
+    sample with pure numpy. Returns (m, ksub, d//m) float64."""
+    n, d = X.shape
+    if d % m != 0:
+        raise ValueError(f"dim {d} not divisible into {m} subspaces")
+    dsub = d // m
+    ksub = min(ksub, n)
+    books = np.empty((m, ksub, dsub), dtype=np.float64)
+    idx = (np.arange(ksub) * max(n // ksub, 1)) % n
+    for s in range(m):
+        Xs = X[:, s * dsub : (s + 1) * dsub]
+        C = Xs[idx].copy()
+        for _ in range(max_iter):
+            # (n, ksub) squared L2; argmin ties resolve to the FIRST (lowest
+            # code) — replayed in SQL as ORDER BY distance, code
+            d2 = ((Xs[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            assign = np.argmin(d2, axis=1)
+            for j in range(ksub):
+                members = Xs[assign == j]
+                if len(members):
+                    C[j] = members.mean(axis=0)
+        books[s] = C
+    return books
+
+
+def pq_train(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    m: int = 8,
+    ksub: int = 16,
+    fit_sample: int = 10_000,
+    seed: int = 42,
+) -> np.ndarray:
+    """Fit PQ codebooks on a seeded corpus sample (driver-side, same
+    sampling contract as ann_cosine_ivf's coarse quantizer). Vectors are
+    row-normalized first, so inner-product ADC approximates cosine. Memory
+    story at 100 TB: a 64-dim float32 vector is 256 B; its PQ code is m
+    bytes (m=8 → 32x), so a billion-vector index fits in executor memory
+    where raw vectors cannot."""
+    sample_pdf = (
+        corpus.select(vec_col)
+        .sample(withReplacement=False, fraction=1.0, seed=seed)
+        .limit(fit_sample)
+        .toPandas()
+    )
+    X = np.stack(sample_pdf[vec_col].to_numpy()).astype(np.float64)
+    X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    return _pq_fit(X, m=m, ksub=ksub)
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Quantize every corpus vector: (id, codes array<int> of length m).
+    Broadcast codebooks + one Arrow/numpy pass — a narrow map with NO
+    shuffle; the output is the compact index the ADC search scans."""
+    spark = corpus.sparkSession
+    bC = spark.sparkContext.broadcast(codebooks)
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("codes", T.ArrayType(T.IntegerType())),
+        ]
+    )
+
+    def encode(batches):
+        books = bC.value
+        m, ksub, dsub = books.shape
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            M = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            M /= np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+            codes = np.empty((len(M), m), dtype=np.int32)
+            for s in range(m):
+                Ms = M[:, s * dsub : (s + 1) * dsub]
+                d2 = ((Ms[:, None, :] - books[s][None, :, :]) ** 2).sum(axis=2)
+                codes[:, s] = np.argmin(d2, axis=1)
+            yield pd.DataFrame(
+                {
+                    "id": pdf[id_col].to_numpy().astype(np.int64),
+                    "codes": [c.tolist() for c in codes],
+                }
+            )
+
+    return widen(corpus.select(id_col, vec_col), per_mb=4.0).mapInPandas(
+        encode, schema=schema
+    )
+
+
+def pq_topk(
+    codes: DataFrame,
+    queries_pdf: pd.DataFrame,
+    codebooks: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over a PQ-encoded corpus: per query,
+    an (m, ksub) inner-product lookup table is precomputed driver-side and
+    broadcast; scoring a corpus item is m table lookups + a sum — no
+    floating-point vector math per candidate. Output contract matches
+    cosine_topk: (query_id, neighbor_id, cosine_sim, rank) where cosine_sim
+    is the ADC APPROXIMATION of cosine (rounded), ranked (sim desc,
+    neighbor_id asc). Partial top-k per partition (same slack trick as
+    cosine_topk_blocked), final top-k via window.
+
+    100 TB shape: the scanned side is the codes frame (m bytes/row), query
+    tables are (nq, m, ksub) floats broadcast once, and the shuffle after
+    partial selection is O(num_partitions * nq * k) rows."""
+    spark = codes.sparkSession
+    m, ksub, dsub = codebooks.shape
+    qids = queries_pdf[id_col].to_numpy().astype(np.int64)
+    Q = np.stack(queries_pdf[vec_col].to_numpy()).astype(np.float64)
+    Q /= np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
+    # T[qi, s, j] = <q_sub, centroid>: summed over s in subspace order, the
+    # same order the oracle's per-subspace contributions sum in
+    tables = np.einsum(
+        "qsd,sjd->qsj", Q.reshape(len(Q), m, dsub), codebooks
+    )
+    b = spark.sparkContext.broadcast((qids, tables))
+
+    schema = T.StructType(
+        [
+            T.StructField("query_id", T.LongType()),
+            T.StructField("neighbor_id", T.LongType()),
+            T.StructField("cosine_sim", T.DoubleType()),
+        ]
+    )
+    slack = 8
+
+    def score(batches):
+        qids_, tables_ = b.value
+        nq = len(qids_)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf["id"].to_numpy().astype(np.int64)
+            C = np.stack(pdf["codes"].to_numpy()).astype(np.int64)  # (n, m)
+            # sims[qi, i] = sum_s tables[qi, s, C[i, s]]
+            sims = np.zeros((nq, len(ids)), dtype=np.float64)
+            for s in range(m):
+                sims += tables_[:, s, C[:, s]]
+            rsims = np.round(sims, ndigits)
+            rsims[qids_[:, None] == ids[None, :]] = -np.inf
+            nk = min(k + slack, sims.shape[1])
+            out_q, out_n, out_s = [], [], []
+            for qi in range(nq):
+                idx = np.lexsort((ids, -rsims[qi]))[:nk]
+                idx = idx[rsims[qi][idx] > -np.inf]
+                out_q.append(np.full(len(idx), qids_[qi], dtype=np.int64))
+                out_n.append(ids[idx])
+                out_s.append(sims[qi][idx])
+            yield pd.DataFrame(
+                {
+                    "query_id": np.concatenate(out_q),
+                    "neighbor_id": np.concatenate(out_n),
+                    "cosine_sim": np.concatenate(out_s),
+                }
+            )
+
+    partial = codes.mapInPandas(score, schema=schema)
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
+    return (
+        partial.withColumn("cosine_sim", F.round(F.col("cosine_sim"), ndigits))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine_sim", "rank")
+    )
+
+
+def ann_cosine_pq(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    m: int = 8,
+    ksub: int = 16,
+    fit_sample: int = 10_000,
+    seed: int = 42,
+    ndigits: int = 6,
+) -> DataFrame:
+    """train + encode + ADC search in one call (the gate/bench entry point).
+    For a persistent index, call pq_train/pq_encode once, save the codes
+    frame, and run pq_topk per query batch."""
+    books = pq_train(corpus, vec_col, m=m, ksub=ksub, fit_sample=fit_sample, seed=seed)
+    codes = pq_encode(corpus, books, id_col, vec_col)
+    qpdf = queries.select(id_col, vec_col).toPandas()
+    return pq_topk(codes, qpdf, books, id_col, vec_col, k=k, ndigits=ndigits)

@@ -164,3 +164,78 @@ def test_ann_ivf_plan_is_cell_equijoin(spark, emb):
     plan = buf.getvalue()
     assert "CartesianProduct" not in plan
     assert "__cell" in plan
+
+
+# ---------------------------------------------------------------------------
+# product quantization
+# ---------------------------------------------------------------------------
+
+
+def test_pq_exact_when_codebook_holds_every_vector(spark):
+    """m=1 with ksub >= n degenerates to one codebook whose centroids ARE
+    the (normalized) corpus vectors — ADC must then equal exact cosine."""
+    from etl_processes_spark.ops.similarity import ann_cosine_pq
+
+    rng = np.random.RandomState(11)
+    mat = rng.randn(12, 8).astype(np.float32)
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+        ]
+    )
+    df = spark.createDataFrame([(i, mat[i].tolist()) for i in range(12)], schema)
+    q = df.filter("vec_id < 3")
+    pq = ann_cosine_pq(df, q, k=4, m=1, ksub=12).collect()
+    ex = cosine_topk_fast(df, q, k=4).collect()
+    key = lambda r: (r["query_id"], r["rank"])
+    assert sorted([(r["query_id"], r["neighbor_id"], r["cosine_sim"]) for r in pq]) == \
+        sorted([(r["query_id"], r["neighbor_id"], r["cosine_sim"]) for r in ex])
+
+
+def test_pq_recall_on_clustered_data(spark):
+    """Three well-separated clusters: ADC over 4-byte codes must still rank
+    same-cluster vectors on top (the structure PQ is built to preserve)."""
+    from etl_processes_spark.ops.similarity import ann_cosine_pq
+
+    rng = np.random.RandomState(5)
+    centers = rng.randn(3, 16) * 10
+    rows = []
+    for i in range(60):
+        c = i % 3
+        rows.append((i, (centers[c] + rng.randn(16) * 0.1).astype(np.float32).tolist()))
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+        ]
+    )
+    df = spark.createDataFrame(rows, schema)
+    res = ann_cosine_pq(df, df.filter("vec_id < 6"), k=5, m=4, ksub=8).collect()
+    same_cluster = sum(1 for r in res if r["neighbor_id"] % 3 == r["query_id"] % 3)
+    assert same_cluster / len(res) >= 0.9
+
+
+def test_pq_encode_shape_and_no_shuffle(spark, emb):
+    from etl_processes_spark.ops.similarity import pq_encode, pq_train
+
+    df, _ = emb
+    books = pq_train(df, m=4, ksub=8, fit_sample=100)
+    assert books.shape == (4, 8, DIM // 4)
+    codes = pq_encode(df, books)
+    plan = codes._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # encode is a narrow map — no shuffle
+    rows = codes.collect()
+    assert len(rows) == N
+    for r in rows:
+        assert len(r["codes"]) == 4
+        assert all(0 <= c < 8 for c in r["codes"])
+
+
+def test_pq_train_deterministic(emb):
+    from etl_processes_spark.ops.similarity import pq_train
+
+    df, _ = emb
+    a = pq_train(df, m=4, ksub=8, fit_sample=100)
+    b = pq_train(df, m=4, ksub=8, fit_sample=100)
+    assert np.array_equal(a, b)
