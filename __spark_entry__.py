@@ -992,9 +992,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return point.unionByName(pairs)
 
     def q_salted_join_agg(spark, sf):
-        # the skew utility certified against a plain join: salting must be
-        # result-invariant — same aggregate hash as DuckDB's unsalted join
-        from etl_processes_spark.ops.skew import salted_join
+        # BOTH join-strategy utilities certified result-invariant against
+        # plain joins (one labeled slot, 50-query budget). salted: the big
+        # side salted 8 ways must aggregate to the same hash as DuckDB's
+        # unsalted join. bloom: the big side bloom-prefiltered on the
+        # selective small side's key set (false positives removed by the
+        # real join) must equal DuckDB's plain filtered join.
+        from etl_processes_spark.ops.skew import bloom_join, salted_join
 
         li = _t(spark, sf, "lineitem").select(
             F.col("l_orderkey").alias("okey"),
@@ -1004,10 +1008,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("o_orderkey").alias("okey"), "o_orderpriority"
         )
         j = salted_join(li, o, "okey", salt_buckets=8)
-        return j.groupBy("o_orderpriority").agg(
+        salted = j.groupBy("o_orderpriority").agg(
             F.count(F.lit(1)).alias("n_items"),
             F.sum("qty").cast("double").alias("sum_qty"),
-        )
+        ).select(F.lit("salted").alias("part"), "*")
+        urgent = o.filter(F.col("o_orderpriority") == "1-URGENT")
+        bj = bloom_join(li, urgent, "okey", expected_items=20_000)
+        bloom = bj.groupBy("o_orderpriority").agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum("qty").cast("double").alias("sum_qty"),
+        ).select(F.lit("bloom").alias("part"), "*")
+        return salted.unionByName(bloom)
 
     def q_fingerprints(spark, sf):
         # ALL THREE document-fingerprint families in one gate slot (50-query
@@ -3037,11 +3048,20 @@ FROM bands a JOIN bands b
   ON a.lo < b.hi AND b.lo < a.hi AND a.band_id < b.band_id
 """
 
+    # both join strategies against their PLAIN-join twins: salting and the
+    # bloom prefilter must each be result-invariant
     sql["salted_join_agg"] = """
-SELECT o_orderpriority,
+SELECT 'salted' AS part, o_orderpriority,
        CAST(count(*) AS BIGINT) AS n_items,
        CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+UNION ALL
+SELECT 'bloom' AS part, o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_items,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE o_orderpriority = '1-URGENT'
 GROUP BY o_orderpriority
 """
 

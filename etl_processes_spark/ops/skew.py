@@ -15,6 +15,8 @@ these utilities cover the cases AQE can't re-plan:
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -74,3 +76,159 @@ def two_phase_count(df: DataFrame, key: str, salt_buckets: int = 32) -> DataFram
     salted = df.withColumn("__salt", _row_salt(salt_buckets))
     partial = salted.groupBy(key, "__salt").agg(F.count(F.lit(1)).alias("__c"))
     return partial.groupBy(key).agg(F.sum("__c").alias("count"))
+
+
+# ---------------------------------------------------------------------------
+# bloom-filter join reduction
+# ---------------------------------------------------------------------------
+
+# Join types where pre-dropping big-side rows that cannot match is
+# result-identical to the plain join. left/outer would LOSE the unmatched
+# big-side rows the join is supposed to keep.
+_BLOOM_SAFE_JOINS = frozenset({"inner", "semi", "left_semi", "leftsemi"})
+
+
+def _bloom_num_bits(n: int, fpp: float) -> int:
+    """Standard bloom sizing: m = -n ln(p) / ln(2)^2, capped at 64 MB."""
+    import math
+
+    bits = int(-n * math.log(max(fpp, 1e-9)) / (math.log(2) ** 2)) + 1
+    return min(max(bits, 64), 64 * 8 * 1024 * 1024)
+
+
+def _bloom_num_hashes(n_bits: int, n: int) -> int:
+    """k = (m/n) ln 2, clamped to [1, 8]."""
+    import math
+
+    return max(1, min(8, round(n_bits / max(n, 1) * math.log(2))))
+
+
+def _hash64_batch(values) -> "np.ndarray":
+    """Stable 64-bit hashes for a pandas Series of join keys. Integers mix
+    through splitmix64 (vectorized); anything else hashes its utf-8 bytes
+    through md5 (low 64 bits). Only STABILITY matters — the bloom filter is
+    certified by result-invariance against the plain join, never replayed
+    by an oracle."""
+    import hashlib
+
+    if pd.api.types.is_integer_dtype(values.dtype):
+        x = values.to_numpy(dtype=np.uint64, na_value=0)
+        with np.errstate(over="ignore"):
+            x = (x + np.uint64(0x9E3779B97F4A7C15)) & np.uint64(0xFFFFFFFFFFFFFFFF)
+            z = x
+            z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+            z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+            z = z ^ (z >> np.uint64(31))
+        return z
+    return np.fromiter(
+        (
+            int.from_bytes(hashlib.md5(str(v).encode()).digest()[:8], "little")
+            for v in values
+        ),
+        dtype=np.uint64,
+        count=len(values),
+    )
+
+
+def _bloom_positions(h: "np.ndarray", n_bits: int, n_hashes: int):
+    """Double hashing (Kirsch–Mitzenmacher): position_i = h1 + i*h2 mod m."""
+    h1 = h % np.uint64(n_bits)
+    h2 = (h >> np.uint64(17) | np.uint64(1)) % np.uint64(n_bits)
+    for i in range(n_hashes):
+        yield (h1 + np.uint64(i) * h2) % np.uint64(n_bits)
+
+
+def bloom_semi_filter(
+    large: DataFrame,
+    keys: DataFrame,
+    key: str,
+    large_key: str | None = None,
+    expected_items: int = 1_000_000,
+    fpp: float = 0.03,
+) -> DataFrame:
+    """Filter ``large`` down to rows whose ``large_key`` PROBABLY appears in
+    ``keys[key]`` — the semi-join reduction for joins where the small side
+    is too big to broadcast but its KEY SET still fits a bloom filter.
+
+    Build: one Arrow pass over ``keys`` emits ONE dense numpy bitmap per
+    partition (numBits/8 bytes — ~220 KB at 1M keys / 3% fpp), OR-merged on
+    the driver; only bitmaps cross the wire, never keys. Probe: the bitmap
+    is broadcast and applied as a vectorized Arrow predicate right after
+    the big side's scan — rows that cannot match never reach the shuffle.
+    False positives pass through (exact joins keep the real join after);
+    false negatives cannot happen, so for inner/semi joins the reduction is
+    result-invariant (oracle-certified against the plain join).
+
+    This is Spark's own runtime-bloom-filter pattern made explicit and
+    composable: usable across pipeline stages (e.g. against a key set a
+    previous step computed and saved), not just within one optimizer plan."""
+    lk = large_key or key
+    n_bits = _bloom_num_bits(expected_items, fpp)
+    n_bits = ((n_bits + 63) // 64) * 64
+    n_hashes = _bloom_num_hashes(n_bits, expected_items)
+    n_words = n_bits // 64
+
+    def build(batches):
+        bitmap = np.zeros(n_words, dtype=np.uint64)
+        seen = False
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            seen = True
+            h = _hash64_batch(pdf[key].dropna())
+            for pos in _bloom_positions(h, n_bits, n_hashes):
+                np.bitwise_or.at(
+                    bitmap, (pos >> np.uint64(6)).astype(np.int64),
+                    np.uint64(1) << (pos & np.uint64(63)),
+                )
+        if seen:
+            yield pd.DataFrame({"bm": [bitmap.tobytes()]})
+
+    partials = keys.select(key).mapInPandas(build, schema="bm binary").collect()
+    if not partials:  # empty key set: nothing can match
+        return large.filter(F.lit(False))
+    bitmap = np.zeros(n_words, dtype=np.uint64)
+    for r in partials:
+        bitmap |= np.frombuffer(r["bm"], dtype=np.uint64)
+    b = large.sparkSession.sparkContext.broadcast(bitmap)
+
+    @F.pandas_udf("boolean")
+    def probe(col: pd.Series) -> pd.Series:
+        bm = b.value
+        if len(col) == 0:
+            return pd.Series([], dtype=bool)
+        h = _hash64_batch(col)
+        ok = np.ones(len(col), dtype=bool)
+        for pos in _bloom_positions(h, n_bits, n_hashes):
+            word = bm[(pos >> np.uint64(6)).astype(np.int64)]
+            ok &= (word >> (pos & np.uint64(63))) & np.uint64(1) != 0
+        ok &= ~col.isna().to_numpy()
+        return pd.Series(ok)
+
+    return large.filter(probe(F.col(lk)))
+
+
+def bloom_join(
+    large: DataFrame,
+    small: DataFrame,
+    key: str,
+    how: str = "inner",
+    expected_items: int = 1_000_000,
+    fpp: float = 0.03,
+) -> DataFrame:
+    """Exact ``large ⋈ small`` with the large side bloom-prefiltered on the
+    join key before its shuffle. The real join still runs (false positives
+    are eliminated there), so the result is identical to ``large.join(small,
+    key, how)`` — certified by the oracle gate. Only join types where
+    dropping non-matching large-side rows early is sound are accepted."""
+    if how.lower().replace("_", "") not in {j.replace("_", "") for j in _BLOOM_SAFE_JOINS}:
+        raise ValueError(
+            f"bloom_join supports {sorted(_BLOOM_SAFE_JOINS)}; {how!r} must keep "
+            "unmatched large-side rows, which the prefilter would drop"
+        )
+    filtered = bloom_semi_filter(
+        large, small.select(key), key, expected_items=expected_items, fpp=fpp
+    )
+    if how.lower().replace("_", "") in {"semi", "leftsemi"}:
+        return filtered.join(small, key, "left_semi")
+    return filtered.join(small, key, how)

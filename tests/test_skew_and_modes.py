@@ -117,3 +117,63 @@ def test_salt_spreads_fully_duplicated_hot_rows(spark):
     df = spark.createDataFrame([("hot",)] * 2000, ["k"]).repartition(4)
     n = df.withColumn("__salt", _row_salt(16)).select("__salt").distinct().count()
     assert n >= 8  # duplicates land in many buckets, not one
+
+
+# ---------------------------------------------------------------------------
+# bloom-filter join reduction
+# ---------------------------------------------------------------------------
+
+
+def test_bloom_join_equals_plain_join(spark):
+    from etl_processes_spark.ops.skew import bloom_join
+
+    big = spark.createDataFrame(
+        [(i % 100, f"v{i}") for i in range(2000)], ["k", "v"]
+    )
+    small = spark.createDataFrame([(i, f"w{i}") for i in range(0, 100, 7)], ["k", "w"])
+    plain = sorted(map(tuple, big.join(small, "k").collect()))
+    bloom = sorted(map(tuple, bloom_join(big, small, "k", expected_items=100).collect()))
+    assert bloom == plain
+
+
+def test_bloom_semi_filter_no_false_negatives_and_reduces(spark):
+    from etl_processes_spark.ops.skew import bloom_semi_filter
+
+    big = spark.createDataFrame([(i,) for i in range(5000)], ["k"])
+    keys = spark.createDataFrame([(i,) for i in range(0, 5000, 50)], ["k"])  # 100 keys
+    kept = {r["k"] for r in bloom_semi_filter(big, keys, "k", expected_items=100).collect()}
+    wanted = set(range(0, 5000, 50))
+    assert wanted <= kept  # every true match survives
+    assert len(kept) < 1000  # and the filter actually filters (fpp ~3%)
+
+
+def test_bloom_join_string_keys(spark):
+    from etl_processes_spark.ops.skew import bloom_join
+
+    big = spark.createDataFrame([(f"key{i % 20}", i) for i in range(400)], ["k", "v"])
+    small = spark.createDataFrame([("key3", "x"), ("key7", "y")], ["k", "w"])
+    plain = sorted(map(tuple, big.join(small, "k").collect()))
+    bloom = sorted(map(tuple, bloom_join(big, small, "k", expected_items=10).collect()))
+    assert bloom == plain
+
+
+def test_bloom_join_empty_keys_and_rejected_joins(spark):
+    import pytest
+    from etl_processes_spark.ops.skew import bloom_join
+
+    big = spark.createDataFrame([(1, "a")], ["k", "v"])
+    small = spark.createDataFrame([(2, "x")], ["k", "w"]).filter("k < 0")
+    assert bloom_join(big, small, "k").count() == 0
+    for how in ("left", "right", "full", "left_outer"):
+        with pytest.raises(ValueError, match="bloom_join"):
+            bloom_join(big, small, "k", how=how)
+
+
+def test_bloom_semi_filter_null_keys_dropped(spark):
+    # a NULL key matches nothing in an equi-join; the probe must not pass it
+    from etl_processes_spark.ops.skew import bloom_semi_filter
+
+    big = spark.createDataFrame([(None,), (1,), (2,)], "k int")
+    keys = spark.createDataFrame([(1,)], ["k"])
+    kept = [r["k"] for r in bloom_semi_filter(big, keys, "k", expected_items=10).collect()]
+    assert None not in kept and 1 in kept
