@@ -502,3 +502,72 @@ def round_floats(df: DataFrame, ndigits: int) -> DataFrame:
         else:
             cols.append(F.col(f.name))
     return df.select(*cols)
+
+
+def exact_percentiles_distributed(
+    df: DataFrame,
+    y: Column | str,
+    qs: list[float],
+    parts: int = 32,
+) -> tuple[int, list[float]]:
+    """Exact linear-interpolated percentiles by DISTRIBUTED SELECTION —
+    the 100 TB path. Spark's exact ``percentile()`` aggregate buffers every
+    (value, count) pair per partition and merges ALL of them into ONE final
+    aggregation buffer: O(distinct values) memory on a single task, a
+    driver-scale bomb on a wide-domain column. Here the column is range-
+    partitioned (one shuffle of the values, each partition owning a sorted
+    key range), per-partition counts give global offsets, and only the ≤2
+    rows flanking each target rank are fetched (row_number within the one
+    partition that owns each rank). Nothing larger than ``parts`` counts
+    ever reaches the driver.
+
+    Returns ``(n, values)`` with the same interpolation Spark/DuckDB/numpy
+    use: v = lo + (hi - lo) * frac at rank (n-1)*q. Bit-identical to
+    ``F.percentile`` on the same data (pinned by tests)."""
+    import math
+
+    from pyspark.sql.window import Window
+
+    col = F.col(y) if isinstance(y, str) else y
+    vals = df.select(col.cast("double").alias("v")).filter(F.col("v").isNotNull())
+    ranged = (
+        vals.repartitionByRange(parts, "v")
+        .withColumn("pid", F.spark_partition_id())
+        .localCheckpoint(eager=False)  # shared by the counts + selection jobs
+    )
+    counts = sorted(
+        [(r["pid"], r["count"]) for r in ranged.groupBy("pid").count().collect()]
+    )
+    n = sum(c for _, c in counts)
+    if n == 0:
+        return 0, [float("nan")] * len(qs)
+    offs, acc = {}, 0
+    for pid, c in counts:
+        offs[pid] = acc
+        acc += c
+    plan, targets = [], set()
+    for q in qs:
+        k = (n - 1) * q
+        lo, hi, frac = math.floor(k), math.ceil(k), (n - 1) * q - math.floor(k)
+        plan.append((lo, hi, frac))
+        targets.update((lo, hi))
+    need: dict[int, list[int]] = {}
+    for pos in targets:
+        for pid, c in counts:
+            if offs[pid] <= pos < offs[pid] + c:
+                need.setdefault(pid, []).append(pos - offs[pid] + 1)
+                break
+    cond = F.lit(False)
+    for pid, rns in need.items():
+        cond = cond | ((F.col("pid") == pid) & F.col("rn").isin(rns))
+    w = Window.partitionBy("pid").orderBy("v")
+    picked = (
+        ranged.withColumn("rn", F.row_number().over(w))
+        .filter(cond)
+        .select("pid", "rn", "v")
+        .collect()
+    )
+    at = {offs[r["pid"]] + r["rn"] - 1: r["v"] for r in picked}
+    # lower*(1-d) + higher*d: Spark Percentile's exact IEEE expression
+    # (algebraically equal to lo + (hi-lo)*d but NOT bit-equal)
+    return n, [at[lo] * (1.0 - frac) + at[hi] * frac for lo, hi, frac in plan]

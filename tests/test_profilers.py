@@ -121,3 +121,36 @@ def test_deterministic_integer_with_fractions_not_rounded(spark):
     ]
     true_mean = sum(vals) / len(vals)
     assert abs(p.stats["mean"] - true_mean) < 1e-9
+
+
+def test_exact_percentiles_distributed_matches_percentile_agg(spark):
+    # the distributed-selection path must be bit-identical to Spark's
+    # exact percentile() aggregate (and survive ties/duplicates)
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from etl_processes_spark.profile.profilers import exact_percentiles_distributed
+
+    rng = np.random.RandomState(7)
+    vals = np.concatenate([rng.randn(5000) * 100, np.full(500, 3.25)])  # ties
+    df = spark.createDataFrame([(float(v),) for v in vals], "x double")
+    qs = [0.1, 0.25, 0.5, 0.75, 0.9, 0.99]
+    n, got = exact_percentiles_distributed(df, "x", qs, parts=8)
+    ref = df.agg(
+        F.percentile("x", F.array(*[F.lit(q) for q in qs]))
+    ).collect()[0][0]
+    assert n == len(vals)
+    assert got == list(ref)
+
+
+def test_exact_percentiles_distributed_empty_and_single(spark):
+    import math
+
+    from etl_processes_spark.profile.profilers import exact_percentiles_distributed
+
+    empty = spark.createDataFrame([], "x double")
+    n, vs = exact_percentiles_distributed(empty, "x", [0.5])
+    assert n == 0 and math.isnan(vs[0])
+    one = spark.createDataFrame([(42.0,)], "x double")
+    n, vs = exact_percentiles_distributed(one, "x", [0.25, 0.75])
+    assert n == 1 and vs == [42.0, 42.0]
