@@ -19,7 +19,9 @@ projections), and both end-to-end profile→generate pipelines
 Round-4 labeled parts inside existing slots: line_dedup (dedup_exact),
 SemDeDup + classifier scoring (embedding_near_dup), ExactSubstr span
 removal (pack_documents despan), deterministic corpus shuffle (sampling
-shuffle_docs), URL-domain curation columns (text_analysis).
+shuffle_docs), URL-domain curation columns (text_analysis), time-series
+resample + linear gap-fill (event_window_aggs gapfill), exact token heavy
+hitters via candidate/verify (topk_categories token_heavy).
 """
 
 from __future__ import annotations
@@ -203,7 +205,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return cat_profile_df(_t(spark, sf, "orders"), "o_orderpriority", ndigits=ND)
 
     def q_topk_categories(spark, sf):
-        return cat_profile_df(_t(spark, sf, "part"), "p_brand", ndigits=ND).limit(10)
+        # top-k family, two labeled parts: (a) the reference's value_counts
+        # top-10 (cat_profile), (b) EXACT corpus-wide heavy hitters over the
+        # documents token stream — freqItems candidate pass (no shuffle, no
+        # false negatives) + exact verify on candidates only; the oracle is
+        # a plain GROUP BY ... HAVING, so any sketch false-negative or
+        # threshold slip breaks the hash
+        from etl_processes_spark.ops.textstats import token_heavy_hitters
+
+        brands = cat_profile_df(_t(spark, sf, "part"), "p_brand", ndigits=ND).limit(10).select(
+            F.lit("brand_topk").alias("part"),
+            F.col("category"),
+            F.col("cnt"),
+            F.col("probability"),
+        )
+        # share is NOT rounded: the division of exact operands is already
+        # bit-identical cross-engine, while rounding could land on decimal
+        # ties where engines' rounding procedures disagree
+        heavy = token_heavy_hitters(
+            _t(spark, sf, "documents"), "text", min_share=0.005, ndigits=None
+        ).select(
+            F.lit("token_heavy").alias("part"),
+            F.col("value").alias("category"),
+            F.col("cnt"),
+            F.col("share").alias("probability"),
+        )
+        return brands.unionByName(heavy)
 
     def q_infer_predicates(spark, sf):
         # one row with ALL scalar inference probes: the §2.3 predicate ratios
@@ -1079,7 +1106,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("n_events").cast("long").alias("n"),
             F.col("sum_value").cast("double").alias("v"),
         )
-        return run.unionByName(sl)
+        # third part: resample-to-grid + linear gap-fill (the hypertable
+        # time_bucket_gapfill family) — per-user hourly averages with missing
+        # hours generated and interpolated; exact-decimal resample average
+        # and identical IEEE interpolation make the filled values hash-exact
+        from etl_processes_spark.ops.timeseries import resample_gap_fill
+
+        gf = resample_gap_fill(
+            ev.filter(F.col("user_id") < 20), "user_id", "ts", "value", 3600,
+            method="linear", ndigits=ND,
+        ).select(
+            F.lit("gapfill").alias("part"),
+            F.col("user_id").cast("string").alias("k1"),
+            F.date_format("bucket_ts", "yyyy-MM-dd HH:mm:ss").alias("k2"),
+            F.col("filled").cast("long").alias("n"),
+            F.col("value").cast("double").alias("v"),
+        )
+        return run.unionByName(sl).unionByName(gf)
 
     # -- relational ---------------------------------------------------------------------
 
@@ -1392,6 +1435,22 @@ def bench_components() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_id", "text", k=5, min_df=2,
         )
 
+    def c_gap_fill(spark, sf):
+        # full-width workload (the gate bounds user_id < 20 for row budget)
+        from etl_processes_spark.ops.timeseries import resample_gap_fill
+
+        return resample_gap_fill(
+            _t(spark, sf, "events"), "user_id", "ts", "value", 3600,
+            method="linear", ndigits=ND,
+        )
+
+    def c_heavy_hitters(spark, sf):
+        from etl_processes_spark.ops.textstats import token_heavy_hitters
+
+        return token_heavy_hitters(
+            _t(spark, sf, "documents"), "text", min_share=0.005, ndigits=None
+        )
+
     return {
         "ngram_jaccard_pairs": c_ngram,
         "minhash_lsh_pairs": c_minhash,
@@ -1409,6 +1468,8 @@ def bench_components() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": c_semantic_dedup,
         "shuffle_deterministic": c_shuffle,
         "remove_duplicate_spans": c_despan,
+        "gap_fill": c_gap_fill,
+        "heavy_hitters": c_heavy_hitters,
     }
 
 
@@ -2074,7 +2135,22 @@ SELECT category, cnt,
 FROM c ORDER BY cnt DESC, category ASC{limit}
 """
     sql["cat_profile"] = _CAT_SQL.format(col="o_orderpriority", tbl="orders", limit="")
-    sql["topk_categories"] = _CAT_SQL.format(col="p_brand", tbl="part", limit=" LIMIT 10")
+    _brand_topk = _CAT_SQL.format(col="p_brand", tbl="part", limit=" LIMIT 10")
+    sql["topk_categories"] = f"""
+SELECT 'brand_topk' AS part, category, cnt, probability FROM ({_brand_topk})
+UNION ALL
+SELECT 'token_heavy' AS part, token AS category,
+       CAST(count(*) AS BIGINT) AS cnt,
+       CAST(count(*) AS DOUBLE) / (SELECT CAST(count(*) AS DOUBLE) FROM (
+           SELECT unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS token
+           FROM documents WHERE text IS NOT NULL)) AS probability
+FROM (SELECT unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS token
+      FROM documents WHERE text IS NOT NULL)
+GROUP BY token
+HAVING CAST(count(*) AS DOUBLE) > 0.005 * (SELECT CAST(count(*) AS DOUBLE) FROM (
+           SELECT unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS token
+           FROM documents WHERE text IS NOT NULL))
+"""
 
     _infer_preds = """
 SELECT
@@ -3132,6 +3208,39 @@ FROM (
          CAST(count(*) AS BIGINT) AS n_events,
          round(sum(value), 6) AS sum_value
   FROM shifted GROUP BY 1, 2
+)
+UNION ALL
+SELECT 'gapfill' AS part, k1, k2, n, v FROM (
+  WITH res AS (
+    SELECT user_id,
+           epoch_us(ts) // 3600000000 AS b,
+           round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS v
+    FROM events WHERE user_id < 20 AND ts IS NOT NULL AND value IS NOT NULL
+    GROUP BY 1, 2),
+  bounds AS (SELECT user_id, min(b) AS mn, max(b) AS mx FROM res GROUP BY 1),
+  grid AS (SELECT user_id, unnest(generate_series(mn, mx)) AS b FROM bounds),
+  j AS (SELECT g.user_id, g.b, r.v FROM grid g
+        LEFT JOIN res r ON g.user_id = r.user_id AND g.b = r.b),
+  f AS (SELECT user_id, b, v,
+          last_value(v IGNORE NULLS) OVER
+            (PARTITION BY user_id ORDER BY b ROWS UNBOUNDED PRECEDING) AS pv,
+          last_value(CASE WHEN v IS NOT NULL THEN b END IGNORE NULLS) OVER
+            (PARTITION BY user_id ORDER BY b ROWS UNBOUNDED PRECEDING) AS pb,
+          first_value(v IGNORE NULLS) OVER
+            (PARTITION BY user_id ORDER BY b
+             ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+          first_value(CASE WHEN v IS NOT NULL THEN b END IGNORE NULLS) OVER
+            (PARTITION BY user_id ORDER BY b
+             ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nb
+        FROM j)
+  SELECT CAST(user_id AS VARCHAR) AS k1,
+         strftime(make_timestamp(b * 3600000000), '%Y-%m-%d %H:%M:%S') AS k2,
+         CAST(CASE WHEN v IS NULL THEN 1 ELSE 0 END AS BIGINT) AS n,
+         CASE WHEN v IS NOT NULL THEN v
+              ELSE coalesce(
+                     pv + (nv - pv) * (CAST(b - pb AS DOUBLE) / CAST(nb - pb AS DOUBLE)),
+                     pv, nv) END AS v
+  FROM f
 )
 """
 

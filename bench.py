@@ -64,6 +64,8 @@ def main() -> None:
         "stratified_sample",
         "pack_documents",
         "cascading_rollup",
+        "gap_fill",
+        "heavy_hitters",
         "asof_join_events",
         "salted_join_agg",
         "hourly_event_rollup",

@@ -4,8 +4,9 @@ below are the high-traffic entry points re-exported for discoverability.
 
 Submodules: dedup (exact / near / line / span / semantic / incremental),
 similarity (top-k, ANN, SemDeDup), textstats (lang-ID, quality, PII,
-repetition, web curation, corpus reports), classify (model-based quality
-filter), pack (sampling, mixtures, splits, chunking, packing, shuffle),
+repetition, web curation, corpus reports, heavy hitters), classify
+(model-based quality filter), pack (sampling, mixtures, splits, chunking,
+packing, shuffle), timeseries (resample / gap-fill / interpolation),
 decontaminate, multimodal, asof, rangejoin, skew, relational.
 """
 
@@ -48,13 +49,20 @@ from etl_processes_spark.ops.textstats import (
     corpus_diff,
     corpus_stats,
     domain_blocklist_filter,
+    heavy_hitters,
     lang_id,
     per_domain_cap,
     pii_scrub,
     quality_features,
     repetition_stats,
     token_count,
+    token_heavy_hitters,
     unigram_logprob_score,
+)
+from etl_processes_spark.ops.timeseries import (
+    gap_fill,
+    resample,
+    resample_gap_fill,
 )
 
 __all__ = [
@@ -62,12 +70,13 @@ __all__ = [
     "contamination_report", "corpus_diff", "corpus_stats", "cosine_topk_fast",
     "decontaminate", "dedup_clusters", "dedup_exact", "dedup_incremental",
     "domain_blocklist_filter", "embedding_near_dup_pairs",
-    "filter_by_classifier", "lang_id", "line_dedup", "line_dedup_incremental",
+    "filter_by_classifier", "gap_fill", "heavy_hitters", "lang_id",
+    "line_dedup", "line_dedup_incremental",
     "minhash_lsh_pairs", "mixture_rates", "mixture_rates_by_tokens",
     "mixture_sample", "ngram_jaccard_pairs", "pack_documents", "per_domain_cap",
-    "pii_scrub", "quality_features", "remove_duplicate_spans",
-    "repetition_stats", "score_with_classifier", "semantic_dedup",
-    "shuffle_deterministic", "simhash_fingerprints", "split_assign",
-    "stratified_sample", "token_count", "train_logistic",
-    "unigram_logprob_score",
+    "pii_scrub", "quality_features", "remove_duplicate_spans", "resample",
+    "resample_gap_fill", "repetition_stats", "score_with_classifier",
+    "semantic_dedup", "shuffle_deterministic", "simhash_fingerprints",
+    "split_assign", "stratified_sample", "token_count", "token_heavy_hitters",
+    "train_logistic", "unigram_logprob_score",
 ]

@@ -564,3 +564,75 @@ def corpus_diff(
         .otherwise("unchanged")
         .alias("status"),
     )
+
+
+def heavy_hitters(
+    df: DataFrame,
+    col: str,
+    min_share: float = 0.001,
+    ndigits: int | None = 6,
+) -> DataFrame:
+    """EXACT frequent-item mining without a full-cardinality shuffle:
+    items whose frequency strictly exceeds ``min_share`` of the non-null
+    rows, with exact counts — (value, cnt, share), cnt desc / value asc.
+
+    Two-phase candidate/verify (the same philosophy as the dedup family —
+    never pay the all-pairs/all-keys cost up front):
+
+    1. CANDIDATES: one scan with Spark's Misra-Gries/Karp ``freqItems``
+       sketch — per-partition capped counter maps, merged on the driver, NO
+       shuffle. The guarantee is one-sided: every item with share >
+       min_share is returned (false positives possible, false NEGATIVES
+       impossible), so the candidate set is a superset of the answer and
+       its size is bounded by 1/min_share regardless of column cardinality.
+    2. VERIFY: exact counts for candidate rows only (broadcast isin filter
+       → groupBy). Map-side partial aggregation collapses each candidate to
+       one row per partition, so the verify shuffle moves at most
+       |candidates| x partitions tiny rows — never the raw value stream.
+
+    The exact filter makes the output independent of sketch fuzz (false
+    positives get exact counts and fail the threshold), so the result is
+    deterministic and oracle-checkable against a plain GROUP BY ... HAVING.
+    A naive groupBy(value) on a 100 TB high-cardinality column shuffles
+    every distinct value; this shuffles none of them until they are already
+    known to be frequent."""
+    c = F.col(col)
+    base = df.filter(c.isNotNull())
+    n = base.count()
+    if n == 0:
+        return df.sparkSession.createDataFrame(
+            [], "value string, cnt long, share double"
+        )
+    support = max(float(min_share), 1e-4)
+    cands = base.stat.freqItems([col], support=support).collect()[0][0]
+    if not cands:
+        return df.sparkSession.createDataFrame(
+            [], "value string, cnt long, share double"
+        )
+    thr = float(min_share) * n  # strict >: matches the sketch's guarantee
+    share = F.col("cnt") / F.lit(float(n))  # exact operands -> deterministic
+    if ndigits is not None:
+        share = F.round(share, ndigits)
+    return (
+        base.filter(c.isin(list(cands)))
+        .groupBy(c.cast("string").alias("value"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt").cast("double") > F.lit(thr))
+        .withColumn("share", share)
+        .orderBy(F.desc("cnt"), F.asc("value"))
+    )
+
+
+def token_heavy_hitters(
+    df: DataFrame,
+    text_col: str,
+    min_share: float = 0.001,
+    ndigits: int | None = 6,
+) -> DataFrame:
+    """heavy_hitters over the exploded token stream of a text column —
+    corpus-wide frequent tokens with exact counts. The explode is map-side;
+    both phases inherit heavy_hitters' no-full-shuffle shape."""
+    toks = df.select(
+        F.explode(tokens_expr(text_col)).alias("token")
+    )
+    return heavy_hitters(toks, "token", min_share=min_share, ndigits=ndigits)

@@ -1,0 +1,180 @@
+"""Time-series regularization: resample onto a fixed grid, then fill the
+gaps (forward-fill / linear interpolation / constant) — the hypertable
+``time_bucket_gapfill`` / pandas ``resample().interpolate()`` family.
+
+Neither the reference (a single-shot batch profiler; SURVEY.md §2.12) nor
+stock Spark has this: window functions only see rows that EXIST, so missing
+buckets must be generated before any fill can run. The shape here follows
+the engine's as-of join (ops/asof.py): generate the grid rows, UNION them
+with the data rows, and resolve everything in ONE key-partitioned window
+pass — no (key, bucket) equi-join, so the whole fill costs a single
+shuffle on the series key after the resample aggregation.
+
+At 100 TB: ``resample`` is one partial-agg'd groupBy((key, bucket)) — the
+standard rollup shuffle; the grid explode is map-side from a per-key
+(min, max) aggregate, and its row count is bounded by span/step per key,
+independent of raw event count. Per-key window sorts are bounded by the
+grid length. Determinism: bucket math is exact integer micros
+(timeutil.epoch_micros — never double seconds), the resampled average uses
+an exact DECIMAL sum (double summation order would differ across
+partitionings AND engines), and the interpolation formula is the identical
+IEEE-754 expression the DuckDB oracle evaluates, so gap-filled values are
+bit-stable and hash-certifiable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from etl_processes_spark.timeutil import epoch_micros
+
+_US = 1_000_000
+
+
+def time_bucket(ts: Column | str, step_seconds: int) -> Column:
+    """Integer bucket ordinal: floor(epoch_us / step_us). Exact for any
+    timestamp flavor (NTZ-safe via epoch_micros; the double division is
+    exact for micro-precision epochs — quotients sit >> 1 ulp from integer
+    boundaries except exactly ON a boundary, where the ratio is exact)."""
+    return F.floor(epoch_micros(ts) / F.lit(step_seconds * _US)).cast("long")
+
+
+def bucket_start(bucket: Column | str, step_seconds: int) -> Column:
+    """Bucket ordinal back to its start timestamp."""
+    b = F.col(bucket) if isinstance(bucket, str) else bucket
+    return F.timestamp_micros(b * F.lit(step_seconds * _US))
+
+
+def resample(
+    df: DataFrame,
+    key: str,
+    ts: str,
+    value: str,
+    step_seconds: int,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Downsample a (key, ts, value) series to per-bucket averages:
+    (key, bucket, n_rows, value). ONE groupBy shuffle, partial-agg'd.
+
+    The average is computed from an exact DECIMAL(18,6) sum (cast to double
+    only once, then one correctly-rounded division), so the result is
+    independent of partition/summation order — required both for AQE-replan
+    stability and for the DuckDB twin to reproduce it bit-for-bit."""
+    vdec = F.col(value).cast("decimal(18,6)")
+    return (
+        df.filter(F.col(ts).isNotNull() & F.col(value).isNotNull())
+        .groupBy(F.col(key), time_bucket(ts, step_seconds).alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(
+                F.sum(vdec).cast("double") / F.count(F.lit(1)), ndigits
+            ).alias(value),
+        )
+    )
+
+
+def gap_fill(
+    df: DataFrame,
+    key: str,
+    bucket: str = "bucket",
+    value: str = "value",
+    method: str = "linear",
+    fill_value: float = 0.0,
+) -> DataFrame:
+    """Fill missing buckets of a resampled series (every integer bucket in
+    each key's [min, max] span gets a row) and impute their values:
+
+    - ``linear``  — interpolate between the neighbouring present values
+                    (v0 + (v1 - v0) * (b - b0)/(b1 - b0)); edge gaps fall
+                    back to the nearest present value
+    - ``ffill``   — carry the last present value forward
+    - ``value``   — constant ``fill_value``
+    - ``none``    — leave imputed rows NULL (gap *detection* only)
+
+    Returns (key, bucket, value, filled) with filled=1 on generated rows.
+
+    Plan: per-key (min, max) agg → map-side sequence explode for the grid →
+    UNION with the data rows → ONE window pass per key that both drops grid
+    rows shadowed by a real row at the same bucket and computes the
+    neighbour values for the fill. Single data shuffle (the key window);
+    no (key, bucket) join. The grid is never wider than span/step rows per
+    key, so skew is bounded by time span, not event volume."""
+    if method not in ("linear", "ffill", "value", "none"):
+        raise ValueError(f"unknown fill method {method!r}")
+    b, v = F.col(bucket), F.col(value)
+    data = df.select(
+        F.col(key), b.cast("long").alias(bucket), v.cast("double").alias(value)
+    ).withColumn("__src", F.lit(1))
+    bounds = data.groupBy(key).agg(
+        F.min(bucket).alias("__mn"), F.max(bucket).alias("__mx")
+    )
+    grid = bounds.select(
+        F.col(key),
+        F.explode(F.sequence(F.col("__mn"), F.col("__mx"))).alias(bucket),
+        F.lit(None).cast("double").alias(value),
+        F.lit(0).alias("__src"),
+    )
+    u = data.unionByName(grid)
+    # data row sorts BEFORE its same-bucket grid twin (__src desc), so the
+    # shadowed grid row is exactly "same bucket as the previous row"
+    w = Window.partitionBy(key).orderBy(F.col(bucket), F.desc("__src"))
+    wprev = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wnext = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    # window exprs are illegal in WHERE — materialize the shadow flag as a
+    # column and filter on it afterwards
+    shadowed = (
+        (F.col("__src") == 0)
+        & F.coalesce(F.lag(bucket).over(w) == F.col(bucket), F.lit(False))
+    )
+    pv = F.last(value, ignorenulls=True).over(wprev)
+    nv = F.first(value, ignorenulls=True).over(wnext)
+    if method == "linear":
+        pb = F.last(
+            F.when(v.isNotNull(), F.col(bucket)), ignorenulls=True
+        ).over(wprev)
+        nb = F.first(
+            F.when(v.isNotNull(), F.col(bucket)), ignorenulls=True
+        ).over(wnext)
+        # NOT rounded: with deterministic inputs the chain of correctly-
+        # rounded IEEE ops is bit-identical in any engine, while rounding
+        # would hit exact decimal ties (dyadic gap ratios x fixed-dp
+        # neighbours systematically produce ...5 at the rounding digit)
+        # where Spark's HALF_UP-on-decimal-repr and other engines' float
+        # rounding disagree
+        interp = pv + (nv - pv) * (
+            (F.col(bucket) - pb).cast("double") / (nb - pb).cast("double")
+        )
+        fill = F.coalesce(interp, pv, nv)
+    elif method == "ffill":
+        fill = F.coalesce(pv, nv)
+    elif method == "value":
+        fill = F.lit(float(fill_value))
+    else:
+        fill = F.lit(None).cast("double")
+    return (
+        u.withColumn("__shadowed", shadowed)
+        .withColumn("filled", (v.isNull()).cast("int"))
+        .withColumn(value, F.coalesce(v, fill))
+        .filter(~F.col("__shadowed"))
+        .select(key, bucket, value, "filled")
+    )
+
+
+def resample_gap_fill(
+    df: DataFrame,
+    key: str,
+    ts: str,
+    value: str,
+    step_seconds: int,
+    method: str = "linear",
+    ndigits: int = 6,
+) -> DataFrame:
+    """resample → gap_fill in one call, with the bucket rendered back to its
+    start timestamp: (key, bucket, bucket_ts, value, filled)."""
+    res = resample(df, key, ts, value, step_seconds, ndigits=ndigits)
+    filled = gap_fill(res, key, bucket="bucket", value=value, method=method)
+    return filled.withColumn(
+        "bucket_ts", bucket_start("bucket", step_seconds)
+    ).select(key, "bucket", "bucket_ts", value, "filled")

@@ -1,0 +1,138 @@
+"""Time-series resample + gap-fill and exact heavy hitters."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_processes_spark.ops.textstats import heavy_hitters, token_heavy_hitters
+from etl_processes_spark.ops.timeseries import (
+    gap_fill,
+    resample,
+    resample_gap_fill,
+    time_bucket,
+)
+
+
+def _ts(h, m=0, s=0):
+    return dt.datetime(2024, 1, 1, h, m, s)
+
+
+@pytest.fixture()
+def series(spark):
+    # user 1: hourly buckets 0, 1, 4 (gap of 2); user 2: buckets 2, 3
+    rows = [
+        (1, _ts(0, 10), 10.0),
+        (1, _ts(0, 50), 20.0),   # bucket 0 avg 15.0
+        (1, _ts(1, 30), 30.0),   # bucket 1
+        (1, _ts(4, 0), 90.0),    # bucket 4 — buckets 2,3 missing
+        (2, _ts(2, 15), 5.0),
+        (2, _ts(3, 45), 7.0),
+    ]
+    return spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+
+
+def test_resample_exact_avg_and_buckets(series):
+    out = resample(series, "user_id", "ts", "value", 3600)
+    got = {(r["user_id"], r["bucket"]): (r["n_rows"], r["value"]) for r in out.collect()}
+    base = 473352  # floor(epoch(2024-01-01)/3600)
+    assert got[(1, base + 0)] == (2, 15.0)
+    assert got[(1, base + 1)] == (1, 30.0)
+    assert got[(1, base + 4)] == (1, 90.0)
+    assert got[(2, base + 2)] == (1, 5.0)
+    assert len(got) == 5
+
+
+def test_gap_fill_linear(series):
+    res = resample(series, "user_id", "ts", "value", 3600)
+    out = gap_fill(res, "user_id", method="linear")
+    got = {(r["user_id"], r["bucket"]): (r["value"], r["filled"]) for r in out.collect()}
+    base = 473352
+    # user 1 grid spans 0..4 — buckets 2 and 3 interpolated between 30 and 90
+    assert got[(1, base + 2)] == (50.0, 1)
+    assert got[(1, base + 3)] == (70.0, 1)
+    assert got[(1, base + 0)] == (15.0, 0)
+    assert got[(1, base + 4)] == (90.0, 0)
+    # user 2 has no gaps
+    assert got[(2, base + 2)] == (5.0, 0)
+    assert got[(2, base + 3)] == (7.0, 0)
+    assert len(got) == 7  # 5 + 2 filled, no duplicate rows for data buckets
+
+
+def test_gap_fill_ffill_value_none(series):
+    res = resample(series, "user_id", "ts", "value", 3600)
+    base = 473352
+    ff = {
+        (r["user_id"], r["bucket"]): r["value"]
+        for r in gap_fill(res, "user_id", method="ffill").collect()
+    }
+    assert ff[(1, base + 2)] == 30.0 and ff[(1, base + 3)] == 30.0
+    cv = {
+        (r["user_id"], r["bucket"]): r["value"]
+        for r in gap_fill(res, "user_id", method="value", fill_value=-1.0).collect()
+    }
+    assert cv[(1, base + 2)] == -1.0
+    nn = {
+        (r["user_id"], r["bucket"]): r["value"]
+        for r in gap_fill(res, "user_id", method="none").collect()
+    }
+    assert nn[(1, base + 2)] is None
+    with pytest.raises(ValueError):
+        gap_fill(res, "user_id", method="bogus")
+
+
+def test_gap_fill_partition_invariant(series):
+    res = resample(series, "user_id", "ts", "value", 3600)
+    a = sorted(map(tuple, gap_fill(res, "user_id").collect()))
+    b = sorted(map(tuple, gap_fill(res.repartition(7), "user_id").collect()))
+    assert a == b
+
+
+def test_resample_gap_fill_renders_ts(series):
+    out = resample_gap_fill(series, "user_id", "ts", "value", 3600)
+    row = out.filter((F.col("user_id") == 1) & (F.col("filled") == 1)).orderBy("bucket").first()
+    assert row["bucket_ts"] == _ts(2)
+    assert row["value"] == 50.0
+
+
+def test_time_bucket_hour_boundary(spark):
+    # exactly on the boundary must land in the opening bucket
+    df = spark.createDataFrame([(dt.datetime(2024, 1, 1, 1, 0, 0),)], "ts timestamp")
+    assert df.select(time_bucket("ts", 3600).alias("b")).first()["b"] == 473353
+
+
+def test_heavy_hitters_exact_vs_naive(spark):
+    # zipfy column: value i appears (60 >> i) times
+    rows = [(f"v{i}",) for i in range(6) for _ in range(60 >> i)]
+    df = spark.createDataFrame(rows, "x string").repartition(5)
+    out = heavy_hitters(df, "x", min_share=0.1)
+    naive = (
+        df.groupBy("x").count()
+        .filter(F.col("count") > 0.1 * len(rows))
+        .collect()
+    )
+    assert {(r["value"], r["cnt"]) for r in out.collect()} == {
+        (r["x"], r["count"]) for r in naive
+    }
+    # strict threshold: shares are exact, ordering defined
+    got = out.collect()
+    assert [r["value"] for r in got] == sorted(
+        [r["value"] for r in got], key=lambda v: (-dict((g["value"], g["cnt"]) for g in got)[v], v)
+    )
+
+
+def test_heavy_hitters_empty_and_none_frequent(spark):
+    empty = spark.createDataFrame([], "x string")
+    assert heavy_hitters(empty, "x").count() == 0
+    # uniform column, high threshold -> nothing qualifies
+    uni = spark.createDataFrame([(f"u{i}",) for i in range(50)], "x string")
+    assert heavy_hitters(uni, "x", min_share=0.5).count() == 0
+
+
+def test_token_heavy_hitters(spark):
+    docs = spark.createDataFrame(
+        [(1, "the cat sat"), (2, "the dog ran"), (3, "the end")],
+        "doc_id long, text string",
+    )
+    out = {r["value"]: r["cnt"] for r in token_heavy_hitters(docs, "text", 0.2).collect()}
+    assert out == {"the": 3}  # 3/9 > 0.2; every other token is 1/9
