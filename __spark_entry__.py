@@ -1122,7 +1122,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("filled").cast("long").alias("n"),
             F.col("value").cast("double").alias("v"),
         )
-        return run.unionByName(sl).unionByName(gf)
+        # fourth part: rolling z-score anomaly detection over the resampled
+        # series — exact-decimal trailing-window power sums make the moving
+        # mean/std (and therefore z) bit-identical cross-engine, emitted
+        # unrounded; n carries the anomaly flag
+        from etl_processes_spark.ops.timeseries import (
+            bucket_start,
+            resample,
+            rolling_stats,
+        )
+
+        res = resample(
+            ev.filter(F.col("user_id") < 20), "user_id", "ts", "value", 3600,
+            ndigits=ND,
+        )
+        an = rolling_stats(
+            res, "user_id", "bucket", "value", window=24, z_threshold=3.0
+        ).select(
+            F.lit("anomaly").alias("part"),
+            F.col("user_id").cast("string").alias("k1"),
+            F.date_format(bucket_start("bucket", 3600), "yyyy-MM-dd HH:mm:ss").alias("k2"),
+            F.col("anomaly").cast("long").alias("n"),
+            F.col("zscore").cast("double").alias("v"),
+        )
+        return run.unionByName(sl).unionByName(gf).unionByName(an)
 
     # -- relational ---------------------------------------------------------------------
 
@@ -1451,6 +1474,13 @@ def bench_components() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t(spark, sf, "documents"), "text", min_share=0.005, ndigits=None
         )
 
+    def c_rolling_stats(spark, sf):
+        # full-width workload: every user, hourly buckets, 24h window
+        from etl_processes_spark.ops.timeseries import resample, rolling_stats
+
+        res = resample(_t(spark, sf, "events"), "user_id", "ts", "value", 3600)
+        return rolling_stats(res, "user_id", "bucket", "value", window=24)
+
     return {
         "ngram_jaccard_pairs": c_ngram,
         "minhash_lsh_pairs": c_minhash,
@@ -1470,6 +1500,7 @@ def bench_components() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "remove_duplicate_spans": c_despan,
         "gap_fill": c_gap_fill,
         "heavy_hitters": c_heavy_hitters,
+        "rolling_stats": c_rolling_stats,
     }
 
 
@@ -3241,6 +3272,34 @@ SELECT 'gapfill' AS part, k1, k2, n, v FROM (
                      pv + (nv - pv) * (CAST(b - pb AS DOUBLE) / CAST(nb - pb AS DOUBLE)),
                      pv, nv) END AS v
   FROM f
+)
+UNION ALL
+SELECT 'anomaly' AS part, k1, k2, n, v FROM (
+  WITH res AS (
+    SELECT user_id,
+           epoch_us(ts) // 3600000000 AS b,
+           round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS v
+    FROM events WHERE user_id < 20 AND ts IS NOT NULL AND value IS NOT NULL
+    GROUP BY 1, 2),
+  r AS (
+    SELECT user_id, b, v,
+           CAST(sum(CAST(v AS DECIMAL(18,6))) OVER w AS DOUBLE) AS s1,
+           CAST(sum(CAST(v AS DECIMAL(18,6)) * CAST(v AS DECIMAL(18,6))) OVER w AS DOUBLE) AS s2,
+           CAST(count(v) OVER w AS DOUBLE) AS n
+    FROM res
+    WINDOW w AS (PARTITION BY user_id ORDER BY b
+                 ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)),
+  z AS (
+    SELECT user_id, b,
+           CASE WHEN sqrt(greatest(s2/n - (s1/n)*(s1/n), 0.0)) > 0
+                THEN (v - s1/n) / sqrt(greatest(s2/n - (s1/n)*(s1/n), 0.0))
+                ELSE 0.0 END AS zscore
+    FROM r)
+  SELECT CAST(user_id AS VARCHAR) AS k1,
+         strftime(make_timestamp(b * 3600000000), '%Y-%m-%d %H:%M:%S') AS k2,
+         CAST(CASE WHEN abs(zscore) > 3.0 THEN 1 ELSE 0 END AS BIGINT) AS n,
+         zscore AS v
+  FROM z
 )
 """
 

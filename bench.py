@@ -66,6 +66,7 @@ def main() -> None:
         "cascading_rollup",
         "gap_fill",
         "heavy_hitters",
+        "rolling_stats",
         "asof_join_events",
         "salted_join_agg",
         "hourly_event_rollup",

