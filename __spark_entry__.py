@@ -760,7 +760,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         mh = minhash_lsh_pairs(
             d, "doc_id", "text", num_hashes=64, bands=16, k=3, threshold=0.06
         ).select(F.lit("minhash").alias("method"), "id_a", "id_b", "jaccard")
-        return ng.unionByName(mh)
+        # third family: edit-distance similarity join (entity resolution) —
+        # Ed-Join prefix-filtered candidates + exact levenshtein verify over
+        # the distinct part-name domain. The oracle side is a BRUTE-FORCE
+        # ground-truth join, so the hash match proves the candidate cascade
+        # has no false negatives; the distance rides the slot's value column
+        from etl_processes_spark.ops.dedup import edit_distance_pairs
+
+        names = (
+            _t(spark, sf, "part")
+            .groupBy(F.lower(F.col("p_name")).alias("s"))
+            .agg(F.min("p_partkey").alias("id"))
+        )
+        ed = edit_distance_pairs(names, "id", "s", max_distance=2, q=2).select(
+            F.lit("editdist").alias("method"),
+            "id_a", "id_b",
+            F.col("distance").cast("double").alias("jaccard"),
+        )
+        return ng.unionByName(mh).unionByName(ed)
 
     # -- similarity ---------------------------------------------------------------
 
@@ -1481,6 +1498,16 @@ def bench_components() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         res = resample(_t(spark, sf, "events"), "user_id", "ts", "value", 3600)
         return rolling_stats(res, "user_id", "bucket", "value", window=24)
 
+    def c_edit_distance(spark, sf):
+        from etl_processes_spark.ops.dedup import edit_distance_pairs
+
+        names = (
+            _t(spark, sf, "part")
+            .groupBy(F.lower(F.col("p_name")).alias("s"))
+            .agg(F.min("p_partkey").alias("id"))
+        )
+        return edit_distance_pairs(names, "id", "s", max_distance=2, q=2)
+
     return {
         "ngram_jaccard_pairs": c_ngram,
         "minhash_lsh_pairs": c_minhash,
@@ -1501,6 +1528,7 @@ def bench_components() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gap_fill": c_gap_fill,
         "heavy_hitters": c_heavy_hitters,
         "rolling_stats": c_rolling_stats,
+        "edit_distance_pairs": c_edit_distance,
     }
 
 
@@ -2534,9 +2562,21 @@ JOIN sizes sb ON sb.id = c.id_b
 WHERE round(CAST(cnt AS DOUBLE) / (sa.sz + sb.sz - cnt), 6) >= 0.06
 """
 
+    # editdist: brute-force ground truth — certifies the Spark side's
+    # prefix-filter cascade end-to-end (any false negative breaks the hash)
+    _editdist_sql = """
+WITH names AS (SELECT lower(p_name) AS s, min(p_partkey) AS id FROM part GROUP BY 1)
+SELECT a.id AS id_a, b.id AS id_b,
+       CAST(levenshtein(a.s, b.s) AS DOUBLE) AS jaccard
+FROM names a, names b
+WHERE a.id < b.id
+  AND abs(length(a.s) - length(b.s)) <= 2
+  AND levenshtein(a.s, b.s) <= 2
+"""
     sql["near_dup_pairs"] = (
         f"SELECT 'ngram' AS method, * FROM ({_ngram_sql})\n"
-        f"UNION ALL\nSELECT 'minhash' AS method, * FROM ({_minhash_sql})"
+        f"UNION ALL\nSELECT 'minhash' AS method, * FROM ({_minhash_sql})\n"
+        f"UNION ALL\nSELECT 'editdist' AS method, * FROM ({_editdist_sql})"
     )
 
     _bitsums = ", ".join(

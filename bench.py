@@ -44,6 +44,7 @@ def main() -> None:
         "dedup_clusters",
         "ngram_jaccard_pairs",
         "minhash_lsh_pairs",
+        "edit_distance_pairs",
         "simhash_fingerprints",
         "cosine_topk",
         "pq_topk",

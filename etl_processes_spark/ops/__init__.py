@@ -19,6 +19,7 @@ from etl_processes_spark.ops.dedup import (
     dedup_clusters,
     dedup_exact,
     dedup_incremental,
+    edit_distance_pairs,
     line_dedup,
     line_dedup_incremental,
     minhash_lsh_pairs,
@@ -70,7 +71,8 @@ __all__ = [
     "ann_cosine_ivf", "ann_cosine_lsh", "assemble_bins", "chunk_documents",
     "contamination_report", "corpus_diff", "corpus_stats", "cosine_topk_fast",
     "decontaminate", "dedup_clusters", "dedup_exact", "dedup_incremental",
-    "domain_blocklist_filter", "embedding_near_dup_pairs",
+    "domain_blocklist_filter", "edit_distance_pairs",
+    "embedding_near_dup_pairs",
     "filter_by_classifier", "gap_fill", "heavy_hitters", "lang_id",
     "line_dedup", "line_dedup_incremental",
     "minhash_lsh_pairs", "mixture_rates", "mixture_rates_by_tokens",

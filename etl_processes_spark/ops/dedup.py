@@ -1007,3 +1007,140 @@ def remove_duplicate_spans(
         F.size(kept).cast("long").alias("n_tokens_kept"),
         F.size("__starts").cast("long").alias("n_dup_windows"),
     )
+
+
+# ---------------------------------------------------------------------------
+# edit-distance similarity join (entity resolution)
+# ---------------------------------------------------------------------------
+
+
+def edit_distance_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_distance: int = 2,
+    q: int = 2,
+    lowercase: bool = True,
+) -> DataFrame:
+    """Fuzzy self-join for entity resolution: every pair (id_a < id_b) whose
+    strings are within ``max_distance`` Levenshtein edits — EXACT, without
+    the all-pairs O(n²) join. Returns (id_a, id_b, distance).
+
+    Ed-Join-style prefix filtering (Xiao et al., VLDB 2008):
+
+    1. Each string explodes to occurrence-tagged character q-grams
+       (gram#ordinal — makes the gram MULTISET a distinct set, so shared-
+       tagged-gram count equals multiset overlap). The ordinal is a pure
+       array expression (count of equal grams among the preceding
+       positions): O(len²) per string but zero shuffles — strings are
+       short, shuffles are not. d edits destroy at most q·d grams, so
+       strings within distance d share ≥ max(|a|,|b|)−q+1−q·d occurrences.
+    2. Under ANY global total order on tagged grams, that overlap bound
+       forces the first q·d+1 grams (rarest-first here: order by corpus
+       document frequency, then hash) of BOTH strings to intersect — so the
+       candidate join indexes only q·d+1 grams per string, and the hot
+       ubiquitous grams (which sort LAST by rarity) never enter the join.
+       An md5 collision can only merge two grams — candidates grow, never
+       shrink, so exactness is preserved.
+    3. Pairs where the LONGER string has < q·(d+1) characters have a vacuous
+       overlap bound (prefix filtering proves nothing); those route through
+       a short-string pool blocked on a canonical length key
+       (k = max(len_a, len_b) − d — each qualifying pair matches exactly
+       once), disjoint from the long route by construction.
+    4. VERIFY: both routes' candidate id pairs union into ONE distinct +
+       string join + exact ``levenshtein`` pass, after the
+       |len_a − len_b| ≤ d length filter.
+
+    Shuffles: gram-frequency agg, frequency join, per-string rank window,
+    prefix self-join (≤ q·d+1 rows per string), one verify join pair — all
+    bounded; no stage ever pairs beyond gram-colliding prefixes. The oracle
+    gate certifies the output against a brute-force ground-truth join, so a
+    false negative anywhere in the cascade breaks the hash.
+
+    Byte-vs-char caveat: Spark's levenshtein counts CHARACTERS; engines
+    that count bytes (e.g. DuckDB) differ on non-ASCII input. The operator
+    itself is consistent either way; cross-engine certification assumes
+    ASCII.
+
+    PRECONDITION: ``id_col`` unique, one row per entity string."""
+    from pyspark.sql import Window
+
+    if max_distance < 0 or q < 1:
+        raise ValueError("max_distance must be >= 0 and q >= 1")
+    d = int(max_distance)
+    s = F.col(text_col).cast("string")
+    if lowercase:
+        s = F.lower(s)
+    base = (
+        df.select(F.col(id_col).alias("id"), s.alias("s"))
+        .filter(F.col("s").isNotNull() & (F.length("s") > 0))
+        .withColumn("len", F.length("s"))
+        .localCheckpoint(eager=False)  # shared by both routes + verify joins
+    )
+    l_short = q * (d + 1) - 1  # longest length with a vacuous overlap bound
+
+    # -- short route: pairs whose longer string is <= l_short ----------------
+    skeys = base.filter(F.col("len") <= l_short).select(
+        "id", "len",
+        F.explode(
+            F.sequence(F.col("len") - F.lit(d), F.col("len"))
+        ).alias("bk"),
+    )
+    sa, sb = skeys.alias("sa"), skeys.alias("sb")
+    short_cand = sa.join(
+        sb,
+        (F.col("sa.bk") == F.col("sb.bk"))
+        & (F.col("sa.id") < F.col("sb.id"))
+        # canonical key: exactly one (bk) matches per qualifying pair
+        & (F.col("sa.bk") == F.greatest(F.col("sa.len"), F.col("sb.len")) - d),
+    ).select(F.col("sa.id").alias("id_a"), F.col("sb.id").alias("id_b"))
+
+    # -- long route: prefix-filtered candidates ------------------------------
+    garr = F.transform(
+        F.sequence(F.lit(1), F.col("len") - q + 1),
+        lambda i: F.substring(F.col("s"), i, q),
+    )
+    # occurrence ordinal as a pure array expression — no (id, gram) shuffle
+    tagged_arr = F.transform(
+        garr,
+        lambda g, i: F.concat(
+            g, F.lit("#"),
+            F.size(F.filter(F.slice(garr, 1, i + 1), lambda x: x == g)).cast("string"),
+        ),
+    )
+    tagged = (
+        base.filter(F.col("len") >= q)
+        .select("id", "len", F.posexplode(tagged_arr).alias("pos", "tg"))
+        .select("id", "len", "pos", md5_long_expr("tg").alias("h"))
+        .localCheckpoint(eager=False)  # feeds the df-agg AND the rank join
+    )
+    gdf = tagged.groupBy("h").agg(F.count(F.lit(1)).alias("__df"))
+    w_rank = Window.partitionBy("id").orderBy("__df", "h", "pos")
+    prefix = (
+        tagged.join(gdf, "h")
+        .withColumn("__rk", F.row_number().over(w_rank))
+        .filter(F.col("__rk") <= q * d + 1)
+        .select("id", "len", "h")
+    )
+    pa, pb = prefix.alias("pa"), prefix.alias("pb")
+    long_cand = pa.join(
+        pb,
+        (F.col("pa.h") == F.col("pb.h"))
+        & (F.col("pa.id") < F.col("pb.id"))
+        & (F.greatest(F.col("pa.len"), F.col("pb.len")) > l_short)
+        & (F.abs(F.col("pa.len") - F.col("pb.len")) <= d),
+    ).select(F.col("pa.id").alias("id_a"), F.col("pb.id").alias("id_b"))
+
+    # -- unified verify ------------------------------------------------------
+    cand = short_cand.unionByName(long_cand).distinct()
+    stra = base.select(F.col("id").alias("id_a"), F.col("s").alias("__sa"))
+    strb = base.select(F.col("id").alias("id_b"), F.col("s").alias("__sb"))
+    return (
+        cand.join(stra, "id_a")
+        .join(strb, "id_b")
+        .select(
+            "id_a", "id_b",
+            F.levenshtein(F.col("__sa"), F.col("__sb")).alias("distance"),
+        )
+        .filter(F.col("distance") <= d)
+    )

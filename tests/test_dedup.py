@@ -353,3 +353,80 @@ def test_minhash_band_validation(docs):
         minhash_lsh_pairs(docs, "doc_id", "text", num_hashes=8, bands=16)
     with pytest.raises(ValueError, match="multiple"):
         minhash_lsh_pairs(docs, "doc_id", "text", num_hashes=64, bands=10)
+
+
+# ---------------------------------------------------------------------------
+# edit-distance similarity join
+# ---------------------------------------------------------------------------
+
+
+def _brute_pairs(spark, df, d):
+    from pyspark.sql import functions as F
+
+    a = df.select(F.col("id").alias("id_a"), F.lower("s").alias("sa"))
+    b = df.select(F.col("id").alias("id_b"), F.lower("s").alias("sb"))
+    return {
+        (r["id_a"], r["id_b"], r["d"])
+        for r in a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.levenshtein("sa", "sb").alias("d"))
+        .filter(F.col("d") <= d)
+        .collect()
+    }
+
+
+def test_edit_distance_pairs_exact_vs_bruteforce(spark):
+    import random
+
+    from etl_processes_spark.ops.dedup import edit_distance_pairs
+
+    rng = random.Random(7)
+    alphabet = "abcdefg"
+    bases = ["".join(rng.choice(alphabet) for _ in range(rng.randint(1, 14))) for _ in range(30)]
+    rows = []
+    i = 0
+    for s in bases:
+        rows.append((i, s)); i += 1
+        # typo variants: substitution, deletion, insertion
+        if len(s) > 2:
+            p = rng.randrange(len(s))
+            rows.append((i, s[:p] + rng.choice(alphabet) + s[p + 1:])); i += 1
+            rows.append((i, s[:p] + s[p + 1:])); i += 1
+        rows.append((i, s + rng.choice(alphabet))); i += 1
+    df = spark.createDataFrame(rows, "id long, s string").repartition(5)
+    for d in (0, 1, 2):
+        got = {
+            (r["id_a"], r["id_b"], r["distance"])
+            for r in edit_distance_pairs(df, "id", "s", max_distance=d).collect()
+        }
+        assert got == _brute_pairs(spark, df, d), f"mismatch at d={d}"
+
+
+def test_edit_distance_pairs_short_and_mixed_lengths(spark):
+    from etl_processes_spark.ops.dedup import edit_distance_pairs
+
+    # short strings (vacuous q-gram bound) and a short-vs-long pair
+    rows = [
+        (1, "ab"), (2, "ac"), (3, "a"), (4, "abc"),
+        (5, "abcdefghij"), (6, "abcdefghix"), (7, "zz"),
+    ]
+    df = spark.createDataFrame(rows, "id long, s string")
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in edit_distance_pairs(df, "id", "s", max_distance=1).collect()
+    }
+    assert got == {(p[0], p[1]) for p in _brute_pairs(spark, df, 1)}
+
+
+def test_edit_distance_pairs_case_and_validation(spark):
+    import pytest as _pytest
+
+    from etl_processes_spark.ops.dedup import edit_distance_pairs
+
+    df = spark.createDataFrame([(1, "Hello"), (2, "hello")], "id long, s string")
+    assert edit_distance_pairs(df, "id", "s", max_distance=0).count() == 1
+    assert (
+        edit_distance_pairs(df, "id", "s", max_distance=0, lowercase=False).count() == 0
+    )
+    with _pytest.raises(ValueError):
+        edit_distance_pairs(df, "id", "s", max_distance=-1)
