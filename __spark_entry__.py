@@ -1091,7 +1091,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 F.transform(F.col("fingerprints"), lambda x: x.cast("string")), " "
             ).alias("fingerprint"),
         )
-        return md5fp.unionByName(sim).unionByName(win)
+        # fourth family: keyword signature — top-3 distinctive terms by
+        # RATIONAL tf-idf (tf/df, no logarithm: every ranking comparison is
+        # an exact IEEE division of small integers, token tie-break), so
+        # the per-doc signature string is deterministic cross-engine
+        from etl_processes_spark.ops.textstats import tfidf_top_terms
+
+        terms = tfidf_top_terms(d, "doc_id", "text", k=3)
+        tfidf = (
+            terms.withColumn(
+                "term",
+                F.concat(
+                    F.col("token"), F.lit("/"),
+                    F.col("tf").cast("string"), F.lit("/"),
+                    F.col("df").cast("string"),
+                ),
+            )
+            .groupBy("id")
+            .agg(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("rank", "term"))),
+                        lambda x: x["term"],
+                    ),
+                    " ",
+                ).alias("fingerprint")
+            )
+            .select(
+                F.lit("tfidf").alias("method"),
+                F.col("id").alias("doc_id"),
+                "fingerprint",
+            )
+        )
+        return md5fp.unionByName(sim).unionByName(win).unionByName(tfidf)
 
     # -- events / windows ------------------------------------------------------------
 
@@ -1508,6 +1540,11 @@ def bench_components() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return edit_distance_pairs(names, "id", "s", max_distance=2, q=2)
 
+    def c_tfidf(spark, sf):
+        from etl_processes_spark.ops.textstats import tfidf_top_terms
+
+        return tfidf_top_terms(_t(spark, sf, "documents"), "doc_id", "text", k=3)
+
     return {
         "ngram_jaccard_pairs": c_ngram,
         "minhash_lsh_pairs": c_minhash,
@@ -1529,6 +1566,7 @@ def bench_components() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heavy_hitters": c_heavy_hitters,
         "rolling_stats": c_rolling_stats,
         "edit_distance_pairs": c_edit_distance,
+        "tfidf_top_terms": c_tfidf,
     }
 
 
@@ -3226,6 +3264,21 @@ UNION ALL
 SELECT 'winnowing' AS method, doc_id, fingerprints AS fingerprint
 FROM ({_winnowing_sql})
 WHERE doc_id IN (SELECT doc_id FROM documents WHERE text IS NOT NULL)
+UNION ALL
+SELECT 'tfidf' AS method, doc_id,
+       string_agg(token || '/' || tf || '/' || df, ' ' ORDER BY rk) AS fingerprint
+FROM (
+  WITH toks AS (SELECT doc_id, unnest({_TOKS}) AS token
+                FROM documents WHERE text IS NOT NULL),
+  tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+         FROM toks GROUP BY 1, 2),
+  dfq AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1)
+  SELECT doc_id, token, tf, df,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY CAST(tf AS DOUBLE) / df DESC, token ASC) AS rk
+  FROM tf JOIN dfq USING (token)
+)
+WHERE rk <= 3 GROUP BY doc_id
 """
 
     # -- events ----------------------------------------------------------------------

@@ -53,6 +53,7 @@ def main() -> None:
         "text_analysis",
         "decontaminate",
         "repetition_stats",
+        "tfidf_top_terms",
         "pii_scrub",
         "embedding_near_dup",
         "line_dedup",

@@ -56,6 +56,7 @@ from etl_processes_spark.ops.textstats import (
     pii_scrub,
     quality_features,
     repetition_stats,
+    tfidf_top_terms,
     token_count,
     token_heavy_hitters,
     unigram_logprob_score,
@@ -81,6 +82,6 @@ __all__ = [
     "resample_gap_fill", "repetition_stats", "rolling_stats",
     "score_with_classifier",
     "semantic_dedup", "shuffle_deterministic", "simhash_fingerprints",
-    "split_assign", "stratified_sample", "token_count", "token_heavy_hitters",
-    "train_logistic", "unigram_logprob_score",
+    "split_assign", "stratified_sample", "tfidf_top_terms", "token_count",
+    "token_heavy_hitters", "train_logistic", "unigram_logprob_score",
 ]

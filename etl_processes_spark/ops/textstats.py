@@ -636,3 +636,41 @@ def token_heavy_hitters(
         F.explode(tokens_expr(text_col)).alias("token")
     )
     return heavy_hitters(toks, "token", min_share=min_share, ndigits=ndigits)
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    min_token_len: int = 1,
+) -> DataFrame:
+    """Top-``k`` most DISTINCTIVE terms per document: rank tokens by
+    tf/df — term frequency in the doc over corpus document frequency
+    (rational tf-idf; since the corpus size is constant across a ranking,
+    tf·(n/df) and tf/df order identically, and skipping the logarithm
+    keeps every comparison an exact IEEE division of small integers, so
+    the ranking is bit-reproducible in any engine — a log idf would hang
+    ranking ties on libm's last ulp). Ties break on the token, so the
+    result is fully deterministic. Returns (id, rank, token, tf, df).
+
+    Plan: explode → tf agg on (doc, token) → df agg on token → join →
+    per-doc top-k window. All aggs partial-agg'd; the window sort is
+    bounded per doc. At 100 TB the (doc, token) agg is the dominant
+    shuffle — the same one any tf computation pays."""
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col).alias("id"), F.explode(tokens_expr(text_col)).alias("token")
+    ).filter(F.length("token") >= min_token_len)
+    tf = toks.groupBy("id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("id").orderBy(
+        F.desc(F.col("tf").cast("double") / F.col("df")), F.asc("token")
+    )
+    return (
+        tf.join(dfreq, "token")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("id", "rank", "token", "tf", "df")
+    )

@@ -305,3 +305,30 @@ def test_unigram_frozen_lm_oov_floor(spark):
     # 'the' alone, above doc 10)
     assert s[11] < s[10]
     assert s[12] is not None and s[12] < s[11]
+
+
+def test_tfidf_top_terms(spark):
+    from pyspark.sql import functions as F
+
+    from etl_processes_spark.ops.textstats import tfidf_top_terms
+
+    docs = spark.createDataFrame(
+        [
+            (1, "apple apple banana common common common"),
+            (2, "banana cherry common common"),
+            (3, "common cherry"),
+        ],
+        "doc_id long, text string",
+    )
+    out = tfidf_top_terms(docs, "doc_id", "text", k=2)
+    got = {(r["id"], r["rank"]): (r["token"], r["tf"], r["df"]) for r in out.collect()}
+    # doc 1: apple tf=2 df=1 -> 2.0 beats common tf=3 df=3 -> 1.0 and banana 1/2
+    assert got[(1, 1)] == ("apple", 2, 1)
+    assert got[(1, 2)] == ("common", 3, 3)
+    # doc 3: cherry 1/2 beats common 1/3
+    assert got[(3, 1)] == ("cherry", 1, 2)
+    assert got[(3, 2)] == ("common", 1, 3)
+    # deterministic under repartitioning
+    a = sorted(map(tuple, out.collect()))
+    b = sorted(map(tuple, tfidf_top_terms(docs.repartition(7), "doc_id", "text", k=2).collect()))
+    assert a == b
