@@ -103,3 +103,53 @@ def test_round4_ops_under_ansi(ansi, spark):
     emb = spark.createDataFrame([(0, [0.5, -0.5]), (1, [1.0, 1.0])], ["id", "v"])
     scored = score_with_classifier(emb, "v", [0.3, 0.7], 0.1).collect()
     assert all(0.0 <= r["clf_score"] <= 1.0 for r in scored)
+
+
+def test_round4_ops_match_under_ansi(ansi, spark):
+    # timeseries + heavy hitters + edit distance + tfidf: identical results
+    # with ANSI on/off (strict casts/arithmetic must neither error nor drift)
+    import datetime as dt
+
+    from etl_processes_spark.ops.dedup import edit_distance_pairs
+    from etl_processes_spark.ops.textstats import tfidf_top_terms, token_heavy_hitters
+    from etl_processes_spark.ops.timeseries import (
+        gap_fill,
+        resample,
+        rolling_stats,
+    )
+
+    ev = spark.createDataFrame(
+        [
+            (1, dt.datetime(2024, 1, 1, h, 13), float(h) + 0.25)
+            for h in (0, 1, 4, 5, 9)
+        ]
+        + [(2, dt.datetime(2024, 1, 1, 2, 2), 7.5)],
+        "user_id long, ts timestamp, value double",
+    )
+    docs = spark.createDataFrame(
+        [(1, "the cat sat on the mat"), (2, "the cat sat on the hat"),
+         (3, "entirely unrelated words"), (4, None)],
+        ["doc_id", "text"],
+    )
+    names = spark.createDataFrame(
+        [(1, "chocolate lace"), (2, "chocolate face"), (3, "ab"), (4, "ac")],
+        "id long, s string",
+    )
+
+    def run_all():
+        res = resample(ev, "user_id", "ts", "value", 3600)
+        return (
+            _rows(gap_fill(res, "user_id", method="linear")),
+            _rows(rolling_stats(res, "user_id", "bucket", "value", window=3)),
+            _rows(token_heavy_hitters(docs, "text", 0.1)),
+            _rows(edit_distance_pairs(names, "id", "s", max_distance=1)),
+            _rows(tfidf_top_terms(docs, "doc_id", "text", k=2)),
+        )
+
+    with_ansi = run_all()
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    without = run_all()
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    assert with_ansi == without
+    assert len(with_ansi[0]) >= 10  # gap rows generated
+    assert len(with_ansi[3]) == 2   # (1,2) long route, (3,4) short route

@@ -132,3 +132,12 @@ def test_ntz_with_ansi_combined(spark, events_ts, events_ntz):
         assert hourly_event_rollup(events_ntz.limit(500)).count() > 0
     finally:
         spark.conf.set("spark.sql.ansi.enabled", prev)
+
+
+def test_resample_gap_fill_ntz(events_ts, events_ntz):
+    from etl_processes_spark.ops.timeseries import resample_gap_fill
+
+    cols = ["user_id", "bucket", "bucket_ts", "value", "filled"]
+    a = _sorted_rows(resample_gap_fill(events_ts, "user_id", "ts", "value", 3600), cols)
+    b = _sorted_rows(resample_gap_fill(events_ntz, "user_id", "ts", "value", 3600), cols)
+    assert a == b and len(a) > 0
