@@ -806,7 +806,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         pq = ann_cosine_pq(
             e, q, "vec_id", "embedding", k=5, m=8, ksub=16
         ).select(F.lit("pq").alias("method"), "query_id", "neighbor_id", "cosine_sim", "rank")
-        return exact.unionByName(lsh).unionByName(ivf).unionByName(pq)
+        # fifth family: the composed IVF-PQ layout (cells prune, codes
+        # compress — the billion-vector standard); the twin replays both
+        # quantizers from the same deterministic fits
+        from etl_processes_spark.ops.similarity import ann_cosine_ivf_pq
+
+        ivfpq = ann_cosine_ivf_pq(
+            e, q, "vec_id", "embedding", k=5,
+            n_centroids=64, n_probe=8, m=8, ksub=16,
+        ).select(
+            F.lit("ivfpq").alias("method"), "query_id", "neighbor_id",
+            "cosine_sim", "rank",
+        )
+        return (
+            exact.unionByName(lsh).unionByName(ivf).unionByName(pq)
+            .unionByName(ivfpq)
+        )
 
     # -- text analysis -------------------------------------------------------------
 
@@ -1545,6 +1560,15 @@ def bench_components() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return tfidf_top_terms(_t(spark, sf, "documents"), "doc_id", "text", k=3)
 
+    def c_ivfpq_topk(spark, sf):
+        from etl_processes_spark.ops.similarity import ann_cosine_ivf_pq
+
+        e = _t(spark, sf, "embeddings")
+        return ann_cosine_ivf_pq(
+            e, e.filter(F.col("vec_id") < 20), "vec_id", "embedding",
+            k=5, n_centroids=64, n_probe=8, m=8, ksub=16,
+        )
+
     return {
         "ngram_jaccard_pairs": c_ngram,
         "minhash_lsh_pairs": c_minhash,
@@ -1567,6 +1591,7 @@ def bench_components() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_stats": c_rolling_stats,
         "edit_distance_pairs": c_edit_distance,
         "tfidf_top_terms": c_tfidf,
+        "ivfpq_topk": c_ivfpq_topk,
     }
 
 
@@ -1948,6 +1973,86 @@ def _clf_weights(d: int) -> list[float]:
     Python function both queries() and oracle_sql() call, so the literals
     agree by construction (alternating-sign 6dp ramp in [-0.5, 0.5])."""
     return [round(((i * 37 + 11) % 101 / 101.0 - 0.5) * (-1) ** i, 6) for i in range(d)]
+
+
+def _ivf_pq_oracle_sql(
+    sf_dir: str = "/root/testdata/sf0.01",
+    n_centroids: int = 64,
+    n_probe: int = 8,
+    m: int = 8,
+    ksub: int = 16,
+    k: int = 5,
+) -> str:
+    """DuckDB twin of the composed IVF-PQ part: BOTH quantizers are refit
+    by the engine's own deterministic fits on the pyarrow-read sample
+    (bit-identical to the driver-side fits) and enter as literals; cell
+    assignment, probing, PQ encoding and the probe-restricted ADC scoring
+    are replayed natively. Tie-breaks mirror numpy exactly (argmax → dot
+    desc then lowest cell; argmin → distance then lowest code)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from etl_processes_spark.ops.similarity import _pq_fit, _spherical_kmeans
+
+    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["embedding"])
+    X = np.stack(
+        [np.asarray(v, dtype=np.float64) for v in tbl.column("embedding").to_pylist()]
+    )[:10_000]
+    X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    C = _spherical_kmeans(X, n_centroids, seed=42)
+    books = _pq_fit(X, m=m, ksub=ksub)
+    _, _, dsub = books.shape
+    cent_vals = ", ".join(
+        f"({i}, [{', '.join(repr(float(x)) for x in C[i])}])" for i in range(len(C))
+    )
+    book_vals = ", ".join(
+        f"({s}, {j}, [{', '.join(repr(float(x)) for x in books[s, j])}])"
+        for s in range(m)
+        for j in range(ksub)
+    )
+    subs_vals = ", ".join(f"({s})" for s in range(m))
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+en AS (SELECT vec_id,
+              list_transform(v, x -> x / greatest(sqrt(list_dot_product(v, v)), 1e-12)) AS vn
+       FROM e),
+cent(cell, c) AS (VALUES {cent_vals}),
+books(s, code, c) AS (VALUES {book_vals}),
+subs(s) AS (VALUES {subs_vals}),
+arank AS (SELECT vec_id, cell,
+                 row_number() OVER (PARTITION BY vec_id
+                                    ORDER BY list_dot_product(vn, c) DESC, cell) AS rk
+          FROM en CROSS JOIN cent),
+assign AS (SELECT vec_id, cell FROM arank WHERE rk = 1),
+sub AS (SELECT vec_id, subs.s, vn[subs.s*{dsub}+1:(subs.s+1)*{dsub}] AS sv
+        FROM en CROSS JOIN subs),
+crank AS (SELECT vec_id, sub.s, code,
+                 row_number() OVER (PARTITION BY vec_id, sub.s
+                                    ORDER BY list_distance(sv, c), code) AS rk
+          FROM sub JOIN books ON books.s = sub.s),
+codes AS (SELECT vec_id, s, code FROM crank WHERE rk = 1),
+prank AS (SELECT vec_id AS query_id, cell,
+                 row_number() OVER (PARTITION BY vec_id
+                                    ORDER BY list_dot_product(vn, c) DESC, cell) AS rk
+          FROM en CROSS JOIN cent WHERE vec_id < 20),
+probe AS (SELECT query_id, cell FROM prank WHERE rk <= {n_probe}),
+cand AS (SELECT p.query_id, a.vec_id AS neighbor_id
+         FROM probe p JOIN assign a ON a.cell = p.cell
+         WHERE a.vec_id <> p.query_id),
+qsub AS (SELECT vec_id AS query_id, s, sv AS qs FROM sub WHERE vec_id < 20),
+contrib AS (SELECT cd.query_id, cd.neighbor_id, list_dot_product(q.qs, books.c) AS part
+            FROM cand cd
+            JOIN qsub q ON q.query_id = cd.query_id
+            JOIN codes ON codes.vec_id = cd.neighbor_id AND codes.s = q.s
+            JOIN books ON books.s = q.s AND books.code = codes.code),
+score AS (SELECT query_id, neighbor_id, round(sum(part), 6) AS cosine_sim
+          FROM contrib GROUP BY query_id, neighbor_id),
+r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine_sim DESC, neighbor_id) AS rk
+      FROM score)
+SELECT query_id, neighbor_id, cosine_sim, CAST(rk AS INTEGER) AS rank
+FROM r WHERE rk <= {k}
+"""
 
 
 def _semdedup_oracle_sql(
@@ -2932,11 +3037,13 @@ SELECT query_id, neighbor_id, cosine_sim, CAST(rk AS INTEGER) AS rank FROM r WHE
     try:
         _ivf_sql = _ivf_oracle_sql(sf_dir)
         _pq_sql = _pq_oracle_sql(sf_dir)
+        _ivfpq_sql = _ivf_pq_oracle_sql(sf_dir)
         sql["similarity_topk"] = (
             f"SELECT 'exact' AS method, * FROM ({_exact_topk_sql})\n"
             f"UNION ALL\nSELECT 'lsh' AS method, * FROM ({_lsh_sql})\n"
             f"UNION ALL\nSELECT 'ivf' AS method, * FROM ({_ivf_sql})\n"
-            f"UNION ALL\nSELECT 'pq' AS method, * FROM ({_pq_sql})"
+            f"UNION ALL\nSELECT 'pq' AS method, * FROM ({_pq_sql})\n"
+            f"UNION ALL\nSELECT 'ivfpq' AS method, * FROM ({_ivfpq_sql})"
         )
     except Exception:
         pass

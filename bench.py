@@ -48,6 +48,7 @@ def main() -> None:
         "simhash_fingerprints",
         "cosine_topk",
         "pq_topk",
+        "ivfpq_topk",
         "text_profile_stats",
         "gen_text_mvn",
         "text_analysis",

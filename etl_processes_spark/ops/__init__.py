@@ -41,9 +41,11 @@ from etl_processes_spark.ops.pack import (
 )
 from etl_processes_spark.ops.similarity import (
     ann_cosine_ivf,
+    ann_cosine_ivf_pq,
     ann_cosine_lsh,
     cosine_topk_fast,
     embedding_near_dup_pairs,
+    ivf_pq_index,
     semantic_dedup,
 )
 from etl_processes_spark.ops.textstats import (
@@ -69,7 +71,8 @@ from etl_processes_spark.ops.timeseries import (
 )
 
 __all__ = [
-    "ann_cosine_ivf", "ann_cosine_lsh", "assemble_bins", "chunk_documents",
+    "ann_cosine_ivf", "ann_cosine_ivf_pq", "ann_cosine_lsh", "assemble_bins",
+    "chunk_documents", "ivf_pq_index",
     "contamination_report", "corpus_diff", "corpus_stats", "cosine_topk_fast",
     "decontaminate", "dedup_clusters", "dedup_exact", "dedup_incremental",
     "domain_blocklist_filter", "edit_distance_pairs",

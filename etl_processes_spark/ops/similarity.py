@@ -849,3 +849,172 @@ def ann_cosine_pq(
     codes = pq_encode(corpus, books, id_col, vec_col)
     qpdf = queries.select(id_col, vec_col).toPandas()
     return pq_topk(codes, qpdf, books, id_col, vec_col, k=k, ndigits=ndigits)
+
+
+def ivf_pq_index(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 64,
+    m: int = 8,
+    ksub: int = 16,
+    fit_sample: int = 10_000,
+    seed: int = 42,
+) -> tuple[np.ndarray, np.ndarray, DataFrame]:
+    """The billion-scale ANN layout: coarse IVF cells for pruning + PQ codes
+    for compression, built in ONE Arrow pass over the corpus. Returns
+    (centroids, codebooks, index) where index = (cell, id, codes) — m bytes
+    of payload per vector. Persist the index with ``io.clustered_sink``
+    keyed on ``cell`` and a probe query's scan prunes to its cells at the
+    parquet row-group level.
+
+    Both quantizers fit driver-side on the SAME seeded sample (deterministic
+    — the oracle refits them bit-identically); assignment + encoding are a
+    broadcast-constants map with NO shuffle."""
+    spark = corpus.sparkSession
+    sample_pdf = (
+        corpus.select(vec_col)
+        .sample(withReplacement=False, fraction=1.0, seed=seed)
+        .limit(fit_sample)
+        .toPandas()
+    )
+    X = np.stack(sample_pdf[vec_col].to_numpy()).astype(np.float64)
+    X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    C = _spherical_kmeans(X, n_centroids, seed)
+    books = _pq_fit(X, m=m, ksub=ksub)
+    bC = spark.sparkContext.broadcast((C, books))
+
+    schema = T.StructType(
+        [
+            T.StructField("cell", T.IntegerType()),
+            T.StructField("id", T.LongType()),
+            T.StructField("codes", T.ArrayType(T.IntegerType())),
+        ]
+    )
+
+    def build(batches):
+        C_, books_ = bC.value
+        m_, ksub_, dsub = books_.shape
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            M = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            M /= np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+            cells = np.argmax(M @ C_.T, axis=1).astype(np.int32)
+            codes = np.empty((len(M), m_), dtype=np.int32)
+            for s in range(m_):
+                Ms = M[:, s * dsub : (s + 1) * dsub]
+                d2 = ((Ms[:, None, :] - books_[s][None, :, :]) ** 2).sum(axis=2)
+                codes[:, s] = np.argmin(d2, axis=1)
+            yield pd.DataFrame(
+                {
+                    "cell": cells,
+                    "id": pdf[id_col].to_numpy().astype(np.int64),
+                    "codes": [c.tolist() for c in codes],
+                }
+            )
+
+    index = widen(corpus.select(id_col, vec_col), per_mb=4.0).mapInPandas(
+        build, schema=schema
+    )
+    return C, books, index
+
+
+def ann_cosine_ivf_pq(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_centroids: int = 64,
+    n_probe: int = 8,
+    m: int = 8,
+    ksub: int = 16,
+    fit_sample: int = 10_000,
+    seed: int = 42,
+    ndigits: int = 6,
+) -> DataFrame:
+    """IVF-PQ search: each query ADC-scores ONLY the PQ codes in its
+    ``n_probe`` nearest cells — the pruning of IVF times the compression of
+    PQ, the standard composition behind billion-vector indexes. Work per
+    query ≈ |corpus|·n_probe/n_centroids candidates × m table lookups; the
+    scanned payload is m bytes per vector, so a 10⁹-vector index fits where
+    raw float vectors cannot, AND only ~n_probe/n_centroids of it is read.
+
+    The scan-side filter (cell ∈ union of probed cells) is a codegen'd
+    isin BEFORE any Python — on a cell-clustered index it prunes at the
+    parquet row-group level. Per-query cell masks apply inside the scoring
+    kernel (boolean table lookup, no vector math). Output contract matches
+    cosine_topk/ann_cosine_pq: (query_id, neighbor_id, cosine_sim, rank),
+    cosine_sim = ADC approximation, rank by (sim desc, neighbor_id asc)."""
+    spark = corpus.sparkSession
+    C, books, index = ivf_pq_index(
+        corpus, id_col, vec_col, n_centroids, m, ksub, fit_sample, seed
+    )
+    m_, ksub_, dsub = books.shape
+    qpdf = queries.select(id_col, vec_col).toPandas()
+    qids = qpdf[id_col].to_numpy().astype(np.int64)
+    Q = np.stack(qpdf[vec_col].to_numpy()).astype(np.float64)
+    Q /= np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
+    # probe cells: np.argmax ties resolve to the lowest cell; the full rank
+    # uses (dot desc, cell asc) — same as the IVF oracle's row_number order
+    qc = Q @ C.T
+    order = np.lexsort((np.arange(n_centroids)[None, :].repeat(len(Q), 0), -qc))
+    probed = order[:, :n_probe]  # (nq, n_probe)
+    probe_mask = np.zeros((len(Q), n_centroids), dtype=bool)
+    for qi in range(len(Q)):
+        probe_mask[qi, probed[qi]] = True
+    tables = np.einsum("qsd,sjd->qsj", Q.reshape(len(Q), m_, dsub), books)
+    b = spark.sparkContext.broadcast((qids, tables, probe_mask))
+
+    allowed = sorted({int(c) for c in probed.flatten()})
+    cand = index.filter(F.col("cell").isin(allowed))
+
+    schema = T.StructType(
+        [
+            T.StructField("query_id", T.LongType()),
+            T.StructField("neighbor_id", T.LongType()),
+            T.StructField("cosine_sim", T.DoubleType()),
+        ]
+    )
+    slack = 8
+
+    def score(batches):
+        qids_, tables_, mask_ = b.value
+        nq = len(qids_)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf["id"].to_numpy().astype(np.int64)
+            cells = pdf["cell"].to_numpy().astype(np.int64)
+            Cd = np.stack(pdf["codes"].to_numpy()).astype(np.int64)
+            sims = np.zeros((nq, len(ids)), dtype=np.float64)
+            for s in range(m_):
+                sims += tables_[:, s, Cd[:, s]]
+            rsims = np.round(sims, ndigits)
+            rsims[~mask_[:, cells]] = -np.inf  # outside this query's probes
+            rsims[qids_[:, None] == ids[None, :]] = -np.inf
+            nk = min(k + slack, sims.shape[1])
+            out_q, out_n, out_s = [], [], []
+            for qi in range(nq):
+                idx = np.lexsort((ids, -rsims[qi]))[:nk]
+                idx = idx[rsims[qi][idx] > -np.inf]
+                out_q.append(np.full(len(idx), qids_[qi], dtype=np.int64))
+                out_n.append(ids[idx])
+                out_s.append(sims[qi][idx])
+            yield pd.DataFrame(
+                {
+                    "query_id": np.concatenate(out_q),
+                    "neighbor_id": np.concatenate(out_n),
+                    "cosine_sim": np.concatenate(out_s),
+                }
+            )
+
+    partial = cand.mapInPandas(score, schema=schema)
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
+    return (
+        partial.withColumn("cosine_sim", F.round(F.col("cosine_sim"), ndigits))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine_sim", "rank")
+    )

@@ -239,3 +239,56 @@ def test_pq_train_deterministic(emb):
     a = pq_train(df, m=4, ksub=8, fit_sample=100)
     b = pq_train(df, m=4, ksub=8, fit_sample=100)
     assert np.array_equal(a, b)
+
+
+def test_ivf_pq_equals_pq_at_full_probe(spark, emb):
+    # with every cell probed, IVF-PQ must EQUAL plain PQ search exactly —
+    # the pruning layer can only remove candidates, and at full probe it
+    # removes none
+    from etl_processes_spark.ops.similarity import ann_cosine_ivf_pq, ann_cosine_pq
+
+    df, _ = emb
+    q = df.filter("vec_id < 6")
+    full = sorted(
+        map(tuple, ann_cosine_ivf_pq(
+            df, q, k=5, n_centroids=8, n_probe=8, m=4, ksub=8, fit_sample=100
+        ).collect())
+    )
+    pq = sorted(
+        map(tuple, ann_cosine_pq(df, q, k=5, m=4, ksub=8, fit_sample=100).collect())
+    )
+    assert full == pq and len(full) == 30
+
+
+def test_ivf_pq_recall_and_pruning(spark, emb):
+    from pyspark.sql import functions as F
+
+    from etl_processes_spark.ops.similarity import ann_cosine_ivf_pq
+
+    df, mat = emb
+    q = df.filter("vec_id < 6")
+    got = ann_cosine_ivf_pq(
+        df, q, k=5, n_centroids=8, n_probe=4, m=4, ksub=8, fit_sample=100
+    )
+    rows = got.collect()
+    # each query returns at most k ranked neighbors, none of them itself
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r["query_id"], []).append(r)
+        assert r["neighbor_id"] != r["query_id"]
+    for qid, rs in per_q.items():
+        assert [r["rank"] for r in sorted(rs, key=lambda r: r["rank"])] == list(
+            range(1, len(rs) + 1)
+        )
+    # probed-cell recall sanity vs exact cosine: the planted near-dup pair
+    # (7 ~= 3) lands in the same cell with overwhelming likelihood
+    exact = _numpy_topk(mat, list(range(6)), k=5)
+    hit = sum(
+        1 for r in rows if r["neighbor_id"] in set(exact[r["query_id"]])
+    )
+    assert hit / len(rows) >= 0.5
+    # determinism
+    again = ann_cosine_ivf_pq(
+        df, q, k=5, n_centroids=8, n_probe=4, m=4, ksub=8, fit_sample=100
+    ).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
