@@ -172,3 +172,35 @@ def test_rolling_stats_partition_invariant(spark):
     a = sorted(map(tuple, rolling_stats(df, "k", "b", "value", window=5).collect()))
     b_ = sorted(map(tuple, rolling_stats(df.repartition(13), "k", "b", "value", window=5).collect()))
     assert a == b_
+
+
+def test_empty_inputs(spark):
+    from etl_processes_spark.ops.dedup import edit_distance_pairs
+    from etl_processes_spark.ops.textstats import tfidf_top_terms
+    from etl_processes_spark.ops.timeseries import gap_fill, resample, rolling_stats
+
+    ev = spark.createDataFrame([], "user_id long, ts timestamp, value double")
+    res = resample(ev, "user_id", "ts", "value", 3600)
+    assert res.count() == 0
+    assert gap_fill(res, "user_id").count() == 0
+    assert rolling_stats(res, "user_id", "bucket", "value").count() == 0
+    docs = spark.createDataFrame([], "doc_id long, text string")
+    assert tfidf_top_terms(docs, "doc_id", "text").count() == 0
+    names = spark.createDataFrame([], "id long, s string")
+    assert edit_distance_pairs(names, "id", "s").count() == 0
+
+
+def test_single_point_series(spark):
+    import datetime as dt
+
+    from etl_processes_spark.ops.timeseries import gap_fill, resample, rolling_stats
+
+    ev = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1, 5, 30), 42.0)],
+        "user_id long, ts timestamp, value double",
+    )
+    res = resample(ev, "user_id", "ts", "value", 3600)
+    gf = gap_fill(res, "user_id").collect()
+    assert len(gf) == 1 and gf[0]["value"] == 42.0 and gf[0]["filled"] == 0
+    rs = rolling_stats(res, "user_id", "bucket", "value").collect()
+    assert rs[0]["roll_std"] == 0.0 and rs[0]["zscore"] == 0.0 and rs[0]["anomaly"] == 0
