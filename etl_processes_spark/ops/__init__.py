@@ -49,6 +49,7 @@ from etl_processes_spark.ops.similarity import (
     semantic_dedup,
 )
 from etl_processes_spark.ops.textstats import (
+    compression_ratio,
     corpus_diff,
     corpus_stats,
     domain_blocklist_filter,
@@ -73,7 +74,7 @@ from etl_processes_spark.ops.timeseries import (
 __all__ = [
     "ann_cosine_ivf", "ann_cosine_ivf_pq", "ann_cosine_lsh", "assemble_bins",
     "chunk_documents", "ivf_pq_index",
-    "contamination_report", "corpus_diff", "corpus_stats", "cosine_topk_fast",
+    "compression_ratio", "contamination_report", "corpus_diff", "corpus_stats", "cosine_topk_fast",
     "decontaminate", "dedup_clusters", "dedup_exact", "dedup_incremental",
     "domain_blocklist_filter", "edit_distance_pairs",
     "embedding_near_dup_pairs",

@@ -332,3 +332,27 @@ def test_tfidf_top_terms(spark):
     a = sorted(map(tuple, out.collect()))
     b = sorted(map(tuple, tfidf_top_terms(docs.repartition(7), "doc_id", "text", k=2).collect()))
     assert a == b
+
+
+def test_compression_ratio(spark):
+    from etl_processes_spark.ops.textstats import compression_ratio
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spam " * 400),                      # highly redundant
+            (2, None),
+            (3, ""),
+            (4, "The quick brown fox jumps over the lazy dog while seventeen "
+                "zebras quietly examine fourteen unique artifacts nearby."),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["id"]: r for r in compression_ratio(docs, "doc_id", "text").collect()}
+    assert got[1]["ratio"] < 0.05          # template text crushes
+    assert got[2]["ratio"] == 1.0 and got[2]["n_bytes"] == 0
+    assert got[3]["ratio"] == 1.0
+    assert 0.3 < got[4]["ratio"] <= 1.2    # prose does not
+    # deterministic across runs and partitionings
+    a = sorted(map(tuple, compression_ratio(docs, "doc_id", "text").collect()))
+    b = sorted(map(tuple, compression_ratio(docs.repartition(3), "doc_id", "text").collect()))
+    assert a == b
