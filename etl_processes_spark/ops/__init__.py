@@ -7,9 +7,16 @@ similarity (top-k, ANN, SemDeDup), textstats (lang-ID, quality, PII,
 repetition, web curation, corpus reports, heavy hitters), classify
 (model-based quality filter), pack (sampling, mixtures, splits, chunking,
 packing, shuffle), timeseries (resample / gap-fill / interpolation),
+audit (key integrity, accepted values, schema drift),
 decontaminate, multimodal, asof, rangejoin, skew, relational.
 """
 
+from etl_processes_spark.ops.audit import (
+    accepted_values_violations,
+    fk_violations,
+    pk_violations,
+    schema_drift,
+)
 from etl_processes_spark.ops.classify import (
     filter_by_classifier,
     score_with_classifier,
@@ -72,6 +79,8 @@ from etl_processes_spark.ops.timeseries import (
 )
 
 __all__ = [
+    "accepted_values_violations", "fk_violations", "pk_violations",
+    "schema_drift",
     "ann_cosine_ivf", "ann_cosine_ivf_pq", "ann_cosine_lsh", "assemble_bins",
     "chunk_documents", "ivf_pq_index",
     "compression_ratio", "contamination_report", "corpus_diff", "corpus_stats", "cosine_topk_fast",

@@ -1,0 +1,106 @@
+"""Data-quality audit operators: key-integrity checks and schema drift —
+the constraint-validation layer an ETL engine runs before/after loads.
+
+No reference counterpart (the reference validates statistical moments, not
+relational integrity; SURVEY.md §2.9). Everything here is plain joins and
+aggregates — one bounded shuffle per check — so the audits run at corpus
+scale as ordinary queries.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pk_violations(df: DataFrame, keys: list[str]) -> DataFrame:
+    """Rows that break a primary-key/uniqueness constraint: one row per
+    duplicated key tuple with its multiplicity, plus NULL-key tuples
+    (a PK must be non-null). Returns (keys..., n_rows, violation) where
+    violation ∈ {'duplicate', 'null_key'}. One groupBy shuffle on the key;
+    partial aggregation absorbs hot duplicates map-side."""
+    null_pred = None
+    for k in keys:
+        p = F.col(k).isNull()
+        null_pred = p if null_pred is None else (null_pred | p)
+    counted = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("n_rows"))
+    dups = counted.filter((F.col("n_rows") > 1) & ~F.coalesce(null_pred, F.lit(False)))
+    nulls = counted.filter(F.coalesce(null_pred, F.lit(False)))
+    return dups.withColumn("violation", F.lit("duplicate")).unionByName(
+        nulls.withColumn("violation", F.lit("null_key"))
+    )
+
+
+def fk_violations(
+    child: DataFrame,
+    parent: DataFrame,
+    on: dict[str, str],
+) -> DataFrame:
+    """Orphaned foreign keys: child rows whose key tuple has no match in
+    the parent — ``on`` maps child column → parent column. NULL child keys
+    are NOT violations (SQL FK semantics: NULLs opt out of the constraint).
+    Returns one row per orphaned key tuple with its row count, so a hot
+    orphan key arrives pre-aggregated instead of row-by-row.
+
+    Plan: pre-aggregate the child to distinct key tuples (the groupBy
+    shuffle), LEFT ANTI join against the parent's distinct keys — at scale
+    both sides of the anti-join carry keys only, never rows, and AQE
+    broadcasts the parent side when the dimension is small."""
+    ckeys, pkeys = list(on.keys()), list(on.values())
+    notnull = None
+    for c in ckeys:
+        p = F.col(c).isNotNull()
+        notnull = p if notnull is None else (notnull & p)
+    child_keys = (
+        child.filter(notnull)
+        .groupBy(*ckeys)
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+    parent_keys = parent.select(
+        *[F.col(pk).alias(ck) for ck, pk in on.items()]
+    ).dropDuplicates()
+    return child_keys.join(parent_keys, ckeys, "left_anti")
+
+
+def accepted_values_violations(
+    df: DataFrame, col: str, allowed: list
+) -> DataFrame:
+    """Rows whose ``col`` falls outside an accepted-values contract
+    (dbt-style): one row per offending value with its count. NULLs are
+    reported as their own row (value NULL) — absence from ``allowed`` is
+    deliberate; pass None in ``allowed`` to accept them."""
+    return (
+        df.groupBy(F.col(col).alias("value"))
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .filter(
+            ~F.col("value").isin([v for v in allowed if v is not None])
+            | (F.col("value").isNull() & F.lit(None not in allowed))
+        )
+    )
+
+
+def schema_drift(old: DataFrame, new: DataFrame) -> list[dict]:
+    """Schema diff between two frames (driver-side, no jobs): one entry per
+    changed column, status ∈ {'added', 'removed', 'type_changed',
+    'nullability_changed'}. The complement of ``textstats.corpus_diff``
+    (which diffs CONTENT by id): run both across snapshot boundaries to
+    catch silent upstream changes before they land in a 100 TB table."""
+    o = {f.name: f for f in old.schema.fields}
+    n = {f.name: f for f in new.schema.fields}
+    out: list[dict] = []
+    for name in sorted(set(o) | set(n)):
+        if name not in o:
+            out.append({"column": name, "status": "added",
+                        "new_type": n[name].dataType.simpleString()})
+        elif name not in n:
+            out.append({"column": name, "status": "removed",
+                        "old_type": o[name].dataType.simpleString()})
+        elif o[name].dataType != n[name].dataType:
+            out.append({"column": name, "status": "type_changed",
+                        "old_type": o[name].dataType.simpleString(),
+                        "new_type": n[name].dataType.simpleString()})
+        elif o[name].nullable != n[name].nullable:
+            out.append({"column": name, "status": "nullability_changed",
+                        "old_nullable": o[name].nullable,
+                        "new_nullable": n[name].nullable})
+    return out
