@@ -365,3 +365,70 @@ def cascading_rollup(events: DataFrame, ndigits: int = 6) -> tuple[DataFrame, Da
         )
     )
     return hourly, daily
+
+
+# ---------------------------------------------------------------------------
+# incremental (continuous-aggregate) rollup maintenance
+# ---------------------------------------------------------------------------
+
+
+def hourly_rollup_state(events: DataFrame) -> DataFrame:
+    """One batch's mergeable hourly partials: (hour, event_type, n_events,
+    sum_dec, min_value, max_value). The value sum is an EXACT DECIMAL —
+    count/min/max merge in any order trivially, and the decimal sum makes
+    the one non-trivial statistic merge-order-independent too, so state
+    folded over batches equals the rollup of the full data bit-for-bit
+    (a double sum would drift with batch boundaries)."""
+    events = ensure_timestamp(events, "ts")
+    return events.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour"),
+        F.col("event_type"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("decimal(38,6)").alias("sum_dec"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+    )
+
+
+def rollup_upsert(state: DataFrame | None, batch: DataFrame) -> DataFrame:
+    """Merge a new batch of raw events into the accumulated hourly rollup —
+    incremental maintenance of ``cascading_rollup``'s hourly layer: the
+    corpus is NEVER re-scanned; each batch contributes its partials and the
+    state merges by (hour, event_type). The same append-mode state-table
+    architecture as the ingest path (SCALING.md): the state is orders of
+    magnitude smaller than the event history, and a batch touches it by
+    key. Returns the new state; persist it and pass it back for the next
+    batch. Late events simply merge into their (old) hour's row — no
+    watermark needed in batch mode."""
+    delta = hourly_rollup_state(batch)
+    if state is None:
+        return delta
+    return (
+        state.unionByName(delta)
+        .groupBy("hour", "event_type")
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum("sum_dec").cast("decimal(38,6)").alias("sum_dec"),
+            F.min("min_value").alias("min_value"),
+            F.max("max_value").alias("max_value"),
+        )
+    )
+
+
+def rollup_read(state: DataFrame, ndigits: int = 6) -> DataFrame:
+    """Render the rollup state for consumption: derived avg, double sums —
+    the same shape ``hourly_event_rollup`` produces (minus the distinct-
+    user count, which is not mergeable without a sketch; see
+    ``cascading_rollup_distinct``)."""
+    return state.select(
+        "hour",
+        "event_type",
+        "n_events",
+        F.round(F.col("sum_dec").cast("double"), ndigits).alias("sum_value"),
+        F.round(
+            F.col("sum_dec").cast("double") / F.col("n_events"), ndigits
+        ).alias("avg_value"),
+        F.round("min_value", ndigits).alias("min_value"),
+        F.round("max_value", ndigits).alias("max_value"),
+    )

@@ -204,3 +204,34 @@ def test_single_point_series(spark):
     assert len(gf) == 1 and gf[0]["value"] == 42.0 and gf[0]["filled"] == 0
     rs = rolling_stats(res, "user_id", "bucket", "value").collect()
     assert rs[0]["roll_std"] == 0.0 and rs[0]["zscore"] == 0.0 and rs[0]["anomaly"] == 0
+
+
+def test_gap_fill_linear_matches_pandas_property(spark):
+    # property test: random sparse integer-bucket series -> gap_fill(linear)
+    # equals pandas' set_index().reindex().interpolate(method='index')
+    import random
+
+    import numpy as np
+    import pandas as pd
+
+    rng = random.Random(11)
+    for trial in range(5):
+        rows = []
+        for k in range(3):
+            buckets = sorted(rng.sample(range(100), rng.randint(2, 12)))
+            for b in buckets:
+                rows.append((k, b, round(rng.uniform(-50, 50), 6)))
+        df = spark.createDataFrame(rows, "k long, b long, value double").repartition(4)
+        got = {
+            (r["k"], r["b"]): r["value"]
+            for r in __import__("etl_processes_spark.ops.timeseries", fromlist=["gap_fill"])
+            .gap_fill(df, "k", bucket="b", method="linear")
+            .collect()
+        }
+        pdf = pd.DataFrame(rows, columns=["k", "b", "value"])
+        for k, g in pdf.groupby("k"):
+            s = g.set_index("b")["value"]
+            full = s.reindex(range(s.index.min(), s.index.max() + 1))
+            interp = full.interpolate(method="index")
+            for b, v in interp.items():
+                assert got[(k, b)] == pytest.approx(v, abs=1e-9), (trial, k, b)

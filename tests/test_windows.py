@@ -130,3 +130,30 @@ def test_cascading_rollup_distinct_sketch(spark, sf_dir):
     }
     for r in got:
         assert exact_events[(r["day"], r["event_type"])] == r["n_events"]
+
+
+def test_rollup_upsert_batch_fold_equals_full(spark, sf_dir):
+    # fold the state over arbitrary batch splits == rollup of the full data,
+    # EXACTLY (decimal partials make the merge order-independent)
+    import __spark_entry__ as entrymod
+    from etl_processes_spark.streaming.windows import (
+        hourly_rollup_state,
+        rollup_read,
+        rollup_upsert,
+    )
+
+    ev = entrymod._load_events(spark, sf_dir)
+    full = rollup_read(hourly_rollup_state(ev)).collect()
+    state = None
+    for i in range(3):  # uneven batches, late "events" land in old hours
+        batch = ev.filter(F.col("event_id") % 3 == i)
+        state = rollup_upsert(state, batch).localCheckpoint()
+    folded = rollup_read(state).collect()
+    key = lambda r: (r["hour"], r["event_type"])
+    assert sorted(map(tuple, folded), key=lambda t: (t[0], t[1])) == sorted(
+        map(tuple, full), key=lambda t: (t[0], t[1])
+    )
+    # replaying an empty batch is a no-op
+    empty = ev.filter(F.lit(False))
+    again = rollup_read(rollup_upsert(state, empty)).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, folded))
