@@ -45,6 +45,7 @@ from etl_processes_spark.ops.pack import (
     shuffle_deterministic,
     split_assign,
     stratified_sample,
+    weighted_sample,
 )
 from etl_processes_spark.ops.similarity import (
     ann_cosine_ivf,
@@ -96,5 +97,5 @@ __all__ = [
     "score_with_classifier",
     "semantic_dedup", "shuffle_deterministic", "simhash_fingerprints",
     "split_assign", "stratified_sample", "tfidf_top_terms", "token_count",
-    "token_heavy_hitters", "train_logistic", "unigram_logprob_score",
+    "token_heavy_hitters", "train_logistic", "unigram_logprob_score", "weighted_sample",
 ]

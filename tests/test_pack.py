@@ -479,3 +479,36 @@ def test_incremental_ingest_line_state_replay_is_noop(spark):
     assert acc2.count() == 0
     assert st2["line_counts"].count() == 0   # no double-counted lines
     assert st2["digests"].count() == 0
+
+
+def test_weighted_sample_proportional_and_deterministic(spark):
+    from collections import Counter
+
+    from etl_processes_spark.ops.pack import weighted_sample
+
+    # item 'heavy' carries 50x the weight of each of 200 light items
+    rows = [("heavy", 50.0)] + [(f"l{i}", 1.0) for i in range(200)]
+    df = spark.createDataFrame(rows, "k string, w double").repartition(5)
+    hits = Counter()
+    for seed in range(40):
+        got = {r["k"] for r in weighted_sample(df, "w", 20, "k", seed=seed).collect()}
+        assert len(got) == 20
+        hits.update(got)
+    # P(heavy in sample of 20) is near-certain; each light item ~10%
+    assert hits["heavy"] >= 38
+    light = [hits[f"l{i}"] for i in range(200)]
+    assert 2 <= sum(light) / len(light) <= 6  # ~20*40/200 = 4 expected
+    # deterministic under repartitioning
+    a = sorted(map(tuple, weighted_sample(df, "w", 20, "k", seed=7).collect()))
+    b = sorted(map(tuple, weighted_sample(df.repartition(13), "w", 20, "k", seed=7).collect()))
+    assert a == b
+
+
+def test_weighted_sample_excludes_nonpositive(spark):
+    from etl_processes_spark.ops.pack import weighted_sample
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("b", 0.0), ("c", -2.0), ("d", None)], "k string, w double"
+    )
+    got = {r["k"] for r in weighted_sample(df, "w", 10, "k").collect()}
+    assert got == {"a"}
