@@ -467,3 +467,61 @@ def sessionize_native(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
         )
         .select("user_id", "session_start", "session_end", "n_events", "sum_value")
     )
+
+
+def continuous_rollup_stream(
+    spark,
+    source_path: str,
+    state_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+    max_files_per_trigger: int | None = None,
+):
+    """Streaming maintenance of the hourly rollup — the continuous-
+    aggregate face of ``rollup_upsert``: a file-source stream of events,
+    each micro-batch appending its MERGEABLE partials (count, exact
+    decimal sum, min, max per (hour, event_type)) to
+    ``state_dir/partials/batch=<id>`` with overwrite semantics. A replayed
+    micro-batch rewrites exactly its own epoch dir (the idempotent-
+    foreachBatch-sink pattern the ingest stream uses), so crashes/retries
+    can neither double-count nor lose an hour. Raw events are read once,
+    ever; consumers merge the tiny partials at read time
+    (``read_continuous_rollup``). Returns the started StreamingQuery."""
+    schema = spark.read.parquet(source_path).schema
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(source_path)
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        hourly_rollup_state(batch_df).write.mode("overwrite").parquet(
+            f"{state_dir}/partials/batch={batch_id}"
+        )
+
+    writer = stream.writeStream.foreachBatch(process_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_continuous_rollup(spark, state_dir: str, ndigits: int = 6) -> DataFrame:
+    """Merge the accumulated per-batch partials into the served rollup —
+    the read side of ``continuous_rollup_stream``. Decimal partials make
+    the merge equal to a full-data rollup bit-for-bit, however the event
+    history was batched."""
+    partials = spark.read.parquet(f"{state_dir}/partials")
+    merged = (
+        partials.drop("batch")
+        .groupBy("hour", "event_type")
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum("sum_dec").cast("decimal(38,6)").alias("sum_dec"),
+            F.min("min_value").alias("min_value"),
+            F.max("max_value").alias("max_value"),
+        )
+    )
+    return rollup_read(merged, ndigits=ndigits)

@@ -391,3 +391,36 @@ def test_incremental_ingest_stream_line_state_flows(spark, tmp_path):
     assert "subscribe" in texts[0]
     assert "subscribe" not in texts[1]
     assert "tall ship" in texts[1]
+
+
+def test_continuous_rollup_stream(spark, tmp_path, sf_dir):
+    import __spark_entry__ as entrymod
+    from etl_processes_spark.streaming.windows import (
+        continuous_rollup_stream,
+        hourly_rollup_state,
+        read_continuous_rollup,
+        rollup_read,
+    )
+
+    ev = entrymod._load_events(spark, sf_dir)
+    src = str(tmp_path / "src")
+    # three source files -> at least one micro-batch each with
+    # maxFilesPerTrigger=1
+    for i in range(3):
+        ev.filter(F.col("event_id") % 3 == i).write.parquet(f"{src}/f{i}.parquet")
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    q = continuous_rollup_stream(
+        spark, f"{src}/*", state, ckpt, available_now=True, max_files_per_trigger=1
+    )
+    q.awaitTermination()
+    got = sorted(map(tuple, read_continuous_rollup(spark, state).collect()))
+    full = sorted(map(tuple, rollup_read(hourly_rollup_state(ev)).collect()))
+    assert got == full and len(got) > 100
+    # restart with no new files: a no-op, state unchanged
+    q2 = continuous_rollup_stream(
+        spark, f"{src}/*", state, ckpt, available_now=True, max_files_per_trigger=1
+    )
+    q2.awaitTermination()
+    again = sorted(map(tuple, read_continuous_rollup(spark, state).collect()))
+    assert again == got
