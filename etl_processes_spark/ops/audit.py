@@ -104,3 +104,64 @@ def schema_drift(old: DataFrame, new: DataFrame) -> list[dict]:
                         "old_nullable": o[name].nullable,
                         "new_nullable": n[name].nullable})
     return out
+
+
+def mahalanobis_outliers(
+    df: DataFrame,
+    cols: list[str],
+    threshold: float | None = None,
+    ridge: float = 1e-9,
+) -> DataFrame:
+    """Multivariate outlier scoring: squared Mahalanobis distance
+    (x−μ)ᵀ Σ⁻¹ (x−μ) of every row against the frame's own mean and sample
+    covariance — catches the jointly-implausible rows (price high AND
+    quantity low) that per-column z-scores miss.
+
+    Plan: ONE exact-DECIMAL aggregate computes all first moments and
+    pairwise cross sums (partition-order-independent, so μ/Σ are
+    deterministic under any partitioning/AQE re-plan); the d×d inverse is
+    driver-side numpy (d = len(cols), small by construction; ``ridge``·I
+    regularizes rank-deficient covariances); scoring is ONE codegen
+    projection with Σ⁻¹'s entries as literals — it fuses into the scan, no
+    second shuffle anywhere. Rows with a NULL in ``cols`` score NULL.
+    Returns the input plus ``maha_sq`` (+ ``outlier`` flag when
+    ``threshold`` is given — compare against a chi-square(d) quantile)."""
+    import numpy as np
+
+    d = len(cols)
+    if d == 0:
+        raise ValueError("cols must be non-empty")
+    dec = {c: F.col(c).cast("decimal(18,6)") for c in cols}
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for i, ci in enumerate(cols):
+        aggs.append(F.sum(dec[ci]).cast("double").alias(f"__s_{i}"))
+        for j, cj in enumerate(cols[: i + 1]):
+            aggs.append(
+                F.sum(dec[ci] * dec[cj]).cast("double").alias(f"__p_{i}_{j}")
+            )
+    base = df.na.drop(subset=cols)
+    row = base.agg(*aggs).collect()[0]
+    n = row["__n"]
+    if n < 2:
+        raise ValueError("need at least 2 complete rows to fit a covariance")
+    mu = np.array([row[f"__s_{i}"] / n for i in range(d)])
+    S = np.empty((d, d))
+    for i in range(d):
+        for j in range(i + 1):
+            # sample covariance from exact sums: (Sxy/n - mx*my) * n/(n-1)
+            S[i, j] = S[j, i] = (
+                (row[f"__p_{i}_{j}"] / n - mu[i] * mu[j]) * n / (n - 1)
+            )
+    A = np.linalg.inv(S + ridge * np.eye(d))
+    diffs = [(F.col(c).cast("double") - F.lit(float(mu[i]))) for i, c in enumerate(cols)]
+    score = None
+    for i in range(d):
+        for j in range(d):
+            term = F.lit(float(A[i, j])) * diffs[i] * diffs[j]
+            score = term if score is None else score + term
+    out = df.withColumn("maha_sq", score)
+    if threshold is not None:
+        out = out.withColumn(
+            "outlier", (F.col("maha_sq") > F.lit(float(threshold))).cast("int")
+        )
+    return out

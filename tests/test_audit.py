@@ -65,3 +65,58 @@ def test_schema_drift(spark):
         "extra": "added",
     }
     assert schema_drift(old, old) == []
+
+
+def test_mahalanobis_matches_numpy(spark):
+    import numpy as np
+    import pytest
+
+    from etl_processes_spark.ops.audit import mahalanobis_outliers
+
+    rng = np.random.RandomState(5)
+    X = rng.randn(300, 3) @ np.array([[2.0, 0.5, 0.0], [0.0, 1.0, 0.3], [0.0, 0.0, 0.7]])
+    X[17] = [25.0, -20.0, 15.0]  # planted joint outlier
+    df = spark.createDataFrame(
+        [(i, *[round(float(v), 6) for v in X[i]]) for i in range(len(X))],
+        "id long, a double, b double, c double",
+    )
+    Xr = np.round(X, 6)
+    got = {r["id"]: r["maha_sq"] for r in mahalanobis_outliers(df, ["a", "b", "c"]).collect()}
+    mu = Xr.mean(axis=0)
+    A = np.linalg.inv(np.cov(Xr.T) + 1e-9 * np.eye(3))
+    expected = np.einsum("ni,ij,nj->n", Xr - mu, A, Xr - mu)
+    for i in range(len(X)):
+        assert got[i] == pytest.approx(expected[i], rel=1e-6), i
+    # the planted outlier dominates and the flag fires
+    flagged = {
+        r["id"]
+        for r in mahalanobis_outliers(df, ["a", "b", "c"], threshold=16.27)  # chi2(3).99
+        .filter("outlier = 1")
+        .collect()
+    }
+    assert 17 in flagged and len(flagged) <= 12
+    # deterministic under repartitioning
+    again = {
+        r["id"]: r["maha_sq"]
+        for r in mahalanobis_outliers(df.repartition(7), ["a", "b", "c"]).collect()
+    }
+    assert got == again
+
+
+def test_mahalanobis_degenerate_and_nulls(spark):
+    from etl_processes_spark.ops.audit import mahalanobis_outliers
+
+    # constant column -> rank-deficient covariance; ridge keeps it finite
+    df = spark.createDataFrame(
+        [(1, 1.0, 5.0), (2, 2.0, 5.0), (3, 3.0, 5.0), (4, None, 5.0)],
+        "id long, a double, b double",
+    )
+    rows = {r["id"]: r["maha_sq"] for r in mahalanobis_outliers(df, ["a", "b"]).collect()}
+    assert all(v is not None and v >= 0 for k, v in rows.items() if k != 4)
+    assert rows[4] is None  # NULL input -> NULL score
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        mahalanobis_outliers(df.limit(1), ["a", "b"])
+    with _pytest.raises(ValueError):
+        mahalanobis_outliers(df, [])
