@@ -7,7 +7,8 @@ similarity (top-k, ANN, SemDeDup), textstats (lang-ID, quality, PII,
 repetition, web curation, corpus reports, heavy hitters), classify
 (model-based quality filter), pack (sampling, mixtures, splits, chunking,
 packing, shuffle), timeseries (resample / gap-fill / interpolation),
-audit (key integrity, accepted values, schema drift),
+audit (key integrity, accepted values, schema drift, multivariate
+outliers), cdc (CDC compaction, SCD-2 history, temporal joins),
 decontaminate, multimodal, asof, rangejoin, skew, relational.
 """
 
@@ -17,6 +18,11 @@ from etl_processes_spark.ops.audit import (
     mahalanobis_outliers,
     pk_violations,
     schema_drift,
+)
+from etl_processes_spark.ops.cdc import (
+    latest_snapshot,
+    scd2_intervals,
+    temporal_join,
 )
 from etl_processes_spark.ops.classify import (
     filter_by_classifier,
@@ -91,6 +97,7 @@ __all__ = [
     "domain_blocklist_filter", "edit_distance_pairs",
     "embedding_near_dup_pairs",
     "filter_by_classifier", "gap_fill", "heavy_hitters", "lang_id",
+    "latest_snapshot", "scd2_intervals", "temporal_join",
     "line_dedup", "line_dedup_incremental",
     "minhash_lsh_pairs", "mixture_rates", "mixture_rates_by_tokens",
     "mixture_sample", "ngram_jaccard_pairs", "pack_documents", "per_domain_cap",

@@ -1,0 +1,99 @@
+"""Change-data-capture compaction and temporal (slowly-changing-dimension)
+joins — turning an append-only change log into queryable snapshots and
+history, the warehouse layer on top of the as-of machinery (ops/asof.py).
+
+No reference counterpart (SURVEY.md §2.6 — the reference is single-table).
+All operators are window/join compositions: one key shuffle each, no
+driver-side loops, deterministic survivor choices.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from etl_processes_spark.timeutil import epoch_micros
+
+
+def latest_snapshot(
+    changes: DataFrame,
+    key: str | list[str],
+    ts: str,
+    delete_col: str | None = None,
+) -> DataFrame:
+    """Compact a change log to its current state: the latest row per key
+    (SCD type 1), ties broken deterministically on every remaining column.
+    With ``delete_col`` (boolean), keys whose latest change is a delete
+    drop out entirely — full CDC upsert/delete semantics.
+
+    One key shuffle; the per-key sort is bounded by that key's change
+    count. This is the read-side compaction of a merge-on-read layout:
+    writers append, readers (or a compaction job writing the result back)
+    resolve."""
+    keys = [key] if isinstance(key, str) else list(key)
+    others = [c for c in changes.columns if c not in keys and c != ts]
+    w = Window.partitionBy(*keys).orderBy(
+        F.col(ts).desc(), *[F.col(c).desc_nulls_last() for c in others]
+    )
+    latest = (
+        changes.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") == 1)
+        .drop("__rk")
+    )
+    if delete_col is not None:
+        latest = latest.filter(
+            ~F.coalesce(F.col(delete_col).cast("boolean"), F.lit(False))
+        ).drop(delete_col)
+    return latest
+
+
+def scd2_intervals(
+    changes: DataFrame,
+    key: str | list[str],
+    ts: str,
+    end_us: int | None = None,
+) -> DataFrame:
+    """Build SCD type-2 validity intervals from a change log: each version
+    row gains ``valid_from_us`` / ``valid_to_us`` (epoch micros; half-open
+    [from, to)) and ``is_current``. The open version's ``valid_to_us`` is
+    ``end_us`` (default: open-ended NULL → +infinity semantics downstream).
+
+    One key shuffle + a lead() window — the standard dimension-history
+    build; exact integer micros, NTZ-tolerant."""
+    keys = [key] if isinstance(key, str) else list(key)
+    w = Window.partitionBy(*keys).orderBy(F.col(ts))
+    nxt = F.lead(epoch_micros(ts)).over(w)
+    out = changes.withColumn("valid_from_us", epoch_micros(ts)).withColumn(
+        "valid_to_us",
+        F.coalesce(nxt, F.lit(end_us).cast("long")),
+    )
+    return out.withColumn("is_current", nxt.isNull())
+
+
+def temporal_join(
+    facts: DataFrame,
+    dim_changes: DataFrame,
+    on: str | list[str],
+    fact_ts: str = "ts",
+    dim_ts: str = "ts",
+    suffix: str = "_dim",
+) -> DataFrame:
+    """Enrich facts with the dimension version that was valid AT EVENT
+    TIME — the SCD-2 lookup, executed as a backward as-of join (union +
+    one window pass, ONE key shuffle, no interval-explosion range join;
+    see ops/asof.py). Equivalent to joining against ``scd2_intervals`` on
+    valid_from <= fact_ts < valid_to, without materializing intervals or
+    paying a range join (equivalence pinned by tests). Facts before the
+    key's first version keep NULL dimension columns."""
+    from etl_processes_spark.ops.asof import asof_join
+
+    return asof_join(
+        facts,
+        dim_changes,
+        on,
+        left_ts=fact_ts,
+        right_ts=dim_ts,
+        direction="backward",
+        suffix=suffix,
+    )
