@@ -14,6 +14,7 @@ decontaminate, multimodal, asof, rangejoin, skew, relational.
 
 from etl_processes_spark.ops.audit import (
     accepted_values_violations,
+    distribution_drift,
     fk_violations,
     mahalanobis_outliers,
     pk_violations,
@@ -87,7 +88,8 @@ from etl_processes_spark.ops.timeseries import (
 )
 
 __all__ = [
-    "accepted_values_violations", "fk_violations", "mahalanobis_outliers",
+    "accepted_values_violations", "distribution_drift", "fk_violations",
+    "mahalanobis_outliers",
     "pk_violations",
     "schema_drift",
     "ann_cosine_ivf", "ann_cosine_ivf_pq", "ann_cosine_lsh", "assemble_bins",

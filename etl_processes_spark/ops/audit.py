@@ -165,3 +165,65 @@ def mahalanobis_outliers(
             "outlier", (F.col("maha_sq") > F.lit(float(threshold))).cast("int")
         )
     return out
+
+
+def distribution_drift(
+    old: DataFrame,
+    new: DataFrame,
+    col: str,
+    bins: int = 10,
+    smoothing: float = 1e-4,
+    ndigits: int = 6,
+) -> tuple[float, DataFrame]:
+    """Population Stability Index between two snapshots of a numeric
+    column — the standard input-drift alarm (rule of thumb: < 0.1 stable,
+    0.1–0.25 moderate shift, > 0.25 investigate): bin the OLD snapshot's
+    range into equal-width buckets, measure both snapshots against those
+    SAME buckets (values outside the old range clamp into the edge
+    buckets — new mass outside the old range is exactly the drift worth
+    seeing), and sum (p_new − p_old)·ln(p_new/p_old). ``smoothing`` floors
+    empty-bucket shares so the log stays finite.
+
+    Returns (psi, per_bin) where per_bin = (bin, p_old, p_new,
+    contribution). Cost: one min/max agg over the old snapshot + one
+    bucket-groupBy per snapshot — three scans total, each partial-agg'd;
+    the per-bin frame is ``bins`` rows. Complements ``schema_drift``
+    (shape) and ``textstats.corpus_diff`` (content): this one catches a
+    column whose schema and rows look fine but whose DISTRIBUTION moved."""
+    import math
+
+    x_old = F.col(col).cast("double")
+    base_old = old.filter(x_old.isNotNull() & ~F.isnan(x_old))
+    mm = base_old.agg(F.min(x_old).alias("mn"), F.max(x_old).alias("mx")).collect()[0]
+    mn, mx = mm["mn"], mm["mx"]
+    if mn is None:
+        raise ValueError(f"old snapshot has no finite values in {col!r}")
+    width = (mx - mn) / float(bins) if mx > mn else 1.0
+
+    def shares(df: DataFrame) -> dict[int, float]:
+        x = F.col(col).cast("double")
+        b = df.filter(x.isNotNull() & ~F.isnan(x))
+        bucket = F.least(
+            F.greatest(F.floor((x - F.lit(mn)) / F.lit(width)), F.lit(0)),
+            F.lit(bins - 1),
+        )
+        rows = b.groupBy(bucket.cast("int").alias("bin")).agg(
+            F.count(F.lit(1)).alias("n")
+        ).collect()
+        total = sum(r["n"] for r in rows)
+        return {r["bin"]: r["n"] / total for r in rows} if total else {}
+
+    po, pn = shares(old), shares(new)
+    out_rows, psi = [], 0.0
+    for i in range(bins):
+        p, q = max(po.get(i, 0.0), smoothing), max(pn.get(i, 0.0), smoothing)
+        contrib = (q - p) * math.log(q / p)
+        psi += contrib
+        out_rows.append(
+            (i, round(po.get(i, 0.0), ndigits), round(pn.get(i, 0.0), ndigits),
+             round(contrib, ndigits))
+        )
+    per_bin = old.sparkSession.createDataFrame(
+        out_rows, "bin int, p_old double, p_new double, contribution double"
+    )
+    return round(psi, ndigits), per_bin

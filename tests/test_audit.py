@@ -120,3 +120,40 @@ def test_mahalanobis_degenerate_and_nulls(spark):
         mahalanobis_outliers(df.limit(1), ["a", "b"])
     with _pytest.raises(ValueError):
         mahalanobis_outliers(df, [])
+
+
+def test_distribution_drift_psi(spark):
+    import numpy as np
+
+    from etl_processes_spark.ops.audit import distribution_drift
+
+    rng = np.random.RandomState(9)
+    old_vals = rng.normal(50, 10, 4000)
+    same = rng.normal(50, 10, 4000)
+    shifted = rng.normal(65, 10, 4000)
+    mk = lambda vals: spark.createDataFrame(
+        [(float(v),) for v in vals], "x double"
+    )
+    psi_same, _ = distribution_drift(mk(old_vals), mk(same), "x")
+    psi_shift, per_bin = distribution_drift(mk(old_vals), mk(shifted), "x")
+    assert psi_same < 0.05          # same distribution -> stable
+    assert psi_shift > 0.5          # 1.5-sigma mean shift -> loud alarm
+    rows = per_bin.collect()
+    assert len(rows) == 10
+    assert abs(sum(r["p_old"] for r in rows) - 1.0) < 1e-3
+    # out-of-old-range mass clamps into the top bucket and contributes
+    top = [r for r in rows if r["bin"] == 9][0]
+    assert top["p_new"] > top["p_old"]
+
+
+def test_distribution_drift_degenerate(spark):
+    import pytest as _pytest
+
+    from etl_processes_spark.ops.audit import distribution_drift
+
+    const = spark.createDataFrame([(5.0,), (5.0,)], "x double")
+    psi, per_bin = distribution_drift(const, const, "x")
+    assert psi == 0.0 and per_bin.count() == 10
+    empty = spark.createDataFrame([], "x double")
+    with _pytest.raises(ValueError):
+        distribution_drift(empty, const, "x")
