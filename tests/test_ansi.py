@@ -153,3 +153,49 @@ def test_round4_ops_match_under_ansi(ansi, spark):
     assert with_ansi == without
     assert len(with_ansi[0]) >= 10  # gap rows generated
     assert len(with_ansi[3]) == 2   # (1,2) long route, (3,4) short route
+
+
+def test_audit_cdc_ops_match_under_ansi(ansi, spark):
+    import datetime as dt
+
+    from etl_processes_spark.ops.audit import (
+        accepted_values_violations,
+        fk_violations,
+        mahalanobis_outliers,
+        pk_violations,
+    )
+    from etl_processes_spark.ops.cdc import latest_snapshot, scd2_intervals, temporal_join
+
+    child = spark.createDataFrame(
+        [(10, 1), (11, 2), (12, 9), (13, None)], "id long, ref long"
+    )
+    parent = spark.createDataFrame([(1,), (2,)], "pid long")
+    num = spark.createDataFrame(
+        [(i, float(i % 7) + 0.5, float((i * 3) % 5)) for i in range(50)],
+        "id long, a double, b double",
+    )
+    ch = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1), "v1"), (1, dt.datetime(2024, 1, 3), "v2")],
+        "k long, ts timestamp, val string",
+    )
+    facts = spark.createDataFrame(
+        [(1, 1, dt.datetime(2024, 1, 2))], "fid long, k long, ts timestamp"
+    )
+
+    def run_all():
+        return (
+            _rows(pk_violations(child, ["ref"])),
+            _rows(fk_violations(child, parent, {"ref": "pid"})),
+            _rows(accepted_values_violations(child, "ref", [1, 2, 9])),
+            _rows(mahalanobis_outliers(num, ["a", "b"]).select("id", "maha_sq")),
+            _rows(latest_snapshot(ch, "k", "ts")),
+            _rows(scd2_intervals(ch, "k", "ts").select("val", "valid_from_us", "valid_to_us")),
+            _rows(temporal_join(facts, ch, "k").select("fid", "val_dim")),
+        )
+
+    with_ansi = run_all()
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    without = run_all()
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    assert with_ansi == without
+    assert with_ansi[6] == [(1, "v1")]  # fact at day 2 sees the day-1 version
