@@ -69,6 +69,7 @@ from etl_processes_spark.ops.textstats import (
     corpus_diff,
     corpus_stats,
     domain_blocklist_filter,
+    frequent_itemsets,
     heavy_hitters,
     lang_id,
     per_domain_cap,
@@ -98,7 +99,8 @@ __all__ = [
     "decontaminate", "dedup_clusters", "dedup_exact", "dedup_incremental",
     "domain_blocklist_filter", "edit_distance_pairs",
     "embedding_near_dup_pairs",
-    "filter_by_classifier", "gap_fill", "heavy_hitters", "lang_id",
+    "filter_by_classifier", "frequent_itemsets", "gap_fill", "heavy_hitters",
+    "lang_id",
     "latest_snapshot", "scd2_intervals", "temporal_join",
     "line_dedup", "line_dedup_incremental",
     "minhash_lsh_pairs", "mixture_rates", "mixture_rates_by_tokens",

@@ -727,3 +727,56 @@ def compression_ratio(
     return widen(df.select(id_col, text_col), per_mb=2.0).mapInPandas(
         score, schema=schema
     )
+
+
+def frequent_itemsets(
+    df: DataFrame,
+    items_col: str,
+    min_support: float = 0.1,
+    min_confidence: float = 0.5,
+) -> tuple[DataFrame, DataFrame]:
+    """Frequent itemsets + association rules over a basket column
+    (array<string>) via distributed FP-Growth (pyspark.ml.fpm) — co-occur
+    mining for tag/entity/token sets ("docs containing X usually contain
+    Y"). Returns (itemsets, rules): itemsets = (items, freq, support),
+    rules = (antecedent, consequent, confidence, lift, support); both
+    sorted deterministically (itemsets are also canonically item-sorted so
+    output is partition-invariant).
+
+    Input baskets are de-duplicated per row (FP-Growth requires set
+    semantics; a repeated tag would throw). FP-Growth's shape at scale:
+    one pass for item frequencies, one for the conditional FP-trees —
+    group-prefix parallelism, no candidate-generation blowup (vs Apriori).
+    """
+    from pyspark.ml.fpm import FPGrowth
+
+    n = df.count()
+    baskets = df.select(
+        F.array_sort(F.array_distinct(F.col(items_col))).alias("items")
+    ).filter(F.size("items") > 0)
+    model = FPGrowth(
+        itemsCol="items", minSupport=min_support, minConfidence=min_confidence
+    ).fit(baskets)
+    itemsets = (
+        model.freqItemsets.select(
+            F.array_sort("items").alias("items"),
+            F.col("freq"),
+            (F.col("freq") / F.lit(float(n))).alias("support"),
+        )
+        .orderBy(F.desc("freq"), F.asc(F.col("items").cast("string")))
+    )
+    rules = (
+        model.associationRules.select(
+            F.array_sort("antecedent").alias("antecedent"),
+            F.array_sort("consequent").alias("consequent"),
+            "confidence",
+            "lift",
+            "support",
+        )
+        .orderBy(
+            F.desc("confidence"),
+            F.asc(F.col("antecedent").cast("string")),
+            F.asc(F.col("consequent").cast("string")),
+        )
+    )
+    return itemsets, rules

@@ -356,3 +356,32 @@ def test_compression_ratio(spark):
     a = sorted(map(tuple, compression_ratio(docs, "doc_id", "text").collect()))
     b = sorted(map(tuple, compression_ratio(docs.repartition(3), "doc_id", "text").collect()))
     assert a == b
+
+
+def test_frequent_itemsets(spark):
+    from pyspark.sql import functions as F
+
+    from etl_processes_spark.ops.textstats import frequent_itemsets
+
+    # {a,b} co-occur in 6/10 baskets; c is frequent alone; d is rare
+    baskets = (
+        [(["a", "b", "c"],)] * 3
+        + [(["a", "b"],)] * 3
+        + [(["c"],)] * 3
+        + [(["d", "a", "a"],)]  # duplicate item in basket must not throw
+    )
+    df = spark.createDataFrame(baskets, "items array<string>")
+    itemsets, rules = frequent_itemsets(df, "items", min_support=0.3, min_confidence=0.6)
+    freq = {tuple(r["items"]): r["freq"] for r in itemsets.collect()}
+    assert freq[("a",)] == 7 and freq[("a", "b")] == 6 and freq[("c",)] == 6
+    assert ("d",) not in freq  # below support
+    got_rules = {
+        (tuple(r["antecedent"]), tuple(r["consequent"])): r["confidence"]
+        for r in rules.collect()
+    }
+    assert got_rules[(("b",), ("a",))] == 1.0  # every b-basket contains a
+    assert got_rules[(("a",), ("b",))] == pytest.approx(6 / 7)
+    # partition invariance
+    a = sorted(map(tuple, itemsets.collect()))
+    i2, _ = frequent_itemsets(df.repartition(5), "items", 0.3, 0.6)
+    assert a == sorted(map(tuple, i2.collect()))
