@@ -16,6 +16,7 @@ from etl_processes_spark.ops.audit import (
     accepted_values_violations,
     distribution_drift,
     fk_violations,
+    mad_outliers,
     mahalanobis_outliers,
     pk_violations,
     schema_drift,
@@ -90,7 +91,7 @@ from etl_processes_spark.ops.timeseries import (
 
 __all__ = [
     "accepted_values_violations", "distribution_drift", "fk_violations",
-    "mahalanobis_outliers",
+    "mad_outliers", "mahalanobis_outliers",
     "pk_violations",
     "schema_drift",
     "ann_cosine_ivf", "ann_cosine_ivf_pq", "ann_cosine_lsh", "assemble_bins",
