@@ -131,6 +131,11 @@ def mahalanobis_outliers(
     d = len(cols)
     if d == 0:
         raise ValueError("cols must be non-empty")
+    # decimal(18,6) is deliberate: the pairwise product is decimal(37,12),
+    # the widest exact product under Spark's 38-digit cap. That bounds the
+    # representable input at |x| < 1e12 — validate and fail fast, because
+    # past it the cast errors under ANSI and silently NULLs rows out of the
+    # moment sums under non-ANSI (wrong mu/Sigma with no signal).
     dec = {c: F.col(c).cast("decimal(18,6)") for c in cols}
     aggs = [F.count(F.lit(1)).alias("__n")]
     for i, ci in enumerate(cols):
@@ -140,6 +145,19 @@ def mahalanobis_outliers(
                 F.sum(dec[ci] * dec[cj]).cast("double").alias(f"__p_{i}_{j}")
             )
     base = df.na.drop(subset=cols)
+    # magnitude guard runs on the doubles BEFORE any decimal cast executes
+    lim = base.agg(
+        *[F.max(F.abs(F.col(c).cast("double"))).alias(f"__m_{i}")
+          for i, c in enumerate(cols)]
+    ).collect()[0]
+    for i, c in enumerate(cols):
+        m = lim[f"__m_{i}"]
+        if m is not None and m >= 1e12:
+            raise ValueError(
+                f"mahalanobis_outliers: |{c}| reaches {m:g} >= 1e12, beyond "
+                "the exact decimal(18,6) moment range; rescale the column "
+                "(e.g. divide by a unit factor) before scoring"
+            )
     row = base.agg(*aggs).collect()[0]
     n = row["__n"]
     if n < 2:

@@ -60,9 +60,16 @@ def scd2_intervals(
     ``end_us`` (default: open-ended NULL → +infinity semantics downstream).
 
     One key shuffle + a lead() window — the standard dimension-history
-    build; exact integer micros, NTZ-tolerant."""
+    build; exact integer micros, NTZ-tolerant. Same-timestamp changes are
+    ordered by the remaining columns (desc, nulls last) — the same
+    deterministic tie-break ``latest_snapshot`` applies — so the interval
+    chain is stable across runs and partitionings (the zero-width interval
+    the loser becomes is deterministic too)."""
     keys = [key] if isinstance(key, str) else list(key)
-    w = Window.partitionBy(*keys).orderBy(F.col(ts))
+    others = [c for c in changes.columns if c not in keys and c != ts]
+    w = Window.partitionBy(*keys).orderBy(
+        F.col(ts), *[F.col(c).desc_nulls_last() for c in others]
+    )
     nxt = F.lead(epoch_micros(ts)).over(w)
     out = changes.withColumn("valid_from_us", epoch_micros(ts)).withColumn(
         "valid_to_us",

@@ -1071,9 +1071,12 @@ def edit_distance_pairs(
     s = F.col(text_col).cast("string")
     if lowercase:
         s = F.lower(s)
+    # Empty strings stay in: they have a valid length key (0) and route
+    # through the short-string pool — a pair ('', s) with len(s) <= d is a
+    # real match (d deletions) and must be returned. Only NULLs drop.
     base = (
         df.select(F.col(id_col).alias("id"), s.alias("s"))
-        .filter(F.col("s").isNotNull() & (F.length("s") > 0))
+        .filter(F.col("s").isNotNull())
         .withColumn("len", F.length("s"))
         .localCheckpoint(eager=False)  # shared by both routes + verify joins
     )

@@ -603,8 +603,17 @@ def heavy_hitters(
         return df.sparkSession.createDataFrame(
             [], "value string, cnt long, share double"
         )
-    support = max(float(min_share), 1e-4)
-    cands = base.stat.freqItems([col], support=support).collect()[0][0]
+    if min_share < 1e-4:
+        # Spark's freqItems floor is 1e-4; below it the sketch can miss
+        # items and the exactness contract (no false negatives) would be
+        # silently broken. Fail loudly instead of clamping.
+        raise ValueError(
+            "heavy_hitters requires min_share >= 1e-4 (Spark freqItems "
+            f"support floor); got {min_share!r}. For rarer items use a "
+            "plain groupBy/HAVING — at that threshold the candidate set "
+            "is no longer small enough for the sketch to help."
+        )
+    cands = base.stat.freqItems([col], support=float(min_share)).collect()[0][0]
     if not cands:
         return df.sparkSession.createDataFrame(
             [], "value string, cnt long, share double"
@@ -750,10 +759,25 @@ def frequent_itemsets(
     """
     from pyspark.ml.fpm import FPGrowth
 
-    n = df.count()
     baskets = df.select(
         F.array_sort(F.array_distinct(F.col(items_col))).alias("items")
     ).filter(F.size("items") > 0)
+    # Support denominator = the baskets FP-Growth actually fits on
+    # (non-null, non-empty) so `support` is consistent with min_support
+    # semantics; counting all rows would deflate it when empty baskets
+    # exist, and n=0 would divide by zero.
+    n = baskets.count()
+    if n == 0:
+        spark = df.sparkSession
+        empty_sets = spark.createDataFrame(
+            [], "items array<string>, freq long, support double"
+        )
+        empty_rules = spark.createDataFrame(
+            [],
+            "antecedent array<string>, consequent array<string>, "
+            "confidence double, lift double, support double",
+        )
+        return empty_sets, empty_rules
     model = FPGrowth(
         itemsCol="items", minSupport=min_support, minConfidence=min_confidence
     ).fit(baskets)

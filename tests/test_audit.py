@@ -203,3 +203,15 @@ def test_mad_outliers_degenerate(spark):
     empty = spark.createDataFrame([], "id long, x double")
     with _pytest.raises(ValueError):
         mad_outliers(empty, "x")
+
+
+def test_mahalanobis_magnitude_guard(spark):
+    import pytest as _pytest
+
+    from etl_processes_spark.ops.audit import mahalanobis_outliers
+
+    df = spark.createDataFrame(
+        [(1.0, 2.0), (2.0, 3.0), (1e13, 1.0)], "x double, y double"
+    )
+    with _pytest.raises(ValueError, match="1e12"):
+        mahalanobis_outliers(df, ["x", "y"]).collect()

@@ -87,3 +87,23 @@ def test_temporal_join_equals_interval_join(spark):
     # fact before the key's first version -> NULL dimension
     assert tj[4] is None  # key 2 fact at day 1 noon precedes its day-2 version
     assert tj[6] == "y1"  # key 3 fact at day 2 noon sees the day-1 version
+
+
+def test_scd2_same_ts_tie_break_deterministic(spark):
+    # two changes at the same (key, ts): interval chain ordered by the
+    # remaining columns (desc), stable under repartitioning — the loser is
+    # a deterministic zero-width interval, the winner carries forward
+    rows = [(1, _ts(1), "a"), (1, _ts(1), "b"), (1, _ts(2), "c")]
+    df = spark.createDataFrame(rows, "k long, ts timestamp, val string")
+    a = scd2_intervals(df, "k", "ts").orderBy("valid_from_us", "val").collect()
+    b = (
+        scd2_intervals(df.repartition(7), "k", "ts")
+        .orderBy("valid_from_us", "val")
+        .collect()
+    )
+    assert a == b
+    by_val = {r["val"]: r for r in a}
+    # desc tie-break: "b" sorts first at ts(1) -> zero-width goes to "b"
+    assert by_val["b"]["valid_to_us"] == by_val["a"]["valid_from_us"] == by_val["b"]["valid_from_us"]
+    assert by_val["a"]["valid_to_us"] == by_val["c"]["valid_from_us"]
+    assert by_val["c"]["is_current"]

@@ -430,3 +430,22 @@ def test_edit_distance_pairs_case_and_validation(spark):
     )
     with _pytest.raises(ValueError):
         edit_distance_pairs(df, "id", "s", max_distance=-1)
+
+
+def test_edit_distance_pairs_empty_strings(spark):
+    from etl_processes_spark.ops.dedup import edit_distance_pairs
+
+    # ('', s) with len(s) <= d is a real match and must be returned via the
+    # short-string pool; ('', '') is distance 0
+    df = spark.createDataFrame(
+        [(1, ""), (2, ""), (3, "ab"), (4, "abcd"), (5, None)],
+        "id long, s string",
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["distance"]
+        for r in edit_distance_pairs(df, "id", "s", max_distance=2).collect()
+    }
+    assert got[(1, 2)] == 0       # empty-empty
+    assert got[(1, 3)] == 2 and got[(2, 3)] == 2  # '' vs 'ab'
+    assert (1, 4) not in got      # distance 4 > 2
+    assert all(5 not in p for p in got)  # NULLs drop

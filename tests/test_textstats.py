@@ -385,3 +385,31 @@ def test_frequent_itemsets(spark):
     a = sorted(map(tuple, itemsets.collect()))
     i2, _ = frequent_itemsets(df.repartition(5), "items", 0.3, 0.6)
     assert a == sorted(map(tuple, i2.collect()))
+
+
+def test_heavy_hitters_rejects_sub_floor_share(spark):
+    # below Spark's freqItems floor (1e-4) the no-false-negative contract
+    # cannot hold -> loud error, never a silent clamp
+    from etl_processes_spark.ops.textstats import heavy_hitters
+
+    df = spark.createDataFrame([("a",)], "v string")
+    with pytest.raises(ValueError, match="1e-4"):
+        heavy_hitters(df, "v", min_share=1e-5)
+
+
+def test_frequent_itemsets_support_denominator(spark):
+    from etl_processes_spark.ops.textstats import frequent_itemsets
+
+    # 2 real baskets + 1 empty + 1 null: support denominator is 2, not 4
+    df = spark.createDataFrame(
+        [(["a", "b"],), (["a"],), ([],), (None,)], "items array<string>"
+    )
+    itemsets, _ = frequent_itemsets(df, "items", min_support=0.5, min_confidence=0.5)
+    sup = {tuple(r["items"]): r["support"] for r in itemsets.collect()}
+    assert sup[("a",)] == 1.0  # 2/2, would be 0.5 with the old denominator
+    assert sup[("a", "b")] == 0.5
+
+    # all-empty input: empty results, no division by zero
+    empty = spark.createDataFrame([([],), (None,)], "items array<string>")
+    i0, r0 = frequent_itemsets(empty, "items")
+    assert i0.count() == 0 and r0.count() == 0
