@@ -1569,6 +1569,39 @@ def bench_components() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             k=5, n_centroids=64, n_probe=8, m=8, ksub=16,
         )
 
+    def c_lsh_topk(spark, sf):
+        from etl_processes_spark.ops.similarity import ann_cosine_lsh
+
+        e = _t(spark, sf, "embeddings")
+        return ann_cosine_lsh(
+            e, e.filter(F.col("vec_id") < 20), "vec_id", "embedding",
+            k=5, num_planes=16, bands=4,
+        )
+
+    def c_ivf_topk(spark, sf):
+        from etl_processes_spark.ops.similarity import ann_cosine_ivf
+
+        e = _t(spark, sf, "embeddings")
+        return ann_cosine_ivf(
+            e, e.filter(F.col("vec_id") < 20), "vec_id", "embedding",
+            k=5, n_centroids=64, n_probe=8,
+        )
+
+    def c_numeric_profile(spark, sf):
+        # PRODUCTION path (the r01 ratchet workload): single column, double
+        # power sums + exact linear-interp percentiles. The certified
+        # exact-DECIMAL two-column gate variant is timed separately as
+        # numeric_profile_exact — a regression in either stays visible.
+        from etl_processes_spark.profile import numeric_profile_df
+
+        return numeric_profile_df(
+            _t(spark, sf, "lineitem"), "l_extendedprice", ndigits=ND
+        )
+
+    def c_numeric_profile_exact(spark, sf):
+        # the certified gate workload (exact-DECIMAL power sums, 2 columns)
+        return queries()["numeric_profile"](spark, sf)
+
     return {
         "ngram_jaccard_pairs": c_ngram,
         "minhash_lsh_pairs": c_minhash,
@@ -1592,6 +1625,10 @@ def bench_components() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "edit_distance_pairs": c_edit_distance,
         "tfidf_top_terms": c_tfidf,
         "ivfpq_topk": c_ivfpq_topk,
+        "lsh_topk": c_lsh_topk,
+        "ivf_topk": c_ivf_topk,
+        "numeric_profile": c_numeric_profile,
+        "numeric_profile_exact": c_numeric_profile_exact,
     }
 
 

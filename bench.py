@@ -34,7 +34,8 @@ def main() -> None:
     # comparable with BENCH_r01/r02.
     qs = {**entrymod.queries(), **entrymod.bench_components()}
     bench_queries = [
-        "numeric_profile",
+        "numeric_profile",        # production path (numeric_profile_df)
+        "numeric_profile_exact",  # certified exact-DECIMAL gate workload
         "datetime_profile",
         "cat_profile",
         "infer_predicates",
@@ -47,6 +48,8 @@ def main() -> None:
         "edit_distance_pairs",
         "simhash_fingerprints",
         "cosine_topk",
+        "lsh_topk",
+        "ivf_topk",
         "pq_topk",
         "ivfpq_topk",
         "text_profile_stats",
@@ -130,6 +133,19 @@ def main() -> None:
         except Exception:
             pass
 
+    # ANN quality: an approximate-NN latency without its recall@k is half a
+    # benchmark — record recall vs the exact cosine_topk ground truth (same
+    # corpus, same queries, same k) next to each ANN family timing. Computed
+    # untimed, after each query's timing repeats.
+    ANN_RECALL = {"lsh_topk", "ivf_topk", "pq_topk", "ivfpq_topk"}
+    truth_pairs: set | None = None
+
+    def _pairs(df) -> set:
+        return {
+            (r["query_id"], r["neighbor_id"])
+            for r in df.select("query_id", "neighbor_id").collect()
+        }
+
     try:
         for name in bench_queries:
             best, n = float("inf"), 0
@@ -144,9 +160,20 @@ def main() -> None:
                     best = min(best, round(time.time() - t0, 3))
                     if rep == 0:
                         n = df.count()  # untimed, informational
-                timings[name] = best
+                if name == "cosine_topk":
+                    truth_pairs = _pairs(fn(spark, SF_DIR))
+                if name in ANN_RECALL and truth_pairs:
+                    hit = len(_pairs(fn(spark, SF_DIR)) & truth_pairs)
+                    recall = round(hit / len(truth_pairs), 4)
+                    timings[name] = {"sec": best, "recall": recall}
+                    print(
+                        f"# {name}: {best:.2f}s ({n} rows, recall@k={recall})",
+                        file=sys.stderr, flush=True,
+                    )
+                else:
+                    timings[name] = best
+                    print(f"# {name}: {best:.2f}s ({n} rows)", file=sys.stderr, flush=True)
                 total += best
-                print(f"# {name}: {best:.2f}s ({n} rows)", file=sys.stderr, flush=True)
             except Exception as e:
                 errors += 1
                 timings[name] = {"err": f"{type(e).__name__}: {e}"[:500]}

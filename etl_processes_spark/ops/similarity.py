@@ -407,6 +407,29 @@ def ann_cosine_lsh(
     return cand.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def _auto_centroids(
+    corpus: DataFrame,
+    n_centroids: int | None,
+    fit_sample: int,
+    target_cell_rows: int = 20_000,
+) -> int:
+    """Resolve a centroid count: the explicit parameter wins; otherwise
+    derive ``ceil(n / target_cell_rows)`` from the corpus size (Catalyst's
+    free row-count statistic when defined, one count() otherwise) so cells
+    hold ~10-50k rows at ANY corpus size — a static default at 100M+
+    vectors would make the within-cell quadratic work catastrophic. Clamped
+    to [16, fit_sample // 4] — the quantizer is fit on ``fit_sample`` rows,
+    and fewer than ~4 sample rows per centroid stops estimating anything;
+    callers pushing past ~10k centroids should raise fit_sample too."""
+    if n_centroids is not None:
+        return int(n_centroids)
+    n = _estimate_rows(corpus)
+    if n is None:
+        n = corpus.count()
+    k = max(16, -(-int(n) // target_cell_rows))
+    return int(min(k, max(16, fit_sample // 4)))
+
+
 def _spherical_kmeans(X: np.ndarray, n_centroids: int, seed: int, max_iter: int = 10) -> np.ndarray:
     """Deterministic spherical k-means on row-normalized X: centroids are
     renormalized member means; init picks evenly spaced rows of the (stable)
@@ -433,7 +456,7 @@ def ann_cosine_ivf(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 5,
-    n_centroids: int = 64,
+    n_centroids: int | None = None,
     n_probe: int = 8,
     fit_sample: int = 10_000,
     seed: int = 42,
@@ -457,6 +480,7 @@ def ann_cosine_ivf(
     )
     X = np.stack(sample_pdf[vec_col].to_numpy()).astype(np.float64)
     X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    n_centroids = _auto_centroids(corpus, n_centroids, fit_sample)
     C = _spherical_kmeans(X, n_centroids, seed)
     bC = spark.sparkContext.broadcast(C)
 
@@ -521,7 +545,7 @@ def semantic_dedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.95,
-    n_centroids: int = 64,
+    n_centroids: int | None = None,
     fit_sample: int = 10_000,
     seed: int = 42,
     ndigits: int = 6,
@@ -563,6 +587,7 @@ def semantic_dedup(
         )
     X = np.stack(sample_pdf[vec_col].to_numpy()).astype(np.float64)
     X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    n_centroids = _auto_centroids(corpus, n_centroids, fit_sample)
     C = _spherical_kmeans(X, n_centroids, seed)
     bC = spark.sparkContext.broadcast(C)
 
@@ -855,7 +880,7 @@ def ivf_pq_index(
     corpus: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_centroids: int = 64,
+    n_centroids: int | None = None,
     m: int = 8,
     ksub: int = 16,
     fit_sample: int = 10_000,
@@ -880,6 +905,7 @@ def ivf_pq_index(
     )
     X = np.stack(sample_pdf[vec_col].to_numpy()).astype(np.float64)
     X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    n_centroids = _auto_centroids(corpus, n_centroids, fit_sample)
     C = _spherical_kmeans(X, n_centroids, seed)
     books = _pq_fit(X, m=m, ksub=ksub)
     bC = spark.sparkContext.broadcast((C, books))
@@ -926,7 +952,7 @@ def ann_cosine_ivf_pq(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 5,
-    n_centroids: int = 64,
+    n_centroids: int | None = None,
     n_probe: int = 8,
     m: int = 8,
     ksub: int = 16,
@@ -951,6 +977,7 @@ def ann_cosine_ivf_pq(
     C, books, index = ivf_pq_index(
         corpus, id_col, vec_col, n_centroids, m, ksub, fit_sample, seed
     )
+    n_centroids = len(C)  # resolved (auto-scaled and/or sample-clamped)
     m_, ksub_, dsub = books.shape
     qpdf = queries.select(id_col, vec_col).toPandas()
     qids = qpdf[id_col].to_numpy().astype(np.int64)

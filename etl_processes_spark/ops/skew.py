@@ -138,6 +138,10 @@ def _bloom_positions(h: "np.ndarray", n_bits: int, n_hashes: int):
         yield (h1 + np.uint64(i) * h2) % np.uint64(n_bits)
 
 
+_BLOOM_DRIVER_MERGE_MAX = 64 << 20  # partitions x bitmap bytes above this -> tree merge
+_BLOOM_CHUNK_BYTES = 1 << 20        # tree-merge chunk granularity
+
+
 def bloom_semi_filter(
     large: DataFrame,
     keys: DataFrame,
@@ -145,14 +149,26 @@ def bloom_semi_filter(
     large_key: str | None = None,
     expected_items: int = 1_000_000,
     fpp: float = 0.03,
+    merge: str = "auto",
 ) -> DataFrame:
     """Filter ``large`` down to rows whose ``large_key`` PROBABLY appears in
     ``keys[key]`` — the semi-join reduction for joins where the small side
     is too big to broadcast but its KEY SET still fits a bloom filter.
 
     Build: one Arrow pass over ``keys`` emits ONE dense numpy bitmap per
-    partition (numBits/8 bytes — ~220 KB at 1M keys / 3% fpp), OR-merged on
-    the driver; only bitmaps cross the wire, never keys. Probe: the bitmap
+    partition (numBits/8 bytes — ~220 KB at 1M keys / 3% fpp); only bitmaps
+    cross the wire, never keys. Merge is size-routed (``merge="auto"``):
+    when partitions x bitmap stays under ~64 MB the partials collect and OR
+    on the driver (one hop, cheapest); above that a TREE merge runs — each
+    partial splits into fixed 1 MB chunks keyed by word offset (all-zero
+    chunks skipped), chunks OR-reduce per key on executors, and the driver
+    collects exactly ONE bitmap's worth of merged chunks regardless of how
+    many partitions built partials. ``merge="driver"``/``"tree"`` force a
+    route. ``expected_items`` is clamped by the 64 MiB bitmap cap
+    (_bloom_num_bits): past ~1.5e8 items at 3% fpp the filter silently
+    trades fpp for size rather than growing unboundedly — callers with
+    billions of DISTINCT keys should route through a real semi-join
+    instead, the key set no longer fits a useful bloom. Probe: the bitmap
     is broadcast and applied as a vectorized Arrow predicate right after
     the big side's scan — rows that cannot match never reach the shuffle.
     False positives pass through (exact joins keep the real join after);
@@ -168,28 +184,77 @@ def bloom_semi_filter(
     n_hashes = _bloom_num_hashes(n_bits, expected_items)
     n_words = n_bits // 64
 
+    if merge not in ("auto", "driver", "tree"):
+        raise ValueError(f"merge must be auto|driver|tree, got {merge!r}")
+    nbytes = n_words * 8
+    if merge == "auto":
+        try:
+            n_parts = keys.rdd.getNumPartitions()
+        except Exception:
+            n_parts = 200
+        merge = "driver" if n_parts * nbytes <= _BLOOM_DRIVER_MERGE_MAX else "tree"
+    words_per_chunk = max(1, _BLOOM_CHUNK_BYTES // 8)
+
+    def _fill(bitmap: "np.ndarray", pdf) -> bool:
+        if len(pdf) == 0:
+            return False
+        h = _hash64_batch(pdf[key].dropna())
+        for pos in _bloom_positions(h, n_bits, n_hashes):
+            np.bitwise_or.at(
+                bitmap, (pos >> np.uint64(6)).astype(np.int64),
+                np.uint64(1) << (pos & np.uint64(63)),
+            )
+        return True
+
     def build(batches):
         bitmap = np.zeros(n_words, dtype=np.uint64)
         seen = False
         for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            seen = True
-            h = _hash64_batch(pdf[key].dropna())
-            for pos in _bloom_positions(h, n_bits, n_hashes):
-                np.bitwise_or.at(
-                    bitmap, (pos >> np.uint64(6)).astype(np.int64),
-                    np.uint64(1) << (pos & np.uint64(63)),
-                )
+            seen |= _fill(bitmap, pdf)
         if seen:
             yield pd.DataFrame({"bm": [bitmap.tobytes()]})
 
-    partials = keys.select(key).mapInPandas(build, schema="bm binary").collect()
-    if not partials:  # empty key set: nothing can match
-        return large.filter(F.lit(False))
+    def build_chunked(batches):
+        bitmap = np.zeros(n_words, dtype=np.uint64)
+        seen = False
+        for pdf in batches:
+            seen |= _fill(bitmap, pdf)
+        if seen:
+            offs, bufs = [], []
+            for w0 in range(0, n_words, words_per_chunk):
+                chunk = bitmap[w0 : w0 + words_per_chunk]
+                if chunk.any():  # all-zero chunks never cross the wire
+                    offs.append(w0)
+                    bufs.append(chunk.tobytes())
+            yield pd.DataFrame({"w0": pd.Series(offs, dtype="int64"), "bm": bufs})
+
     bitmap = np.zeros(n_words, dtype=np.uint64)
-    for r in partials:
-        bitmap |= np.frombuffer(r["bm"], dtype=np.uint64)
+    if merge == "driver":
+        partials = keys.select(key).mapInPandas(build, schema="bm binary").collect()
+        if not partials:  # empty key set: nothing can match
+            return large.filter(F.lit(False))
+        for r in partials:
+            bitmap |= np.frombuffer(r["bm"], dtype=np.uint64)
+    else:
+
+        def or_chunks(pdf):
+            acc = np.frombuffer(pdf["bm"].iloc[0], dtype=np.uint64).copy()
+            for buf in pdf["bm"].iloc[1:]:
+                acc |= np.frombuffer(buf, dtype=np.uint64)
+            return pd.DataFrame({"w0": [int(pdf["w0"].iloc[0])], "bm": [acc.tobytes()]})
+
+        merged = (
+            keys.select(key)
+            .mapInPandas(build_chunked, schema="w0 long, bm binary")
+            .groupBy("w0")
+            .applyInPandas(or_chunks, schema="w0 long, bm binary")
+            .collect()  # <= one bitmap's worth of chunks, regardless of partitions
+        )
+        if not merged:
+            return large.filter(F.lit(False))
+        for r in merged:
+            a = np.frombuffer(r["bm"], dtype=np.uint64)
+            bitmap[r["w0"] : r["w0"] + len(a)] |= a
     b = large.sparkSession.sparkContext.broadcast(bitmap)
 
     @F.pandas_udf("boolean")

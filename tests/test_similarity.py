@@ -292,3 +292,28 @@ def test_ivf_pq_recall_and_pruning(spark, emb):
         df, q, k=5, n_centroids=8, n_probe=4, m=4, ksub=8, fit_sample=100
     ).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_auto_centroids_scaling(spark):
+    # default n_centroids derives from corpus size: ~target_cell_rows rows
+    # per cell, floor 16, capped by the fit sample (>= ~4 rows/centroid)
+    from etl_processes_spark.ops.similarity import _auto_centroids
+
+    small = spark.range(100).withColumnRenamed("id", "vec_id")
+    big = spark.range(1_000_000).withColumnRenamed("id", "vec_id")
+    assert _auto_centroids(small, None, 10_000) == 16           # floor
+    assert _auto_centroids(big, None, 10_000) == 50             # 1M / 20k
+    assert _auto_centroids(big, None, 10_000, target_cell_rows=1000) == 1000
+    assert _auto_centroids(big, None, 10_000, target_cell_rows=100) == 2500  # fit cap
+    assert _auto_centroids(big, 64, 10_000) == 64               # explicit wins
+
+
+def test_semantic_dedup_auto_matches_explicit_floor(spark, sf_dir):
+    from etl_processes_spark.ops.similarity import semantic_dedup
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    auto = semantic_dedup(e, "vec_id", "embedding", threshold=0.5, seed=42)
+    explicit = semantic_dedup(
+        e, "vec_id", "embedding", threshold=0.5, n_centroids=16, seed=42
+    )
+    assert sorted(map(tuple, auto.collect())) == sorted(map(tuple, explicit.collect()))

@@ -177,3 +177,26 @@ def test_bloom_semi_filter_null_keys_dropped(spark):
     keys = spark.createDataFrame([(1,)], ["k"])
     kept = [r["k"] for r in bloom_semi_filter(big, keys, "k", expected_items=10).collect()]
     assert None not in kept and 1 in kept
+
+
+def test_bloom_tree_merge_matches_driver_merge(spark):
+    # tree merge (executor-side chunked OR-reduce; driver assembles exactly
+    # one bitmap) must be bit-equivalent to the driver merge — same filter
+    # decisions on a multi-partition, multi-chunk (bitmap > 1 MB) build
+    from etl_processes_spark.ops.skew import bloom_semi_filter
+
+    big = spark.range(0, 5000).withColumnRenamed("id", "k")
+    keys = spark.range(0, 5000, 7, numPartitions=13).withColumnRenamed("id", "k")
+    kw = dict(expected_items=2_000_000, fpp=0.03)  # ~1.8 MB bitmap -> 2 chunks
+    drv = {r["k"] for r in bloom_semi_filter(big, keys, "k", merge="driver", **kw).collect()}
+    tree = {r["k"] for r in bloom_semi_filter(big, keys, "k", merge="tree", **kw).collect()}
+    assert tree == drv
+    assert set(range(0, 5000, 7)) <= tree  # no false negatives
+
+    # empty key set short-circuits on the tree route too
+    none = bloom_semi_filter(big, keys.filter("k < 0"), "k", merge="tree", **kw)
+    assert none.count() == 0
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="auto\\|driver\\|tree"):
+        bloom_semi_filter(big, keys, "k", merge="bogus")
