@@ -1587,6 +1587,24 @@ def bench_components() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             k=5, n_centroids=64, n_probe=8,
         )
 
+    def c_pq_topk_refine(spark, sf):
+        from etl_processes_spark.ops.similarity import ann_cosine_pq
+
+        e = _t(spark, sf, "embeddings")
+        return ann_cosine_pq(
+            e, e.filter(F.col("vec_id") < 20), "vec_id", "embedding",
+            k=5, m=8, ksub=16, refine=8,
+        )
+
+    def c_ivfpq_topk_refine(spark, sf):
+        from etl_processes_spark.ops.similarity import ann_cosine_ivf_pq
+
+        e = _t(spark, sf, "embeddings")
+        return ann_cosine_ivf_pq(
+            e, e.filter(F.col("vec_id") < 20), "vec_id", "embedding",
+            k=5, n_centroids=64, n_probe=8, m=8, ksub=16, refine=8,
+        )
+
     def c_numeric_profile(spark, sf):
         # PRODUCTION path (the r01 ratchet workload): single column, double
         # power sums + exact linear-interp percentiles. The certified
@@ -1627,6 +1645,8 @@ def bench_components() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivfpq_topk": c_ivfpq_topk,
         "lsh_topk": c_lsh_topk,
         "ivf_topk": c_ivf_topk,
+        "pq_topk_refine": c_pq_topk_refine,
+        "ivfpq_topk_refine": c_ivfpq_topk_refine,
         "numeric_profile": c_numeric_profile,
         "numeric_profile_exact": c_numeric_profile_exact,
     }

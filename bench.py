@@ -51,7 +51,9 @@ def main() -> None:
         "lsh_topk",
         "ivf_topk",
         "pq_topk",
+        "pq_topk_refine",
         "ivfpq_topk",
+        "ivfpq_topk_refine",
         "text_profile_stats",
         "gen_text_mvn",
         "text_analysis",
@@ -137,7 +139,7 @@ def main() -> None:
     # benchmark — record recall vs the exact cosine_topk ground truth (same
     # corpus, same queries, same k) next to each ANN family timing. Computed
     # untimed, after each query's timing repeats.
-    ANN_RECALL = {"lsh_topk", "ivf_topk", "pq_topk", "ivfpq_topk"}
+    ANN_RECALL = {"lsh_topk", "ivf_topk", "pq_topk", "pq_topk_refine", "ivfpq_topk", "ivfpq_topk_refine"}
     truth_pairs: set | None = None
 
     def _pairs(df) -> set:

@@ -855,6 +855,57 @@ def pq_topk(
     )
 
 
+def exact_rerank(
+    candidates: DataFrame,
+    corpus: DataFrame,
+    queries_pdf: pd.DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    ndigits: int = 6,
+) -> DataFrame:
+    """The standard ANN "refine" stage (FAISS IndexRefineFlat): re-score a
+    small candidate set — (query_id, neighbor_id) rows from an approximate
+    stage — with EXACT cosine against the true corpus vectors, then keep
+    the top-k. Compressed-domain scores (PQ/ADC) rank coarsely; fetching
+    ~4-8x k candidates and re-ranking them exactly recovers most of the
+    recall lost to quantization while still reading only nq x refine_k true
+    vectors instead of the whole corpus.
+
+    Plan shape: the candidate set (with query vectors attached) broadcasts
+    into an equi-join against the corpus — a scan-side hash semi-probe, no
+    shuffle of the corpus; the exact cosine is one Arrow einsum per batch;
+    final top-k is a window over nq x refine_k rows."""
+    spark = corpus.sparkSession
+    qdf = spark.createDataFrame(
+        [
+            (int(r[id_col]), [float(x) for x in r[vec_col]])
+            for _, r in queries_pdf.iterrows()
+        ],
+        "query_id long, qv array<double>",
+    )
+    cand = candidates.select("query_id", "neighbor_id").join(
+        F.broadcast(qdf), "query_id"
+    )
+    corp = corpus.select(
+        F.col(id_col).alias("neighbor_id"), _as_double_array(vec_col).alias("cv")
+    )
+    cos = cosine_pairs_udf()
+    scored = corp.join(F.broadcast(cand), "neighbor_id").select(
+        "query_id",
+        "neighbor_id",
+        F.round(cos(F.col("qv"), F.col("cv")), ndigits).alias("cosine_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine_sim", "rank")
+    )
+
+
 def ann_cosine_pq(
     corpus: DataFrame,
     queries: DataFrame,
@@ -866,14 +917,23 @@ def ann_cosine_pq(
     fit_sample: int = 10_000,
     seed: int = 42,
     ndigits: int = 6,
+    refine: int | None = None,
 ) -> DataFrame:
     """train + encode + ADC search in one call (the gate/bench entry point).
     For a persistent index, call pq_train/pq_encode once, save the codes
-    frame, and run pq_topk per query batch."""
+    frame, and run pq_topk per query batch. With ``refine`` = r, the ADC
+    stage over-fetches r*k candidates and ``exact_rerank`` re-scores them
+    against the true vectors — recall recovers toward exact at the cost of
+    reading nq*r*k raw vectors."""
     books = pq_train(corpus, vec_col, m=m, ksub=ksub, fit_sample=fit_sample, seed=seed)
     codes = pq_encode(corpus, books, id_col, vec_col)
     qpdf = queries.select(id_col, vec_col).toPandas()
-    return pq_topk(codes, qpdf, books, id_col, vec_col, k=k, ndigits=ndigits)
+    if refine is None:
+        return pq_topk(codes, qpdf, books, id_col, vec_col, k=k, ndigits=ndigits)
+    cand = pq_topk(
+        codes, qpdf, books, id_col, vec_col, k=k * max(1, refine), ndigits=ndigits
+    )
+    return exact_rerank(cand, corpus, qpdf, id_col, vec_col, k=k, ndigits=ndigits)
 
 
 def ivf_pq_index(
@@ -959,6 +1019,7 @@ def ann_cosine_ivf_pq(
     fit_sample: int = 10_000,
     seed: int = 42,
     ndigits: int = 6,
+    refine: int | None = None,
 ) -> DataFrame:
     """IVF-PQ search: each query ADC-scores ONLY the PQ codes in its
     ``n_probe`` nearest cells — the pruning of IVF times the compression of
@@ -972,8 +1033,13 @@ def ann_cosine_ivf_pq(
     parquet row-group level. Per-query cell masks apply inside the scoring
     kernel (boolean table lookup, no vector math). Output contract matches
     cosine_topk/ann_cosine_pq: (query_id, neighbor_id, cosine_sim, rank),
-    cosine_sim = ADC approximation, rank by (sim desc, neighbor_id asc)."""
+    cosine_sim = ADC approximation, rank by (sim desc, neighbor_id asc).
+    With ``refine`` = r, the ADC stage over-fetches r*k candidates per
+    query and ``exact_rerank`` re-scores them against the true vectors."""
     spark = corpus.sparkSession
+    k_out = k
+    if refine is not None:
+        k = k * max(1, refine)
     C, books, index = ivf_pq_index(
         corpus, id_col, vec_col, n_centroids, m, ksub, fit_sample, seed
     )
@@ -1039,9 +1105,12 @@ def ann_cosine_ivf_pq(
 
     partial = cand.mapInPandas(score, schema=schema)
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
-    return (
+    out = (
         partial.withColumn("cosine_sim", F.round(F.col("cosine_sim"), ndigits))
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine_sim", "rank")
     )
+    if refine is None:
+        return out
+    return exact_rerank(out, corpus, qpdf, id_col, vec_col, k=k_out, ndigits=ndigits)

@@ -317,3 +317,33 @@ def test_semantic_dedup_auto_matches_explicit_floor(spark, sf_dir):
         e, "vec_id", "embedding", threshold=0.5, n_centroids=16, seed=42
     )
     assert sorted(map(tuple, auto.collect())) == sorted(map(tuple, explicit.collect()))
+
+
+def test_pq_refine_improves_recall(spark, sf_dir):
+    from etl_processes_spark.ops.similarity import (
+        ann_cosine_ivf_pq,
+        ann_cosine_pq,
+        cosine_topk_fast,
+    )
+    from pyspark.sql import functions as F
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = e.filter(F.col("vec_id") < 10)
+    pairs = lambda df: {(r["query_id"], r["neighbor_id"]) for r in df.collect()}
+    truth = pairs(cosine_topk_fast(e, q, "vec_id", "embedding", k=5))
+
+    plain = pairs(ann_cosine_pq(e, q, "vec_id", "embedding", k=5, m=8, ksub=16))
+    ref = pairs(ann_cosine_pq(e, q, "vec_id", "embedding", k=5, m=8, ksub=16, refine=8))
+    assert len(ref & truth) >= len(plain & truth)  # refine never hurts recall
+    assert len(ref & truth) / len(truth) >= 0.5    # and actually recovers
+
+    # ivf-pq refine: rank contract intact (k rows per query, ranks 1..k)
+    ivfref = ann_cosine_ivf_pq(
+        e, q, "vec_id", "embedding", k=5, n_centroids=8, n_probe=8,
+        m=8, ksub=16, refine=8,
+    )
+    rows = ivfref.collect()
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r["query_id"], []).append(r["rank"])
+    assert all(sorted(v) == list(range(1, len(v) + 1)) for v in per_q.values())

@@ -1,0 +1,193 @@
+"""Deterministic synthetic-testdata generator mirroring the driver's
+TPC-H-ish tables (TESTDATA.md) at arbitrary scale factors — built for the
+sf1 load-verification run (SCALING.md): the driver ships sf<=0.1 only and
+the public DuckDB tpch extension is unreachable offline, so scale
+measurements need locally grown data with the SAME schemas and value
+distributions (profiled from /root/testdata/sf0.1: vocabularies, category
+shares, ranges, dup rates).
+
+Usage: python tools/gen_testdata.py SF OUTDIR [SEED]
+e.g.   python tools/gen_testdata.py 1.0 /root/repo/testdata_sf1
+
+Row counts scale linearly from the driver's sf0.1 shape:
+lineitem 6M, orders 1.5M, customer 150k, part 200k, supplier 10k,
+events 1M, documents 50k, embeddings 20k at sf=1. All columns match the
+driver files' parquet schemas (timestamp[us], float[] embeddings).
+NEVER writes into /root/testdata (read-only driver data).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+US_PER_DAY = 86_400_000_000
+
+VOCAB = [
+    "a", "agg", "batch", "big", "column", "customer", "data", "dup", "fast",
+    "filter", "group", "hash", "join", "key", "line", "merge", "order",
+    "part", "query", "row", "scan", "slow", "small", "sort", "spark",
+    "stream", "table", "the", "value", "vector", "window",
+]
+LANGS = ["en", "zh", "es", "fr", "de"]
+LANG_P = [0.41, 0.15, 0.15, 0.15, 0.14]
+P_ADJ = ["large", "small", "hot", "cold", "new", "old", "red", "blue"]
+P_NOUN = ["ring", "bolt", "anvil", "gear", "widget", "gizmo", "plate", "rod"]
+P_TYPE = ["ECONOMY", "MEDIUM", "SMALL", "LARGE", "STANDARD", "PROMO"]
+MKT = ["FURNITURE", "MACHINERY", "AUTOMOBILE", "HOUSEHOLD", "BUILDING"]
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+REGIONS = ["AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST"]
+
+
+def _write(outdir: str, name: str, table: pa.Table) -> None:
+    pq.write_table(table, os.path.join(outdir, f"{name}.parquet"))
+    print(f"  {name}: {table.num_rows} rows", flush=True)
+
+
+def _ts_us(days_from_epoch_us: np.ndarray) -> pa.Array:
+    return pa.array(days_from_epoch_us.astype("int64"), type=pa.timestamp("us"))
+
+
+def generate(sf: float, outdir: str, seed: int = 42) -> None:
+    os.makedirs(outdir, exist_ok=True)
+    rng = np.random.RandomState(seed)
+    n_li = int(6_000_000 * sf)
+    n_ord = int(1_500_000 * sf)
+    n_cust = int(150_000 * sf)
+    n_part = int(200_000 * sf)
+    n_supp = int(10_000 * sf)
+    n_evt = int(1_000_000 * sf)
+    n_doc = int(50_000 * sf)
+    n_emb = int(20_000 * sf)
+
+    # -- region / nation (fixed-size dims) ----------------------------------
+    _write(outdir, "region", pa.table({
+        "r_regionkey": pa.array(range(5), pa.int64()),
+        "r_name": REGIONS,
+    }))
+    _write(outdir, "nation", pa.table({
+        "n_nationkey": pa.array(np.arange(25, dtype=np.int32)),
+        "n_name": [f"NATION_{i}" for i in range(25)],
+        "n_regionkey": pa.array(np.arange(25, dtype=np.int32) % 5),
+    }))
+
+    # -- customer / supplier / part ----------------------------------------
+    _write(outdir, "customer", pa.table({
+        "c_custkey": pa.array(np.arange(n_cust)),
+        "c_name": [f"Customer#{i:09d}" for i in range(n_cust)],
+        "c_nationkey": pa.array(rng.randint(0, 25, n_cust).astype(np.int32)),
+        "c_acctbal": np.round(rng.uniform(-999, 9999, n_cust), 2),
+        "c_mktsegment": pa.array(np.array(MKT)[rng.randint(0, 5, n_cust)]),
+    }))
+    _write(outdir, "supplier", pa.table({
+        "s_suppkey": pa.array(np.arange(n_supp)),
+        "s_name": [f"Supplier#{i:09d}" for i in range(n_supp)],
+        "s_nationkey": pa.array(rng.randint(0, 25, n_supp).astype(np.int32)),
+        "s_acctbal": np.round(rng.uniform(-999, 9999, n_supp), 2),
+    }))
+    adj = np.array(P_ADJ)[rng.randint(0, len(P_ADJ), n_part)]
+    noun = np.array(P_NOUN)[rng.randint(0, len(P_NOUN), n_part)]
+    _write(outdir, "part", pa.table({
+        "p_partkey": pa.array(np.arange(n_part)),
+        "p_name": pa.array([f"{a} {n}" for a, n in zip(adj, noun)]),
+        "p_brand": pa.array([f"Brand#{b}" for b in rng.randint(0, 25, n_part)]),
+        "p_type": pa.array(np.array(P_TYPE)[rng.randint(0, len(P_TYPE), n_part)]),
+        "p_size": pa.array(rng.randint(1, 51, n_part).astype(np.int32)),
+        "p_retailprice": np.round(900 + np.arange(n_part) * 0.1 % 104100, 2),
+    }))
+
+    # -- orders / lineitem --------------------------------------------------
+    base_1995 = (np.datetime64("1995-01-01", "us") - np.datetime64("1970-01-01", "us")).astype("int64")
+    span_days = int((np.datetime64("2001-08-01") - np.datetime64("1995-01-01")) / np.timedelta64(1, "D"))
+    o_date_days = rng.randint(0, span_days + 1, n_ord)
+    _write(outdir, "orders", pa.table({
+        "o_orderkey": pa.array(np.arange(n_ord)),
+        "o_custkey": pa.array(rng.randint(0, max(n_cust, 1), n_ord)),
+        "o_orderstatus": pa.array(np.array(["F", "O", "P"])[rng.randint(0, 3, n_ord)]),
+        "o_totalprice": np.round(rng.uniform(1000, 500000, n_ord), 2),
+        "o_orderdate": _ts_us(base_1995 + o_date_days * US_PER_DAY),
+        "o_orderpriority": pa.array(np.array(
+            ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+        )[rng.randint(0, 5, n_ord)]),
+    }))
+    # ~4 lines per order, shipdate = orderdate + 1..95 days
+    lo_key = rng.randint(0, max(n_ord, 1), n_li)
+    ship = base_1995 + (o_date_days[lo_key] + rng.randint(1, 96, n_li)) * US_PER_DAY
+    qty = rng.randint(1, 51, n_li).astype(np.float64)
+    price = np.round(rng.uniform(900, 105000, n_li), 2)
+    _write(outdir, "lineitem", pa.table({
+        "l_orderkey": pa.array(lo_key),
+        "l_partkey": pa.array(rng.randint(0, max(n_part, 1), n_li)),
+        "l_suppkey": pa.array(rng.randint(0, max(n_supp, 1), n_li)),
+        "l_linenumber": pa.array((rng.randint(1, 8, n_li)).astype(np.int32)),
+        "l_quantity": qty,
+        "l_extendedprice": price,
+        "l_discount": np.round(rng.randint(0, 11, n_li) / 100.0, 2),
+        "l_tax": np.round(rng.randint(0, 9, n_li) / 100.0, 2),
+        "l_returnflag": pa.array(np.array(["A", "N", "R"])[rng.randint(0, 3, n_li)]),
+        "l_linestatus": pa.array(np.array(["F", "O"])[rng.randint(0, 2, n_li)]),
+        "l_shipdate": _ts_us(ship),
+    }))
+
+    # -- events (30 days, zipf-free uniform users, JSON props) --------------
+    base_2024 = (np.datetime64("2024-01-01", "us") - np.datetime64("1970-01-01", "us")).astype("int64")
+    ts = base_2024 + rng.randint(0, 30 * US_PER_DAY, n_evt, dtype=np.int64)
+    ts.sort()
+    k = rng.randint(0, 100, n_evt)
+    _write(outdir, "events", pa.table({
+        "event_id": pa.array(np.arange(n_evt)),
+        "ts": _ts_us(ts),
+        "user_id": pa.array(rng.randint(0, max(int(15_000 * sf), 1), n_evt)),
+        "event_type": pa.array(np.array(EVENT_TYPES)[rng.randint(0, 5, n_evt)]),
+        "value": np.round(np.abs(rng.exponential(80, n_evt)), 2),
+        "props": pa.array([f'{{"k": {v}}}' for v in k]),
+    }))
+
+    # -- documents (31-token soup, ~0.2% exact dups) ------------------------
+    vocab = np.array(VOCAB)
+    lens = rng.randint(10, 101, n_doc)
+    tok_ids = rng.randint(0, len(vocab), int(lens.sum()))
+    texts: list[str] = []
+    pos = 0
+    for ln in lens:
+        texts.append(" ".join(vocab[tok_ids[pos : pos + ln]]))
+        pos += ln
+    n_dup = max(1, n_doc // 600)
+    dup_to = rng.randint(0, n_doc, n_dup)
+    dup_from = rng.randint(0, n_doc, n_dup)
+    for a, b in zip(dup_to, dup_from):
+        texts[a] = texts[b]
+    _write(outdir, "documents", pa.table({
+        "doc_id": pa.array(np.arange(n_doc)),
+        "text": pa.array(texts),
+        "lang": pa.array(np.array(LANGS)[rng.choice(5, n_doc, p=LANG_P)]),
+        "source": pa.array([f"src{s}" for s in rng.randint(0, 20, n_doc)]),
+        "n_chars": pa.array(np.array([len(t) for t in texts], dtype=np.int64)),
+    }))
+
+    # -- embeddings (10 unit-norm label clusters, 64-d float32) -------------
+    centers = rng.randn(10, 64)
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    labels = rng.randint(0, 10, n_emb)
+    E = centers[labels] + 0.35 * rng.randn(n_emb, 64)
+    E /= np.maximum(np.linalg.norm(E, axis=1, keepdims=True), 1e-12)
+    _write(outdir, "embeddings", pa.table({
+        "vec_id": pa.array(np.arange(n_emb)),
+        "embedding": pa.array(list(E.astype(np.float32)), pa.list_(pa.float32())),
+        "label": pa.array(labels.astype(np.int32)),
+    }))
+
+
+if __name__ == "__main__":
+    sf = float(sys.argv[1]) if len(sys.argv) > 1 else 1.0
+    outdir = sys.argv[2] if len(sys.argv) > 2 else f"/root/repo/testdata_sf{sf:g}"
+    seed = int(sys.argv[3]) if len(sys.argv) > 3 else 42
+    assert not os.path.realpath(outdir).startswith("/root/testdata"), \
+        "driver testdata is read-only"
+    print(f"generating sf={sf} -> {outdir} (seed={seed})", flush=True)
+    generate(sf, outdir, seed)
+    print("done", flush=True)
