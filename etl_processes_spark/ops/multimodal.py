@@ -4,12 +4,13 @@ with typed metadata, processed via Arrow-batched mapInPandas.
 Driver-mandated extension (no reference counterpart). Two kernels behind one
 pinned contract:
 
-- ``real_feature_kernel`` — REAL pure-numpy decoders for the self-describing
-  uncompressed formats (BMP 24-bit, PPM P6, WAV PCM16) + feature extraction
-  (channel moments, luminance percentiles, edge energy / rms, zero-crossing
-  rate, duration). Compressed codecs (png/jpeg/mp4) still require PIL/ffmpeg
-  (absent in this container) — undecodable payloads yield a zero vector, so
-  one corrupt blob never kills a 1000-executor stage.
+- ``real_feature_kernel`` — REAL pure-numpy decoders for BMP 24-bit,
+  PPM P6, WAV PCM16 AND (compressed) 8-bit non-interlaced PNG — PNG is
+  zlib + five scanline filters, both available without PIL — + feature
+  extraction (channel moments, luminance percentiles, edge energy / rms,
+  zero-crossing rate, duration). jpeg/mp4 still require PIL/ffmpeg (absent
+  in this container) — undecodable payloads yield a zero vector, so one
+  corrupt blob never kills a 1000-executor stage.
 - ``_fake_features`` (``fake_decode=True``, default for the oracle-gated
   query) — deterministic Box-Muller-over-md5 stand-in that DuckDB can compute
   identically, which is what hash-gates the multimodal_features query.
@@ -99,12 +100,12 @@ def media_from_documents(
 
 
 # ---------------------------------------------------------------------------
-# REAL decode kernels — pure numpy/struct codecs for the uncompressed
-# container formats decodable without PIL/ffmpeg: BMP (24-bit BI_RGB),
-# PPM (binary P6), WAV (PCM16). Compressed formats (png/jpeg/mp3/mp4) still
-# need external codecs; ``real_feature_kernel`` returns a zero vector for
-# payloads it cannot decode — at scale one corrupt blob must not kill a
-# 1000-executor stage.
+# REAL decode kernels — pure numpy/struct codecs decodable without
+# PIL/ffmpeg: BMP (24-bit BI_RGB), PPM (binary P6), WAV (PCM16), and PNG
+# (zlib inflate + the five scanline filters; 8-bit, non-interlaced).
+# jpeg/mp3/mp4 still need external codecs; ``real_feature_kernel`` returns
+# a zero vector for payloads it cannot decode — at scale one corrupt blob
+# must not kill a 1000-executor stage.
 # ---------------------------------------------------------------------------
 
 
@@ -159,6 +160,170 @@ def decode_ppm(b: bytes) -> np.ndarray | None:
     if maxval > 255 or w <= 0 or h <= 0 or pos + w * h * 3 > len(b):
         return None
     return np.frombuffer(b, np.uint8, w * h * 3, pos).reshape(h, w, 3).copy()
+
+
+def _png_unfilter(raw: bytes, w: int, h: int, nch: int) -> np.ndarray | None:
+    """Undo PNG scanline filtering (spec §9: None/Sub/Up/Average/Paeth) on
+    the inflated stream → (h, w, nch) uint8. None/Up/Sub vectorize (Sub is
+    a mod-256 cumsum per channel lane); Average/Paeth are sequential in x
+    by definition, so they fall back to a per-pixel loop — fine for the
+    feature-extraction path, swap a PIL kernel for bulk thumbnailing."""
+    stride = w * nch
+    if len(raw) != h * (1 + stride):
+        return None
+    rows = np.frombuffer(raw, np.uint8).reshape(h, 1 + stride)
+    ftypes, data = rows[:, 0], rows[:, 1:]
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        ft, cur = int(ftypes[y]), data[y]
+        if ft == 0:  # None
+            line = cur.copy()
+        elif ft == 1:  # Sub: cumsum per channel lane, mod 256
+            lanes = cur.reshape(w, nch).astype(np.uint64)
+            line = (np.cumsum(lanes, axis=0) % 256).astype(np.uint8).reshape(stride)
+        elif ft == 2:  # Up
+            line = cur + prev
+        elif ft in (3, 4):  # Average / Paeth: sequential in x
+            line = np.zeros(stride, dtype=np.uint8)
+            for x in range(w):
+                for c in range(nch):
+                    i = x * nch + c
+                    a = int(line[i - nch]) if x > 0 else 0
+                    b_ = int(prev[i])
+                    if ft == 3:
+                        pred = (a + b_) // 2
+                    else:
+                        c_ = int(prev[i - nch]) if x > 0 else 0
+                        p = a + b_ - c_
+                        pa, pb, pc = abs(p - a), abs(p - b_), abs(p - c_)
+                        pred = a if pa <= pb and pa <= pc else (b_ if pb <= pc else c_)
+                    line[i] = (int(cur[i]) + pred) & 0xFF
+        else:
+            return None
+        out[y] = line
+        prev = line
+    return out.reshape(h, w, nch)
+
+
+def decode_png(b: bytes) -> np.ndarray | None:
+    """Pure-numpy PNG decode → (h, w, 3) uint8 RGB, else None. Scope: 8-bit
+    depth, color types 0 (gray) / 2 (RGB) / 3 (palette) / 4 (gray+alpha) /
+    6 (RGBA), non-interlaced — i.e. what the stock encoders emit. The
+    container has no PIL, but PNG is zlib (available) + 5 scanline filters,
+    so the most common compressed-image case decodes honestly. Alpha is
+    dropped (features are RGB moments); interlaced (Adam7), 16-bit and
+    malformed streams return None → the zero-vector contract."""
+    import zlib
+
+    if len(b) < 8 or b[:8] != b"\x89PNG\r\n\x1a\n":
+        return None
+    pos, ihdr, plte, idat = 8, None, None, []
+    while pos + 8 <= len(b):
+        ln = struct.unpack_from(">I", b, pos)[0]
+        ctype = b[pos + 4 : pos + 8]
+        body = b[pos + 8 : pos + 8 + ln]
+        if len(body) != ln:
+            return None
+        if ctype == b"IHDR":
+            if ln != 13:
+                return None
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif ctype == b"PLTE":
+            if ln % 3:
+                return None
+            plte = np.frombuffer(body, np.uint8).reshape(-1, 3)
+        elif ctype == b"IDAT":
+            idat.append(body)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + ln  # length + type + payload + crc
+    if ihdr is None or not idat:
+        return None
+    w, h, depth, color, comp, filt, interlace = ihdr
+    nch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color)
+    if (
+        nch is None or depth != 8 or comp != 0 or filt != 0 or interlace != 0
+        or w <= 0 or h <= 0 or w * h > 64_000_000
+        or (color == 3 and plte is None)
+    ):
+        return None
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error:
+        return None
+    px = _png_unfilter(raw, w, h, nch)
+    if px is None:
+        return None
+    if color == 2:
+        return px.copy()
+    if color == 6:
+        return px[..., :3].copy()
+    if color == 0:
+        return np.repeat(px, 3, axis=2)
+    if color == 4:
+        return np.repeat(px[..., :1], 3, axis=2)
+    # palette
+    idx = px[..., 0]
+    if idx.max(initial=0) >= len(plte):
+        return None
+    return plte[idx]
+
+
+def encode_png(img: np.ndarray, filters: str = "none") -> bytes:
+    """(h, w, 3) uint8 RGB → non-interlaced 8-bit RGB PNG. ``filters``:
+    "none" (filter 0 rows) or "mixed" (cycles Sub/Up/Average/Paeth/None —
+    exists to exercise every decoder filter path in tests; a size-optimal
+    encoder would pick per-row minimums). Inverse of decode_png."""
+    import zlib
+
+    h, w = img.shape[:2]
+    nch = 3
+    lines = []
+    prev = np.zeros(w * nch, dtype=np.uint8)
+    for y in range(h):
+        line = img[y].reshape(-1)
+        ft = 0 if filters == "none" else (y % 5 + 1) % 5  # 1,2,3,4,0,...
+        if ft == 0:
+            res = line.copy()
+        elif ft == 1:  # Sub
+            res = line - np.concatenate([np.zeros(nch, np.uint8), line[:-nch]])
+        elif ft == 2:  # Up
+            res = line - prev
+        elif ft == 3:  # Average
+            left = np.concatenate([np.zeros(nch, np.uint8), line[:-nch]])
+            res = line - ((left.astype(np.uint16) + prev.astype(np.uint16)) // 2).astype(np.uint8)
+        else:  # Paeth
+            res = np.empty_like(line)
+            for x in range(w):
+                for c in range(nch):
+                    i = x * nch + c
+                    a = int(line[i - nch]) if x > 0 else 0
+                    b_ = int(prev[i])
+                    c_ = int(prev[i - nch]) if x > 0 else 0
+                    p = a + b_ - c_
+                    pa, pb, pc = abs(p - a), abs(p - b_), abs(p - c_)
+                    pred = a if pa <= pb and pa <= pc else (b_ if pb <= pc else c_)
+                    res[i] = (int(line[i]) - pred) & 0xFF
+        lines.append(bytes([ft]) + res.tobytes())
+        prev = line
+    raw = zlib.compress(b"".join(lines), 6)
+
+    def chunk(ctype: bytes, body: bytes) -> bytes:
+        import zlib as _z
+
+        return (
+            struct.pack(">I", len(body)) + ctype + body
+            + struct.pack(">I", _z.crc32(ctype + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", raw)
+        + chunk(b"IEND", b"")
+    )
 
 
 def decode_wav_pcm16(b: bytes) -> tuple[np.ndarray, int] | None:
@@ -233,18 +398,20 @@ def _audio_features(wave: np.ndarray, rate: int, dim: int) -> np.ndarray:
 
 
 def real_feature_kernel(content: bytes | None, dim: int = 16) -> np.ndarray:
-    """REAL decode → feature-extract for self-describing uncompressed media
-    (BMP / PPM / WAV-PCM16), satisfying the pinned kernel contract: (dim,)
-    float64, deterministic, None-safe, zero vector for undecodable bytes.
-    Compressed codecs (png/jpeg/mp4) remain out of scope in this container —
-    swap in a PIL/ffmpeg kernel on a cluster that has them; the Spark
-    plumbing (extract_features) is unchanged either way."""
+    """REAL decode → feature-extract for BMP / PPM / PNG / WAV-PCM16,
+    satisfying the pinned kernel contract: (dim,) float64, deterministic,
+    None-safe, zero vector for undecodable bytes. jpeg/mp4 remain out of
+    scope in this container — swap in a PIL/ffmpeg kernel on a cluster
+    that has them; the Spark plumbing (extract_features) is unchanged
+    either way."""
     if content is None:
         return np.zeros(dim)
     b = bytes(content)
     img = decode_bmp(b)
     if img is None:
         img = decode_ppm(b)
+    if img is None:
+        img = decode_png(b)
     if img is not None:
         return _image_features(img, dim)
     au = decode_wav_pcm16(b)
@@ -409,7 +576,7 @@ def resize_images(
     content_col: str = "content",
 ) -> DataFrame:
     """Decode → nearest-neighbor resize → re-encode for every image payload
-    the real codecs understand (BMP-24 / PPM-P6); all output re-encoded as
+    the real codecs understand (BMP-24 / PPM-P6 / PNG); all output re-encoded as
     BMP. Output: (id, ok, width, height, n_bytes, content). Undecodable or
     non-image payloads pass through with ok=false and NULL content — one
     corrupt blob must never kill the stage (same contract as
@@ -442,6 +609,8 @@ def resize_images(
                     img = decode_bmp(raw)
                     if img is None:
                         img = decode_ppm(raw)
+                    if img is None:
+                        img = decode_png(raw)
                 if img is None:
                     out.append((int(mid), False, None, None, None, None))
                     continue
