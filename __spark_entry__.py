@@ -1656,6 +1656,16 @@ def bench_components() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # oracles
 # ---------------------------------------------------------------------------
 
+_DT_PARSE_GUARD = (
+    "CASE WHEN regexp_matches(v, '^[0-9]+$') "
+    "THEN (CASE WHEN length(v) = 4 AND CAST(v AS INT) BETWEEN 1678 AND 2262 THEN TRUE "
+    "WHEN length(v) = 8 AND try_strptime(v, '%Y%m%d') IS NOT NULL THEN TRUE "
+    "ELSE FALSE END) "
+    "ELSE coalesce(try_cast(v AS TIMESTAMP), "
+    "try_strptime(v, '%Y-%m-%d'), try_strptime(v, '%m/%d/%Y'), "
+    "try_strptime(v, '%d-%m-%Y')) IS NOT NULL END"
+)
+
 _TOKS = "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')"
 # coalesce: duckdb array_to_string([]) is NULL, Spark array_join([]) is ''
 _NORM_TEXT = f"coalesce(array_to_string({_TOKS}, ' '), '')"
@@ -1699,10 +1709,11 @@ def _decide_type_sql(col: str, kind: str, tbl: str = "customer") -> str:
          WHEN {phone} THEN 'phone'
          ELSE {numeric_branch} END"""
     else:
+        # digit-string guard mirrors profile.infer.datetime_parse (pandas
+        # to_datetime parity: bare 4-digit year in [1678, 2262] or 8-digit
+        # YYYYMMDD only; every other all-digit string is NOT a datetime)
         datetime_probe = (
-            "avg(CASE WHEN coalesce(try_cast(v AS TIMESTAMP), "
-            "try_strptime(v, '%Y-%m-%d'), try_strptime(v, '%m/%d/%Y'), "
-            "try_strptime(v, '%d-%m-%Y')) IS NOT NULL THEN 1.0 ELSE 0.0 END) >= 0.8"
+            "avg(CASE WHEN (" + _DT_PARSE_GUARD + ") THEN 1.0 ELSE 0.0 END) >= 0.8"
         )
         numeric_str = (
             "avg(CASE WHEN try_cast(v AS DOUBLE) IS NOT NULL THEN 1.0 ELSE 0.0 END) >= 0.9"
@@ -2424,9 +2435,15 @@ SELECT
             THEN (CASE WHEN floor(try_cast(trim(CAST(c_acctbal AS VARCHAR)) AS DOUBLE))
                             = try_cast(trim(CAST(c_acctbal AS VARCHAR)) AS DOUBLE)
                   THEN 1.0 ELSE 0.0 END) END), 6) AS int_ratio_acctbal,
-  round(avg(CASE WHEN coalesce(try_cast(trim(CAST(c_name AS VARCHAR)) AS TIMESTAMP),
+  round(avg(CASE WHEN (CASE WHEN regexp_matches(trim(CAST(c_name AS VARCHAR)), '^[0-9]+$')
+                 THEN (CASE WHEN length(trim(CAST(c_name AS VARCHAR))) = 4
+                                 AND CAST(trim(CAST(c_name AS VARCHAR)) AS INT) BETWEEN 1678 AND 2262 THEN TRUE
+                            WHEN length(trim(CAST(c_name AS VARCHAR))) = 8
+                                 AND try_strptime(trim(CAST(c_name AS VARCHAR)), '%Y%m%d') IS NOT NULL THEN TRUE
+                            ELSE FALSE END)
+                 ELSE coalesce(try_cast(trim(CAST(c_name AS VARCHAR)) AS TIMESTAMP),
                                try_strptime(trim(CAST(c_name AS VARCHAR)), '%m/%d/%Y'),
-                               try_strptime(trim(CAST(c_name AS VARCHAR)), '%d-%m-%Y')) IS NOT NULL
+                               try_strptime(trim(CAST(c_name AS VARCHAR)), '%d-%m-%Y')) IS NOT NULL END)
             THEN 1.0 ELSE 0.0 END), 6) AS datetime_ratio,
   round(CAST(count(DISTINCT trim(c_mktsegment)) AS DOUBLE) / count(c_mktsegment), 6) AS unique_ratio_mktsegment
 FROM customer

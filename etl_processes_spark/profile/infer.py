@@ -81,13 +81,27 @@ def integral_pred(c: str | Column) -> Column:
 def datetime_parse(c: str | Column) -> Column:
     """Best-effort datetime parse over the formats the reference renders
     (ISO timestamp / YYYY-MM-DD / MM/DD/YYYY / DD-MM-YYYY; Latanova_v1.py:163,
-    286-291). Null when unparseable — mirrors pd.to_datetime(errors='coerce')."""
+    286-291). Null when unparseable — mirrors pd.to_datetime(errors='coerce'),
+    including its digit-string behavior: pandas accepts a bare 4-digit year
+    only within Timestamp bounds (1678..2262) and an 8-digit YYYYMMDD date,
+    and REJECTS every other all-digit string — where Spark's bare
+    try_to_timestamp would happily parse '12345' as the year 12345 (found
+    by differential fuzzing: an 89%-numeric string column must fall through
+    to categorical/text, not become 'datetime')."""
     s = _s(c)
-    return F.coalesce(
+    digit_only = s.rlike("^[0-9]+$")
+    year4 = (F.length(s) == 4) & s.try_cast("int").between(1678, 2262)
+    ymd8 = (F.length(s) == 8) & F.try_to_timestamp(s, F.lit("yyyyMMdd")).isNotNull()
+    lenient = F.coalesce(
         F.try_to_timestamp(s),
         F.try_to_timestamp(s, F.lit("yyyy-MM-dd")),
         F.try_to_timestamp(s, F.lit("MM/dd/yyyy")),
         F.try_to_timestamp(s, F.lit("dd-MM-yyyy")),
+    )
+    return (
+        F.when(digit_only & year4, F.try_to_timestamp(s, F.lit("yyyy")))
+        .when(digit_only & ymd8, F.try_to_timestamp(s, F.lit("yyyyMMdd")))
+        .when(~digit_only, lenient)
     )
 
 
