@@ -216,8 +216,8 @@ def embedding_near_dup_pairs(
     threshold: float = 0.9,
     ndigits: int = 6,
     max_exact_rows: int = 10_000,
-    num_planes: int = 32,
-    bands: int = 8,
+    num_planes: int | None = None,
+    bands: int | None = None,
     seed: int = 42,
     n_rows: int | None = None,
 ) -> DataFrame:
@@ -231,6 +231,18 @@ def embedding_near_dup_pairs(
        signatures) + exact cosine verify of candidates only. Approximate:
        recall < 1, and band geometry targets HIGH thresholds (>= ~0.85, the
        near-duplicate regime); at low thresholds prefer the exact path.
+
+    LSH geometry defaults to AUTO (``num_planes``/``bands`` = None): planes
+    per band ~ log2(n) so a random (orthogonal) pair's collision odds are
+    ~1/n per band — bounding expected random candidates to ~bands*n rows —
+    and the band count targets 90% recall at the given threshold, capped at
+    32. The round-4 static default (4 planes/band) let a 20k corpus emit
+    ~40% of ALL pairs as candidates: 80M-row verify, measured 170s at sf1;
+    auto geometry holds the candidate set near-linear instead. When the cap
+    cannot reach useful recall (low thresholds: tau=0.5 needs ~1000 bands at
+    log2(n) planes), a warning reports the estimated recall — mid-threshold
+    similarity at scale belongs to ``semantic_dedup``'s k-means cells, not
+    hyperplane buckets. Passing both knobs explicitly skips auto.
 
     Routing reads ``n_rows`` (caller-supplied hint) first. Catalyst's
     optimized-plan row-count statistic is trusted only in the SAFE
@@ -249,9 +261,46 @@ def embedding_near_dup_pairs(
             n = corpus.count()
     if n <= max_exact_rows:
         return _near_dup_exact_blocked(corpus, id_col, vec_col, threshold, ndigits)
+    if num_planes is None or bands is None:
+        num_planes, bands = _auto_lsh_geometry(n, threshold)
     return _near_dup_lsh(
         corpus, id_col, vec_col, threshold, ndigits, num_planes, bands, seed
     )
+
+
+def _auto_lsh_geometry(
+    n: int, threshold: float, target_recall: float = 0.9,
+    max_bands: int = 32, max_planes_per_band: int = 20,
+) -> tuple[int, int]:
+    """Hyperplane-LSH geometry from corpus size and threshold. Per-band
+    collision odds for a pair at angle theta are p^k with p = 1 - theta/pi
+    and k planes; k = log2(n) makes a RANDOM pair (p = 1/2) collide with
+    probability ~1/n per band, so expected spurious candidates stay
+    ~bands*n. The band count then targets ``target_recall`` at the
+    threshold: b = ln(1-R) / ln(1-p^k), capped. Warns with the estimated
+    recall when the cap binds hard (recall < 0.5)."""
+    import math
+    import warnings
+
+    p = 1.0 - math.acos(max(-1.0, min(1.0, threshold))) / math.pi
+    k = max(4, min(max_planes_per_band, math.ceil(math.log2(max(n, 2)))))
+    pk = p**k
+    if pk >= 1.0:
+        bands = 4
+    else:
+        bands = math.ceil(math.log(1.0 - target_recall) / math.log(1.0 - pk))
+        bands = max(4, min(max_bands, bands))
+    recall = 1.0 - (1.0 - pk) ** bands
+    if recall < 0.5:
+        warnings.warn(
+            f"embedding_near_dup_pairs: LSH at threshold={threshold} reaches "
+            f"estimated recall ~{recall:.0%} with {bands} bands x {k} planes "
+            "(capped). Low/mid thresholds do not bucket under hyperplane "
+            "LSH at this corpus size - use semantic_dedup (k-means cells) "
+            "or raise max_exact_rows.",
+            stacklevel=3,
+        )
+    return k * bands, bands
 
 
 def _near_dup_exact_blocked(

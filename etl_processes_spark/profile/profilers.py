@@ -77,8 +77,73 @@ def numeric_profile_exprs(
     ]
 
 
-def numeric_profile_df(df: DataFrame, c: str, ndigits: int | None = None) -> DataFrame:
-    out = df.filter(F.col(c).isNotNull()).agg(*numeric_profile_exprs(c))
+def _plan_size_bytes(df: DataFrame) -> int | None:
+    """Catalyst's sizeInBytes statistic for the optimized plan — free (no
+    job), defined for file sources and local relations."""
+    try:
+        return int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:
+        return None
+
+
+def numeric_profile_df(
+    df: DataFrame,
+    c: str,
+    ndigits: int | None = None,
+    percentiles: str = "auto",
+    distributed_threshold_bytes: int = 4 << 20,
+    parts: int = 32,
+) -> DataFrame:
+    """One-row numeric profile. ``percentiles`` routes the q1/median/q3
+    computation:
+
+    - "exact": Spark's ``percentile()`` aggregate — fine at profile-sample
+      scale, but it merges every partition's (value, count) map into ONE
+      final buffer: O(distinct) memory and time on a single task. Measured
+      at sf1 (6M-row wide-domain double): 50s for a query whose moments
+      take 1.5s — the single-task merge IS the wall clock.
+    - "distributed": ``exact_percentiles_distributed`` (range partition +
+      per-partition counts + flank-rank fetch) — bit-identical values,
+      nothing bigger than ``parts`` counts on any one task (measured 3.4s
+      on the same sf1 column, ~15x).
+    - "approx": percentile_approx, when exactness isn't required.
+    - "auto" (default): "exact" below ``distributed_threshold_bytes`` of
+      scanned column data (Catalyst's column-pruned size statistic, no
+      job — ~3 bytes/value on compressed parquet, so the 4 MB default
+      routes ~1M+ rows to the distributed path and keeps profile-sample
+      scale on the one-aggregate plan), else "distributed"."""
+    base = df.filter(F.col(c).isNotNull())
+    mode = percentiles
+    if mode == "auto":
+        sz = _plan_size_bytes(base.select(c))
+        mode = (
+            "distributed"
+            if sz is not None and sz > distributed_threshold_bytes
+            else "exact"
+        )
+    if mode in ("exact", "approx"):
+        out = base.agg(*numeric_profile_exprs(c, approx_percentiles=(mode == "approx")))
+    elif mode == "distributed":
+        n, (q1, med, q3) = exact_percentiles_distributed(
+            base, c, [0.25, 0.5, 0.75], parts=parts
+        )
+        x = F.col(c).cast("double")
+        nn = F.count(x)
+        lit = lambda v: F.lit(v if n else None).cast("double")
+        out = base.agg(
+            F.avg(x).alias("mean"),
+            F.coalesce(F.stddev_pop(x), F.lit(0.0)).alias("std"),
+            F.min(x).alias("min_val"),
+            F.max(x).alias("max_val"),
+            F.when(nn > 2, F.coalesce(F.skewness(x), F.lit(0.0))).otherwise(0.0).alias("skew"),
+            F.when(nn > 3, F.coalesce(F.kurtosis(x), F.lit(0.0))).otherwise(0.0).alias("kurt"),
+            nn.alias("n_samples"),
+        ).select(
+            "mean", "std", lit(med).alias("median"), "min_val", "max_val",
+            "skew", "kurt", lit(q1).alias("q1"), lit(q3).alias("q3"), "n_samples",
+        )
+    else:
+        raise ValueError(f"percentiles must be auto|exact|approx|distributed, got {mode!r}")
     if ndigits is not None:
         out = round_floats(out, ndigits)
     return out

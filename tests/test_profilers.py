@@ -154,3 +154,26 @@ def test_exact_percentiles_distributed_empty_and_single(spark):
     one = spark.createDataFrame([(42.0,)], "x double")
     n, vs = exact_percentiles_distributed(one, "x", [0.25, 0.75])
     assert n == 1 and vs == [42.0, 42.0]
+
+
+def test_numeric_profile_distributed_route_bit_identical(spark):
+    # the 100 TB percentile route must return the SAME one-row profile as
+    # the single-task exact aggregate, bit for bit
+    import numpy as np
+
+    from etl_processes_spark.profile.profilers import numeric_profile_df
+
+    rng = np.random.RandomState(23)
+    vals = np.concatenate([rng.lognormal(4, 2, 20000), np.full(300, 17.5)])
+    df = spark.createDataFrame([(float(v),) for v in vals], "x double")
+    a = numeric_profile_df(df, "x", percentiles="exact").collect()[0].asDict()
+    b = numeric_profile_df(df, "x", percentiles="distributed").collect()[0].asDict()
+    assert a == b
+    # empty frame: both routes yield n_samples=0 with NULL percentiles
+    empty = spark.createDataFrame([], "x double")
+    e = numeric_profile_df(empty, "x", percentiles="distributed").collect()[0]
+    assert e["n_samples"] == 0 and e["median"] is None
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="auto\\|exact"):
+        numeric_profile_df(df, "x", percentiles="bogus")

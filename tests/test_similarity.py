@@ -347,3 +347,29 @@ def test_pq_refine_improves_recall(spark, sf_dir):
     for r in rows:
         per_q.setdefault(r["query_id"], []).append(r["rank"])
     assert all(sorted(v) == list(range(1, len(v) + 1)) for v in per_q.values())
+
+
+def test_auto_lsh_geometry():
+    import warnings
+
+    from etl_processes_spark.ops.similarity import _auto_lsh_geometry
+
+    # high threshold, big corpus: bounded bands, ~log2(n) planes per band
+    planes, bands = _auto_lsh_geometry(20_000, 0.9)
+    k = planes // bands
+    assert 14 <= k <= 16 and 4 <= bands <= 32
+    # random-pair collision odds per band ~ (1/2)^k -> spurious candidates
+    # near-linear, not the 40%-of-all-pairs blowup of a static 4-plane band
+    assert 0.5 ** k * bands * 20_000 < 50  # expected spurious per row << n
+
+    # low threshold: cap binds, warns with estimated recall
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        _auto_lsh_geometry(20_000, 0.5)
+    assert any("semantic_dedup" in str(x.message) for x in w)
+
+
+def test_near_dup_lsh_auto_params_still_finds_planted(emb):
+    df, _ = emb
+    res = embedding_near_dup_pairs(df, threshold=0.9, max_exact_rows=0).collect()
+    assert any((r["id_a"], r["id_b"]) == (3, 7) for r in res)
