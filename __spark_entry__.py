@@ -1209,7 +1209,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("anomaly").cast("long").alias("n"),
             F.col("zscore").cast("double").alias("v"),
         )
-        return run.unionByName(sl).unionByName(gf).unionByName(an)
+        # fifth + sixth parts: the CDC family — SCD-2 validity intervals
+        # (lead() interval build with the deterministic same-ts tie-break)
+        # and latest-snapshot compaction (row_number survivor with the same
+        # tie-break discipline), treating events as a change log keyed on
+        # user_id. Both are window compositions DuckDB replays exactly, so
+        # ops/cdc.py graduates from tests-only to hash-certified.
+        from etl_processes_spark.ops.cdc import latest_snapshot, scd2_intervals
+        from etl_processes_spark.timeutil import epoch_micros
+
+        log = ev.filter(F.col("user_id") < 30).select("user_id", "ts", "value")
+        sc = scd2_intervals(log, "user_id", "ts").select(
+            F.lit("scd2").alias("part"),
+            F.col("user_id").cast("string").alias("k1"),
+            F.col("valid_from_us").cast("string").alias("k2"),
+            F.coalesce(F.col("valid_to_us"), F.lit(-1)).cast("long").alias("n"),
+            F.col("value").cast("double").alias("v"),
+        )
+        latest = latest_snapshot(
+            ev.select("user_id", "ts", "value", "event_type"), "user_id", "ts"
+        ).select(
+            F.lit("cdc_latest").alias("part"),
+            F.col("user_id").cast("string").alias("k1"),
+            F.col("event_type").alias("k2"),
+            epoch_micros("ts").alias("n"),
+            F.col("value").cast("double").alias("v"),
+        )
+        return (
+            run.unionByName(sl).unionByName(gf).unionByName(an)
+            .unionByName(sc).unionByName(latest)
+        )
 
     # -- relational ---------------------------------------------------------------------
 
@@ -3575,6 +3604,27 @@ SELECT 'anomaly' AS part, k1, k2, n, v FROM (
          zscore AS v
   FROM z
 )
+UNION ALL
+SELECT 'scd2' AS part,
+       CAST(user_id AS VARCHAR) AS k1,
+       CAST(epoch_us(ts) AS VARCHAR) AS k2,
+       coalesce(lead(epoch_us(ts)) OVER
+                  (PARTITION BY user_id ORDER BY ts ASC, value DESC NULLS LAST),
+                -1) AS n,
+       value AS v
+FROM events WHERE user_id < 30
+UNION ALL
+SELECT 'cdc_latest' AS part,
+       CAST(user_id AS VARCHAR) AS k1,
+       event_type AS k2,
+       epoch_us(ts) AS n,
+       value AS v
+FROM (SELECT user_id, ts, value, event_type,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC,
+                                         value DESC NULLS LAST,
+                                         event_type DESC NULLS LAST) AS rk
+      FROM events) WHERE rk = 1
 """
 
     # -- relational ---------------------------------------------------------------------
