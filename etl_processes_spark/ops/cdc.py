@@ -13,7 +13,40 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from pyspark.sql import types as T
+
 from etl_processes_spark.timeutil import epoch_micros
+
+
+def _orderable(dt: "T.DataType") -> bool:
+    """True when Spark can ORDER BY this type (maps — at any nesting depth —
+    cannot). Unorderable columns are excluded from the deterministic
+    tie-break rather than failing the whole call with AnalysisException."""
+    if isinstance(dt, T.MapType):
+        return False
+    if isinstance(dt, T.ArrayType):
+        return _orderable(dt.elementType)
+    if isinstance(dt, T.StructType):
+        return all(_orderable(f.dataType) for f in dt.fields)
+    return True
+
+
+def _tiebreak_exprs(changes: DataFrame, keys: list[str], ts: str):
+    """Deterministic same-timestamp tie-break: every remaining ORDERABLE
+    column, desc nulls last. Map-typed columns (unorderable) fall back to a
+    64-bit hash when hashable so rows differing only in a map still order
+    deterministically."""
+    others = [c for c in changes.columns if c not in keys and c != ts]
+    by_name = {f.name: f.dataType for f in changes.schema.fields}
+    exprs = [
+        F.col(c).desc_nulls_last() for c in others if _orderable(by_name[c])
+    ]
+    unord = [c for c in others if not _orderable(by_name[c])]
+    if unord:
+        # hash(map) needs the legacy flag in some Spark configs; order on the
+        # json render instead — deterministic and always valid.
+        exprs += [F.to_json(F.col(c)).desc_nulls_last() for c in unord]
+    return exprs
 
 
 def latest_snapshot(
@@ -32,9 +65,8 @@ def latest_snapshot(
     writers append, readers (or a compaction job writing the result back)
     resolve."""
     keys = [key] if isinstance(key, str) else list(key)
-    others = [c for c in changes.columns if c not in keys and c != ts]
     w = Window.partitionBy(*keys).orderBy(
-        F.col(ts).desc(), *[F.col(c).desc_nulls_last() for c in others]
+        F.col(ts).desc(), *_tiebreak_exprs(changes, keys, ts)
     )
     latest = (
         changes.withColumn("__rk", F.row_number().over(w))
@@ -66,9 +98,8 @@ def scd2_intervals(
     chain is stable across runs and partitionings (the zero-width interval
     the loser becomes is deterministic too)."""
     keys = [key] if isinstance(key, str) else list(key)
-    others = [c for c in changes.columns if c not in keys and c != ts]
     w = Window.partitionBy(*keys).orderBy(
-        F.col(ts), *[F.col(c).desc_nulls_last() for c in others]
+        F.col(ts), *_tiebreak_exprs(changes, keys, ts)
     )
     nxt = F.lead(epoch_micros(ts)).over(w)
     out = changes.withColumn("valid_from_us", epoch_micros(ts)).withColumn(

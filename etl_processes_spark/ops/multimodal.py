@@ -248,10 +248,24 @@ def decode_png(b: bytes) -> np.ndarray | None:
         or (color == 3 and plte is None)
     ):
         return None
+    # Bound both the compressed input and the inflated output: a crafted
+    # tiny IDAT can inflate to gigabytes (zlib bomb), and the IHDR pixel cap
+    # alone does not bound decompress(). Expected inflated size is exactly
+    # h * (1 filter byte + w*nch); anything past that is malformed → None.
+    data = b"".join(idat)
+    expected = h * (1 + w * nch)
+    if len(data) > expected + (1 << 20):  # zlib never beats ~1000:1 on pixels
+        return None
     try:
-        raw = zlib.decompress(b"".join(idat))
+        dobj = zlib.decompressobj()
+        raw = dobj.decompress(data, expected + 1)
+        if len(raw) > expected or dobj.unconsumed_tail:
+            return None  # inflates past the scanline size → bomb/corrupt
+        raw += dobj.flush()
     except zlib.error:
         return None
+    if len(raw) != expected:
+        return None  # under- or over-sized stream → corrupt
     px = _png_unfilter(raw, w, h, nch)
     if px is None:
         return None

@@ -259,9 +259,15 @@ def embedding_near_dup_pairs(
             n = est  # safe direction: over-threshold routes to LSH
         else:
             n = corpus.count()
+    if (num_planes is None) != (bands is None):
+        raise ValueError(
+            "embedding_near_dup_pairs: num_planes and bands must be supplied "
+            "together (or both left None for auto geometry); got "
+            f"num_planes={num_planes!r}, bands={bands!r}"
+        )
     if n <= max_exact_rows:
         return _near_dup_exact_blocked(corpus, id_col, vec_col, threshold, ndigits)
-    if num_planes is None or bands is None:
+    if num_planes is None:
         num_planes, bands = _auto_lsh_geometry(n, threshold)
     return _near_dup_lsh(
         corpus, id_col, vec_col, threshold, ndigits, num_planes, bands, seed

@@ -243,9 +243,27 @@ def bloom_semi_filter(
                 acc |= np.frombuffer(buf, dtype=np.uint64)
             return pd.DataFrame({"w0": [int(pdf["w0"].iloc[0])], "bm": [acc.tobytes()]})
 
+        def or_chunks_salted(pdf):
+            out = or_chunks(pdf)
+            out["salt"] = pdf["salt"].iloc[0]
+            return out
+
+        # Two-level reduce: a single groupBy(w0) would hand ONE task every
+        # partition's chunk for that offset (10k partials × 1 MB = ~10 GB in
+        # one pandas group — the very cliff this route exists to avoid). The
+        # salted pre-reduce bounds any task's group to ceil(parts/fanout)
+        # chunks, and the final level sees at most `fanout` rows per offset.
+        try:
+            n_src_parts = keys.rdd.getNumPartitions()
+        except Exception:
+            n_src_parts = 200
+        fanout = max(2, int(np.ceil(np.sqrt(max(n_src_parts, 4)))))
         merged = (
             keys.select(key)
             .mapInPandas(build_chunked, schema="w0 long, bm binary")
+            .withColumn("salt", F.spark_partition_id() % fanout)
+            .groupBy("w0", "salt")
+            .applyInPandas(or_chunks_salted, schema="w0 long, bm binary, salt int")
             .groupBy("w0")
             .applyInPandas(or_chunks, schema="w0 long, bm binary")
             .collect()  # <= one bitmap's worth of chunks, regardless of partitions

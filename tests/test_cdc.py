@@ -107,3 +107,30 @@ def test_scd2_same_ts_tie_break_deterministic(spark):
     assert by_val["b"]["valid_to_us"] == by_val["a"]["valid_from_us"] == by_val["b"]["valid_from_us"]
     assert by_val["a"]["valid_to_us"] == by_val["c"]["valid_from_us"]
     assert by_val["c"]["is_current"]
+
+
+def test_tiebreak_tolerates_unorderable_columns(spark):
+    # a map-typed payload column must not fail the window sort with
+    # AnalysisException (ADVICE r5); determinism falls back to its json form
+    rows = [
+        (1, _ts(1), "a", {"x": 1}),
+        (1, _ts(1), "b", {"x": 2}),
+        (2, _ts(2), "c", None),
+    ]
+    df = spark.createDataFrame(
+        rows, "k long, ts timestamp, val string, payload map<string,int>"
+    )
+    snap = {r["k"]: r["val"] for r in latest_snapshot(df, "k", "ts").collect()}
+    assert snap == {1: "b", 2: "c"}  # orderable cols still break the tie
+    iv = scd2_intervals(df, "k", "ts").collect()
+    assert len(iv) == 3 and sum(r["is_current"] for r in iv) == 2
+
+    # rows identical EXCEPT the map: survivor still deterministic across
+    # partitionings (json-render tie-break)
+    rows2 = [(1, _ts(1), "same", {"m": i}) for i in range(4)]
+    df2 = spark.createDataFrame(
+        rows2, "k long, ts timestamp, val string, payload map<string,int>"
+    )
+    a = latest_snapshot(df2, "k", "ts").collect()
+    b = latest_snapshot(df2.repartition(5), "k", "ts").collect()
+    assert a == b and a[0]["payload"] == {"m": 3}

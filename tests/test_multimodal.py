@@ -343,3 +343,48 @@ def test_resize_handles_png_input():
     assert np.array_equal(
         resize_nn(decode_png(encode_png(img)), 8, 8), resize_nn(img, 8, 8)
     )
+
+def test_png_zlib_bomb_bounded():
+    """A tiny IDAT that inflates far past the scanline size must return None
+    WITHOUT materializing the inflated stream (ADVICE r5: 97KB -> ~215MB)."""
+    import resource
+    import struct
+    import zlib
+
+    from etl_processes_spark.ops.multimodal import decode_png
+
+    def chunk(ctype, body):
+        return (
+            struct.pack(">I", len(body)) + ctype + body
+            + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+        )
+
+    # header claims 10x10 RGB (expected inflate: 10*(1+30)=310 bytes) but the
+    # IDAT holds 256 MB of zeros (~255 KB compressed)
+    ihdr = struct.pack(">IIBBBBB", 10, 10, 8, 2, 0, 0, 0)
+    bomb = zlib.compress(b"\x00" * (256 << 20), 9)
+    assert len(bomb) < (1 << 20)
+    blob = (
+        b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", bomb) + chunk(b"IEND", b"")
+    )
+    before = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+    assert decode_png(blob) is None
+    after = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+    # peak RSS must not have grown by anywhere near the 256 MB payload
+    assert after - before < 64 << 10  # KB units on linux: < 64 MB growth
+
+    # an IDAT whose COMPRESSED size already exceeds any plausible pixel
+    # payload is rejected before inflating at all
+    huge_in = (
+        b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", b"\x00" * (2 << 20)) + chunk(b"IEND", b"")
+    )
+    assert decode_png(huge_in) is None
+
+    # under-sized stream (fewer bytes than the scanlines need) -> None
+    short = (
+        b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(b"\x00" * 100)) + chunk(b"IEND", b"")
+    )
+    assert decode_png(short) is None
