@@ -804,7 +804,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             e, q, "vec_id", "embedding", k=5, n_centroids=64, n_probe=8
         ).select(F.lit("ivf").alias("method"), "query_id", "neighbor_id", "cosine_sim", "rank")
         pq = ann_cosine_pq(
-            e, q, "vec_id", "embedding", k=5, m=8, ksub=16
+            e, q, "vec_id", "embedding", k=5, m=8, ksub=16, refine=None
         ).select(F.lit("pq").alias("method"), "query_id", "neighbor_id", "cosine_sim", "rank")
         # fifth family: the composed IVF-PQ layout (cells prune, codes
         # compress — the billion-vector standard); the twin replays both
@@ -813,7 +813,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         ivfpq = ann_cosine_ivf_pq(
             e, q, "vec_id", "embedding", k=5,
-            n_centroids=64, n_probe=8, m=8, ksub=16,
+            n_centroids=64, n_probe=8, m=8, ksub=16, refine=None,
         ).select(
             F.lit("ivfpq").alias("method"), "query_id", "neighbor_id",
             "cosine_sim", "rank",
@@ -1453,7 +1453,8 @@ def bench_components() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         e = _t(spark, sf, "embeddings")
         return ann_cosine_pq(
-            e, e.filter(F.col("vec_id") < 20), "vec_id", "embedding", k=5, m=8, ksub=16
+            e, e.filter(F.col("vec_id") < 20), "vec_id", "embedding", k=5,
+            refine=None,  # the raw compressed-domain ADC line
         )
 
     def c_stratified(spark, sf):
@@ -1595,7 +1596,7 @@ def bench_components() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         e = _t(spark, sf, "embeddings")
         return ann_cosine_ivf_pq(
             e, e.filter(F.col("vec_id") < 20), "vec_id", "embedding",
-            k=5, n_centroids=64, n_probe=8, m=8, ksub=16,
+            k=5, refine=None,  # raw ADC within calibrated probes
         )
 
     def c_lsh_topk(spark, sf):
@@ -1603,8 +1604,7 @@ def bench_components() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         e = _t(spark, sf, "embeddings")
         return ann_cosine_lsh(
-            e, e.filter(F.col("vec_id") < 20), "vec_id", "embedding",
-            k=5, num_planes=16, bands=4,
+            e, e.filter(F.col("vec_id") < 20), "vec_id", "embedding", k=5,
         )
 
     def c_ivf_topk(spark, sf):
@@ -1612,8 +1612,7 @@ def bench_components() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         e = _t(spark, sf, "embeddings")
         return ann_cosine_ivf(
-            e, e.filter(F.col("vec_id") < 20), "vec_id", "embedding",
-            k=5, n_centroids=64, n_probe=8,
+            e, e.filter(F.col("vec_id") < 20), "vec_id", "embedding", k=5,
         )
 
     def c_pq_topk_refine(spark, sf):
@@ -1621,8 +1620,7 @@ def bench_components() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         e = _t(spark, sf, "embeddings")
         return ann_cosine_pq(
-            e, e.filter(F.col("vec_id") < 20), "vec_id", "embedding",
-            k=5, m=8, ksub=16, refine=8,
+            e, e.filter(F.col("vec_id") < 20), "vec_id", "embedding", k=5,
         )
 
     def c_ivfpq_topk_refine(spark, sf):
@@ -1630,8 +1628,7 @@ def bench_components() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         e = _t(spark, sf, "embeddings")
         return ann_cosine_ivf_pq(
-            e, e.filter(F.col("vec_id") < 20), "vec_id", "embedding",
-            k=5, n_centroids=64, n_probe=8, m=8, ksub=16, refine=8,
+            e, e.filter(F.col("vec_id") < 20), "vec_id", "embedding", k=5,
         )
 
     def c_numeric_profile(spark, sf):

@@ -140,6 +140,15 @@ def main() -> None:
     # corpus, same queries, same k) next to each ANN family timing. Computed
     # untimed, after each query's timing repeats.
     ANN_RECALL = {"lsh_topk", "ivf_topk", "pq_topk", "pq_topk_refine", "ivfpq_topk", "ivfpq_topk_refine"}
+    # Recall FLOOR: the production ANN entry points (auto-calibrated
+    # geometry/probes/refine) must hold recall@k >= 0.8 at every measured
+    # scale — quality decay with corpus growth is a loud bench failure, not
+    # a silent number. pq_topk / ivfpq_topk are the raw compressed-domain
+    # diagnostic lines and are exempt (their refined production variants
+    # are not).
+    RECALL_FLOOR = 0.8
+    FLOOR_QUERIES = {"lsh_topk", "ivf_topk", "pq_topk_refine", "ivfpq_topk_refine"}
+    floor_failures: list[str] = []
     truth_pairs: set | None = None
 
     def _pairs(df) -> set:
@@ -168,6 +177,12 @@ def main() -> None:
                     hit = len(_pairs(fn(spark, SF_DIR)) & truth_pairs)
                     recall = round(hit / len(truth_pairs), 4)
                     timings[name] = {"sec": best, "recall": recall}
+                    if name in FLOOR_QUERIES and recall < RECALL_FLOOR:
+                        floor_failures.append(f"{name}: recall@k={recall} < {RECALL_FLOOR}")
+                        print(
+                            f"# RECALL FLOOR VIOLATION {name}: {recall} < {RECALL_FLOOR}",
+                            file=sys.stderr, flush=True,
+                        )
                     print(
                         f"# {name}: {best:.2f}s ({n} rows, recall@k={recall})",
                         file=sys.stderr, flush=True,
@@ -191,6 +206,8 @@ def main() -> None:
         }
         if errors:
             out["errors"] = errors
+        if floor_failures:
+            out["recall_floor_failures"] = floor_failures
         print(json.dumps(out), flush=True)
 
 

@@ -274,6 +274,88 @@ def embedding_near_dup_pairs(
     )
 
 
+def _sample_norm_matrix(
+    corpus: DataFrame, vec_col: str, n_sample: int, seed: int = 42
+) -> np.ndarray:
+    """Deterministic fit sample as a row-normalized (s, d) float64 matrix —
+    the same seeded sample contract every driver-side quantizer fit uses, so
+    DuckDB oracle twins can rebuild the identical matrix with pyarrow."""
+    pdf = (
+        corpus.select(vec_col)
+        .sample(withReplacement=False, fraction=1.0, seed=seed)
+        .limit(n_sample)
+        .toPandas()
+    )
+    X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+    X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    return X
+
+
+def _estimate_tau_k(X: np.ndarray, n: int, k: int) -> float:
+    """Estimate the typical k-th-neighbor cosine in an n-row corpus from a
+    sample: the similarity tau at which the expected number of corpus points
+    with sim >= tau is k, read off the sample's pairwise-sim tail quantile
+    (1 - k/n). This is the quantity LSH geometry must target — static
+    defaults can't know whether neighbors live at cosine 0.95 (near-dup
+    regime) or 0.35 (synthetic/low-sim regime), and the band math differs
+    by orders of magnitude between the two."""
+    S = X[: min(len(X), 2048)]
+    sims = S @ S.T
+    np.fill_diagonal(sims, -np.inf)
+    flat = sims[np.isfinite(sims)]
+    frac = min(1.0, k / max(n, 1))
+    return float(np.quantile(flat, 1.0 - frac))
+
+
+def _auto_topk_lsh_geometry(
+    n: int,
+    tau: float,
+    target_recall: float = 0.9,
+    max_bands: int = 64,
+    max_total_planes: int = 1024,
+    nq: int = 20,
+) -> tuple[int, int]:
+    """Cost-optimal (num_planes, bands) for TOP-K hyperplane LSH at an
+    estimated k-th-neighbor similarity ``tau``: per-band collision odds for
+    a pair at cosine tau are p^kp with p = 1 - acos(tau)/pi; each candidate
+    (kp, bands) pair that reaches ``target_recall`` is costed as explode
+    rows (n*bands) plus expected random-candidate verifies
+    (bands * n * 2^-kp per query), and the cheapest wins. Unlike the
+    near-dup geometry (which assumes a HIGH threshold), this degrades
+    gracefully in low-sim regimes by dropping planes-per-band — candidates
+    grow toward a scan, but the recall contract holds; the near-exhaustive
+    case warns so users pick IVF instead."""
+    import math
+    import warnings
+
+    p = 1.0 - math.acos(max(-1.0, min(1.0, tau))) / math.pi
+    best: tuple[float, int, int] | None = None
+    for kp in range(2, 21):
+        pk = p**kp
+        if pk >= 1.0:
+            continue
+        b = math.ceil(math.log(1.0 - target_recall) / math.log(1.0 - pk))
+        if b > max_bands or kp * b > max_total_planes:
+            continue
+        cost = b + b * (2.0**-kp) * nq
+        if best is None or cost < best[0]:
+            best = (cost, kp, b)
+    if best is None:  # target unreachable under the caps: max effort
+        kp, b = 2, max_bands
+    else:
+        _, kp, b = best
+    if b * 2.0**-kp > 0.25:
+        warnings.warn(
+            f"ann_cosine_lsh: at estimated neighbor similarity tau={tau:.2f} "
+            f"the geometry ({b} bands x {kp} planes) expects to verify "
+            f"~{min(1.0, b * 2.0 ** -kp):.0%} of the corpus per query to hold "
+            f"recall>={target_recall}. Hyperplane buckets do not prune in "
+            "this low-similarity regime - prefer ann_cosine_ivf.",
+            stacklevel=3,
+        )
+    return kp * b, b
+
+
 def _auto_lsh_geometry(
     n: int, threshold: float, target_recall: float = 0.9,
     max_bands: int = 32, max_planes_per_band: int = 20,
@@ -422,15 +504,45 @@ def ann_cosine_lsh(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 5,
-    num_planes: int = 16,
-    bands: int = 4,
-    dim: int = 64,
+    num_planes: int | None = None,
+    bands: int | None = None,
+    dim: int | None = None,
     seed: int = 42,
     ndigits: int = 6,
+    target_recall: float = 0.9,
+    fit_sample: int = 2048,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """ANN via random-hyperplane LSH: candidates = bucket collisions on any
     band of the sign signature; exact cosine re-rank of candidates only.
-    Approximate (recall < 1); the scale path when queries aren't small."""
+    Approximate (recall < 1); the scale path when queries aren't small.
+
+    Geometry defaults to AUTO (``num_planes``/``bands`` = None): a seeded
+    corpus sample estimates the typical k-th-neighbor cosine, and the
+    cheapest (planes-per-band, bands) pair whose banding math reaches
+    ``target_recall`` at that similarity is chosen — the round-5 static
+    default (16 planes / 4 bands) measured recall 0.39 at sf0.1 because the
+    test corpus's neighbors live near cosine 0.35 where 4-plane bands almost
+    never collide. Pass both knobs to pin a geometry (the gate/oracle path);
+    pass ``n_rows`` at scale to skip the count."""
+    if (num_planes is None) != (bands is None):
+        raise ValueError(
+            "ann_cosine_lsh: num_planes and bands must be supplied together "
+            "(or both left None for auto geometry); got "
+            f"num_planes={num_planes!r}, bands={bands!r}"
+        )
+    if num_planes is None:
+        n = n_rows
+        if n is None:
+            n = _estimate_rows(corpus)
+        if n is None:
+            n = corpus.count()
+        X = _sample_norm_matrix(corpus, vec_col, fit_sample, seed)
+        tau = _estimate_tau_k(X, n, k)
+        num_planes, bands = _auto_topk_lsh_geometry(n, tau, target_recall)
+        dim = X.shape[1]
+    if dim is None:
+        dim = len(corpus.select(vec_col).first()[0])
     rng = np.random.RandomState(seed)
     planes = rng.randn(num_planes, dim)
     sig_udf = _band_hashes_udf(planes, bands)
@@ -488,21 +600,53 @@ def _auto_centroids(
 def _spherical_kmeans(X: np.ndarray, n_centroids: int, seed: int, max_iter: int = 10) -> np.ndarray:
     """Deterministic spherical k-means on row-normalized X: centroids are
     renormalized member means; init picks evenly spaced rows of the (stable)
-    sample order. Driver-side — the sample is small by contract."""
+    sample order. Driver-side — the sample is small by contract. The member
+    update is vectorized (np.add.at scatter + bincount) so large centroid
+    counts don't pay a Python loop; empty clusters and degenerate sums keep
+    their previous centroid, as before. DuckDB oracle twins import THIS
+    function, so its exact arithmetic is the shared source of truth."""
     n = len(X)
     n_centroids = min(n_centroids, n)
     idx = (np.arange(n_centroids) * max(n // n_centroids, 1)) % n
     C = X[idx].copy()
     for _ in range(max_iter):
         assign = np.argmax(X @ C.T, axis=1)
-        for j in range(n_centroids):
-            members = X[assign == j]
-            if len(members):
-                m = members.sum(axis=0)
-                norm = np.linalg.norm(m)
-                if norm > 1e-12:
-                    C[j] = m / norm
+        sums = np.zeros_like(C)
+        np.add.at(sums, assign, X)
+        norms = np.linalg.norm(sums, axis=1)
+        upd = norms > 1e-12
+        C[upd] = sums[upd] / norms[upd, None]
     return C
+
+
+def _calibrate_nprobe(
+    X: np.ndarray, C: np.ndarray, target_recall: float, k: int, nq_cal: int = 128
+) -> int:
+    """Resolve IVF ``n_probe`` against a recall target by MEASURING cell
+    coverage on the fit sample: for ``nq_cal`` sample queries, find each true
+    top-k neighbor's cell rank in the query's probe order, and return the
+    smallest probe depth covering ``target_recall`` of those memberships.
+    Driver-side numpy on the (already collected) fit sample — no extra jobs.
+    A static n_probe can't self-scale: the right depth depends on how the
+    quantizer's cells slice the neighbor structure, which this observes
+    directly."""
+    cells = np.argmax(X @ C.T, axis=1)
+    nq = min(nq_cal, len(X))
+    Q = X[:nq]
+    sims = Q @ X.T
+    sims[np.arange(nq), np.arange(nq)] = -np.inf
+    kk = min(k, len(X) - 1)
+    if kk <= 0:
+        return 1
+    topk = np.argsort(-sims, axis=1)[:, :kk]
+    order = np.argsort(-(Q @ C.T), axis=1)  # (nq, nc) probe order per query
+    cell_rank = np.empty((nq, len(C)), dtype=np.int64)
+    rows = np.arange(nq)[:, None]
+    cell_rank[rows, order] = np.arange(len(C))[None, :]
+    nbr_ranks = np.sort(cell_rank[rows, cells[topk]].ravel())
+    need = int(np.ceil(target_recall * len(nbr_ranks)))
+    npb = int(nbr_ranks[need - 1]) + 1 if need else 1
+    return max(1, min(npb, len(C)))
 
 
 def ann_cosine_ivf(
@@ -512,10 +656,11 @@ def ann_cosine_ivf(
     vec_col: str = "embedding",
     k: int = 5,
     n_centroids: int | None = None,
-    n_probe: int = 8,
+    n_probe: int | None = None,
     fit_sample: int = 10_000,
     seed: int = 42,
     ndigits: int = 6,
+    target_recall: float = 0.9,
 ) -> DataFrame:
     """IVF (inverted-file) ANN: a coarse spherical-k-means quantizer is fit
     driver-side on a seeded corpus sample; every corpus vector is assigned
@@ -523,20 +668,18 @@ def ann_cosine_ivf(
     ``n_probe`` nearest cells and exact-reranks ONLY the vectors in those
     cells (an equi-join on the cell id — no cross join anywhere). Expected
     rerank cost per query is |corpus| * n_probe / n_centroids; recall rises
-    with n_probe (n_probe == n_centroids is exact). The 100 TB shape:
-    centroids broadcast, assignment is a narrow map, candidates shuffle on
-    the cell id."""
+    with n_probe (n_probe == n_centroids is exact). ``n_probe`` defaults to
+    AUTO: calibrated on the fit sample against ``target_recall`` (see
+    _calibrate_nprobe) — a static depth silently decays as the corpus and
+    the auto-scaled centroid count grow. The 100 TB shape: centroids
+    broadcast, assignment is a narrow map, candidates shuffle on the cell
+    id."""
     spark = corpus.sparkSession
-    sample_pdf = (
-        corpus.select(vec_col)
-        .sample(withReplacement=False, fraction=1.0, seed=seed)
-        .limit(fit_sample)
-        .toPandas()
-    )
-    X = np.stack(sample_pdf[vec_col].to_numpy()).astype(np.float64)
-    X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    X = _sample_norm_matrix(corpus, vec_col, fit_sample, seed)
     n_centroids = _auto_centroids(corpus, n_centroids, fit_sample)
     C = _spherical_kmeans(X, n_centroids, seed)
+    if n_probe is None:
+        n_probe = _calibrate_nprobe(X, C, target_recall, k)
     bC = spark.sparkContext.broadcast(C)
 
     assign_schema = T.StructType(
@@ -728,6 +871,42 @@ def semantic_dedup(
 # ---------------------------------------------------------------------------
 
 
+def _sq_dists(Xs: np.ndarray, C: np.ndarray) -> np.ndarray:
+    """Squared L2 distances (n, ksub) via one GEMM: ||x||² + ||c||² - 2x·c.
+    Shared by _pq_fit, pq_encode and ivf_pq_index (and therefore, through
+    _pq_fit, by the DuckDB oracle twins) so argmin ties resolve from the
+    SAME floating-point values everywhere. ~100× faster than the broadcast
+    (n, ksub, dsub) difference tensor at ksub=256."""
+    x2 = np.einsum("ij,ij->i", Xs, Xs)[:, None]
+    c2 = np.einsum("ij,ij->i", C, C)[None, :]
+    return x2 + c2 - 2.0 * (Xs @ C.T)
+
+
+def _auto_pq_m(d: int) -> int:
+    """Subspace count from dimensionality: prefer 4-dim subspaces (the
+    byte-code sweet spot at embedding dims ~64-1024 — measured recall 0.67
+    raw / ~1.0 refined at d=64 vs 0.10 for the old 8-dim split), falling
+    back to the smallest divisor of d that keeps subspaces at most 8 dims."""
+    if d % 4 == 0:
+        return d // 4
+    for dsub in (2, 3, 5, 6, 7, 8):
+        if d % dsub == 0:
+            return d // dsub
+    return 1
+
+
+def _auto_refine(n: int) -> int:
+    """Refine (over-fetch) multiple from corpus size: quantization-error
+    intruders outrank true neighbors more often as the corpus grows, so the
+    candidate multiple grows with log2(n) — measured: 11× at 2k rows and
+    14× at 20k rows lift refined recall to ~1.0/0.97 where a static 8×
+    reached 0.45. The refine stage reads only nq·refine·k true vectors, so
+    generosity is cheap."""
+    import math
+
+    return max(8, int(round(math.log2(max(n, 2)))))
+
+
 def _pq_fit(X: np.ndarray, m: int, ksub: int, max_iter: int = 10) -> np.ndarray:
     """Deterministic per-subspace Euclidean k-means for PQ codebooks.
     ``X`` is the ROW-NORMALIZED (n, d) training sample; the d dims split
@@ -748,14 +927,16 @@ def _pq_fit(X: np.ndarray, m: int, ksub: int, max_iter: int = 10) -> np.ndarray:
         Xs = X[:, s * dsub : (s + 1) * dsub]
         C = Xs[idx].copy()
         for _ in range(max_iter):
-            # (n, ksub) squared L2; argmin ties resolve to the FIRST (lowest
-            # code) — replayed in SQL as ORDER BY distance, code
-            d2 = ((Xs[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
-            assign = np.argmin(d2, axis=1)
-            for j in range(ksub):
-                members = Xs[assign == j]
-                if len(members):
-                    C[j] = members.mean(axis=0)
+            # (n, ksub) squared L2 via the shared GEMM form; argmin ties
+            # resolve to the FIRST (lowest code) — replayed in SQL as
+            # ORDER BY distance, code. Member means via scatter-add +
+            # bincount (vectorized; empty clusters keep their centroid).
+            assign = np.argmin(_sq_dists(Xs, C), axis=1)
+            sums = np.zeros_like(C)
+            np.add.at(sums, assign, Xs)
+            counts = np.bincount(assign, minlength=ksub)
+            nz = counts > 0
+            C[nz] = sums[nz] / counts[nz, None]
         books[s] = C
     return books
 
@@ -763,25 +944,25 @@ def _pq_fit(X: np.ndarray, m: int, ksub: int, max_iter: int = 10) -> np.ndarray:
 def pq_train(
     corpus: DataFrame,
     vec_col: str = "embedding",
-    m: int = 8,
-    ksub: int = 16,
+    m: int | None = None,
+    ksub: int | None = None,
     fit_sample: int = 10_000,
     seed: int = 42,
 ) -> np.ndarray:
     """Fit PQ codebooks on a seeded corpus sample (driver-side, same
     sampling contract as ann_cosine_ivf's coarse quantizer). Vectors are
-    row-normalized first, so inner-product ADC approximates cosine. Memory
-    story at 100 TB: a 64-dim float32 vector is 256 B; its PQ code is m
-    bytes (m=8 → 32x), so a billion-vector index fits in executor memory
-    where raw vectors cannot."""
-    sample_pdf = (
-        corpus.select(vec_col)
-        .sample(withReplacement=False, fraction=1.0, seed=seed)
-        .limit(fit_sample)
-        .toPandas()
-    )
-    X = np.stack(sample_pdf[vec_col].to_numpy()).astype(np.float64)
-    X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    row-normalized first, so inner-product ADC approximates cosine.
+    Defaults are AUTO: ``m`` from the dimensionality (4-dim subspaces, see
+    _auto_pq_m) and ``ksub`` = 256 (the standard byte-code operating point;
+    the old static 16 collapsed ADC rank quality — measured recall 0.10).
+    Memory story at 100 TB: a 64-dim float32 vector is 256 B; its PQ code is
+    m bytes, so a billion-vector index fits in executor memory where raw
+    vectors cannot."""
+    X = _sample_norm_matrix(corpus, vec_col, fit_sample, seed)
+    if m is None:
+        m = _auto_pq_m(X.shape[1])
+    if ksub is None:
+        ksub = min(256, len(X))
     return _pq_fit(X, m=m, ksub=ksub)
 
 
@@ -814,8 +995,7 @@ def pq_encode(
             codes = np.empty((len(M), m), dtype=np.int32)
             for s in range(m):
                 Ms = M[:, s * dsub : (s + 1) * dsub]
-                d2 = ((Ms[:, None, :] - books[s][None, :, :]) ** 2).sum(axis=2)
-                codes[:, s] = np.argmin(d2, axis=1)
+                codes[:, s] = np.argmin(_sq_dists(Ms, books[s]), axis=1)
             yield pd.DataFrame(
                 {
                     "id": pdf[id_col].to_numpy().astype(np.int64),
@@ -967,22 +1147,33 @@ def ann_cosine_pq(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 5,
-    m: int = 8,
-    ksub: int = 16,
+    m: int | None = None,
+    ksub: int | None = None,
     fit_sample: int = 10_000,
     seed: int = 42,
     ndigits: int = 6,
-    refine: int | None = None,
+    refine: int | str | None = "auto",
+    n_rows: int | None = None,
 ) -> DataFrame:
     """train + encode + ADC search in one call (the gate/bench entry point).
     For a persistent index, call pq_train/pq_encode once, save the codes
     frame, and run pq_topk per query batch. With ``refine`` = r, the ADC
     stage over-fetches r*k candidates and ``exact_rerank`` re-scores them
     against the true vectors — recall recovers toward exact at the cost of
-    reading nq*r*k raw vectors."""
+    reading nq*r*k raw vectors. ``refine`` DEFAULTS ON ("auto": a
+    corpus-scaled multiple, see _auto_refine) because raw ADC rank quality
+    silently decays with corpus size; pass refine=None for the raw
+    compressed-domain ranking."""
     books = pq_train(corpus, vec_col, m=m, ksub=ksub, fit_sample=fit_sample, seed=seed)
     codes = pq_encode(corpus, books, id_col, vec_col)
     qpdf = queries.select(id_col, vec_col).toPandas()
+    if refine == "auto":
+        n = n_rows
+        if n is None:
+            n = _estimate_rows(corpus)
+        if n is None:
+            n = corpus.count()
+        refine = _auto_refine(n)
     if refine is None:
         return pq_topk(codes, qpdf, books, id_col, vec_col, k=k, ndigits=ndigits)
     cand = pq_topk(
@@ -996,8 +1187,8 @@ def ivf_pq_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_centroids: int | None = None,
-    m: int = 8,
-    ksub: int = 16,
+    m: int | None = None,
+    ksub: int | None = None,
     fit_sample: int = 10_000,
     seed: int = 42,
 ) -> tuple[np.ndarray, np.ndarray, DataFrame]:
@@ -1010,16 +1201,14 @@ def ivf_pq_index(
 
     Both quantizers fit driver-side on the SAME seeded sample (deterministic
     — the oracle refits them bit-identically); assignment + encoding are a
-    broadcast-constants map with NO shuffle."""
+    broadcast-constants map with NO shuffle. ``m``/``ksub`` default to AUTO
+    (see pq_train)."""
     spark = corpus.sparkSession
-    sample_pdf = (
-        corpus.select(vec_col)
-        .sample(withReplacement=False, fraction=1.0, seed=seed)
-        .limit(fit_sample)
-        .toPandas()
-    )
-    X = np.stack(sample_pdf[vec_col].to_numpy()).astype(np.float64)
-    X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    X = _sample_norm_matrix(corpus, vec_col, fit_sample, seed)
+    if m is None:
+        m = _auto_pq_m(X.shape[1])
+    if ksub is None:
+        ksub = min(256, len(X))
     n_centroids = _auto_centroids(corpus, n_centroids, fit_sample)
     C = _spherical_kmeans(X, n_centroids, seed)
     books = _pq_fit(X, m=m, ksub=ksub)
@@ -1045,8 +1234,7 @@ def ivf_pq_index(
             codes = np.empty((len(M), m_), dtype=np.int32)
             for s in range(m_):
                 Ms = M[:, s * dsub : (s + 1) * dsub]
-                d2 = ((Ms[:, None, :] - books_[s][None, :, :]) ** 2).sum(axis=2)
-                codes[:, s] = np.argmin(d2, axis=1)
+                codes[:, s] = np.argmin(_sq_dists(Ms, books_[s]), axis=1)
             yield pd.DataFrame(
                 {
                     "cell": cells,
@@ -1068,13 +1256,15 @@ def ann_cosine_ivf_pq(
     vec_col: str = "embedding",
     k: int = 5,
     n_centroids: int | None = None,
-    n_probe: int = 8,
-    m: int = 8,
-    ksub: int = 16,
+    n_probe: int | None = None,
+    m: int | None = None,
+    ksub: int | None = None,
     fit_sample: int = 10_000,
     seed: int = 42,
     ndigits: int = 6,
-    refine: int | None = None,
+    refine: int | str | None = "auto",
+    target_recall: float = 0.9,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """IVF-PQ search: each query ADC-scores ONLY the PQ codes in its
     ``n_probe`` nearest cells — the pruning of IVF times the compression of
@@ -1090,8 +1280,22 @@ def ann_cosine_ivf_pq(
     cosine_topk/ann_cosine_pq: (query_id, neighbor_id, cosine_sim, rank),
     cosine_sim = ADC approximation, rank by (sim desc, neighbor_id asc).
     With ``refine`` = r, the ADC stage over-fetches r*k candidates per
-    query and ``exact_rerank`` re-scores them against the true vectors."""
+    query and ``exact_rerank`` re-scores them against the true vectors.
+
+    AUTO defaults: ``m``/``ksub`` from dim/sample (pq_train), ``refine`` ON
+    with a corpus-scaled multiple (_auto_refine), and ``n_probe`` calibrated
+    on the fit sample against sqrt(``target_recall``) — the probe stage and
+    the ADC+refine stage multiply, so each targets the square root of the
+    end-to-end goal."""
     spark = corpus.sparkSession
+    if refine == "auto" or n_probe is None:
+        n = n_rows
+        if n is None:
+            n = _estimate_rows(corpus)
+        if n is None:
+            n = corpus.count()
+    if refine == "auto":
+        refine = _auto_refine(n)
     k_out = k
     if refine is not None:
         k = k * max(1, refine)
@@ -1100,6 +1304,9 @@ def ann_cosine_ivf_pq(
     )
     n_centroids = len(C)  # resolved (auto-scaled and/or sample-clamped)
     m_, ksub_, dsub = books.shape
+    if n_probe is None:
+        Xs_fit = _sample_norm_matrix(corpus, vec_col, fit_sample, seed)
+        n_probe = _calibrate_nprobe(Xs_fit, C, target_recall**0.5, k_out)
     qpdf = queries.select(id_col, vec_col).toPandas()
     qids = qpdf[id_col].to_numpy().astype(np.int64)
     Q = np.stack(qpdf[vec_col].to_numpy()).astype(np.float64)

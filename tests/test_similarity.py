@@ -332,7 +332,9 @@ def test_pq_refine_improves_recall(spark, sf_dir):
     pairs = lambda df: {(r["query_id"], r["neighbor_id"]) for r in df.collect()}
     truth = pairs(cosine_topk_fast(e, q, "vec_id", "embedding", k=5))
 
-    plain = pairs(ann_cosine_pq(e, q, "vec_id", "embedding", k=5, m=8, ksub=16))
+    plain = pairs(
+        ann_cosine_pq(e, q, "vec_id", "embedding", k=5, m=8, ksub=16, refine=None)
+    )
     ref = pairs(ann_cosine_pq(e, q, "vec_id", "embedding", k=5, m=8, ksub=16, refine=8))
     assert len(ref & truth) >= len(plain & truth)  # refine never hurts recall
     assert len(ref & truth) / len(truth) >= 0.5    # and actually recovers
@@ -373,3 +375,109 @@ def test_near_dup_lsh_auto_params_still_finds_planted(emb):
     df, _ = emb
     res = embedding_near_dup_pairs(df, threshold=0.9, max_exact_rows=0).collect()
     assert any((r["id_a"], r["id_b"]) == (3, 7) for r in res)
+
+
+def test_auto_topk_lsh_geometry_adapts_to_similarity_regime():
+    import warnings
+
+    from etl_processes_spark.ops.similarity import _auto_topk_lsh_geometry
+
+    # high-similarity neighbors (near-dup regime): deep bands, few needed
+    planes_hi, bands_hi = _auto_topk_lsh_geometry(100_000, 0.92)
+    kp_hi = planes_hi // bands_hi
+    # low-similarity neighbors (the synthetic-embedding regime): shallow
+    # bands, more of them — and a loud warning that buckets barely prune
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        planes_lo, bands_lo = _auto_topk_lsh_geometry(2_000, 0.34)
+    kp_lo = planes_lo // bands_lo
+    assert kp_hi > kp_lo  # geometry follows the similarity regime
+    assert any("ann_cosine_ivf" in str(x.message) for x in w)
+    # both geometries' banding math reaches the 0.9 default target
+    import math
+
+    for tau, kp, b in [(0.92, kp_hi, bands_hi), (0.34, kp_lo, bands_lo)]:
+        p = 1 - math.acos(tau) / math.pi
+        assert 1 - (1 - p**kp) ** b >= 0.9 - 1e-9
+
+
+def test_estimate_tau_k_matches_planted_tail():
+    from etl_processes_spark.ops.similarity import _estimate_tau_k
+
+    rng = np.random.RandomState(0)
+    X = rng.randn(1000, 32)
+    X /= np.linalg.norm(X, axis=1, keepdims=True)
+    tau = _estimate_tau_k(X, n=1000, k=5)
+    # for random unit vectors the k/n tail of pair sims is well above the
+    # mean (0) and below any near-dup level
+    assert 0.2 < tau < 0.9
+
+
+def test_calibrate_nprobe_full_and_partial():
+    from etl_processes_spark.ops.similarity import (
+        _calibrate_nprobe,
+        _spherical_kmeans,
+    )
+
+    rng = np.random.RandomState(1)
+    # 4 tight clusters: neighbors share cells, so 1 probe suffices
+    centers = rng.randn(4, 16) * 10
+    X = np.concatenate([centers[i % 4] + rng.randn(1, 16) * 0.05 for i in range(200)])
+    X /= np.linalg.norm(X, axis=1, keepdims=True)
+    C = _spherical_kmeans(X, 4, seed=42)
+    assert _calibrate_nprobe(X, C, 0.9, k=3) == 1
+    # target 1.0 never exceeds the number of cells
+    assert _calibrate_nprobe(X, C, 1.0, k=3) <= 4
+
+
+def test_ann_lsh_auto_geometry_recall(spark, sf_dir):
+    """Default (auto) geometry must recover >=0.8 of exact top-5 on the
+    real test corpus — the round-5 static default measured 0.39."""
+    from pyspark.sql import functions as F
+
+    from etl_processes_spark.ops.similarity import ann_cosine_lsh, cosine_topk_fast
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = e.filter(F.col("vec_id") < 10)
+    pairs = lambda df: {(r["query_id"], r["neighbor_id"]) for r in df.collect()}
+    truth = pairs(cosine_topk_fast(e, q, "vec_id", "embedding", k=5))
+    got = pairs(ann_cosine_lsh(e, q, "vec_id", "embedding", k=5))
+    assert len(got & truth) / len(truth) >= 0.8
+
+
+def test_ann_half_supplied_lsh_knobs_raise(spark, emb):
+    from etl_processes_spark.ops.similarity import ann_cosine_lsh
+
+    df, _ = emb
+    with pytest.raises(ValueError, match="num_planes and bands"):
+        ann_cosine_lsh(df, df.filter("vec_id < 2"), bands=4)
+
+
+def test_pq_auto_params_and_default_refine_recall(spark, sf_dir):
+    """Full-default PQ (auto m/ksub, refine on) must land >=0.8 recall on
+    the real corpus where the old static m=8/ksub=16 raw ADC measured 0.10."""
+    from pyspark.sql import functions as F
+
+    from etl_processes_spark.ops.similarity import (
+        ann_cosine_ivf,
+        ann_cosine_ivf_pq,
+        ann_cosine_pq,
+        cosine_topk_fast,
+    )
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = e.filter(F.col("vec_id") < 10)
+    pairs = lambda df: {(r["query_id"], r["neighbor_id"]) for r in df.collect()}
+    truth = pairs(cosine_topk_fast(e, q, "vec_id", "embedding", k=5))
+    for fn in (ann_cosine_pq, ann_cosine_ivf, ann_cosine_ivf_pq):
+        got = pairs(fn(e, q, "vec_id", "embedding", k=5))
+        assert len(got & truth) / len(truth) >= 0.8, fn.__name__
+
+
+def test_auto_pq_m_prefers_4dim_subspaces():
+    from etl_processes_spark.ops.similarity import _auto_pq_m
+
+    assert _auto_pq_m(64) == 16
+    assert _auto_pq_m(768) == 192
+    assert _auto_pq_m(6) == 3    # falls back to 2-dim subspaces
+    assert _auto_pq_m(7) == 1    # prime, <=8: single subspace

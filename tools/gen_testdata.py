@@ -6,8 +6,12 @@ measurements need locally grown data with the SAME schemas and value
 distributions (profiled from /root/testdata/sf0.1: vocabularies, category
 shares, ranges, dup rates).
 
-Usage: python tools/gen_testdata.py SF OUTDIR [SEED]
+Usage: python tools/gen_testdata.py SF OUTDIR [SEED] [--fixed-vocab]
 e.g.   python tools/gen_testdata.py 1.0 /root/repo/testdata_sf1
+--fixed-vocab regenerates the adversarial 31-token document corpus (every
+shingle's df grows linearly with corpus size — the documented dedup stress
+case); the default documents table draws Zipf(1.07) over a vocabulary that
+scales with the corpus, the realistic dedup-measurement regime.
 
 Row counts scale linearly from the driver's sf0.1 shape:
 lineitem 6M, orders 1.5M, customer 150k, part 200k, supplier 10k,
@@ -52,7 +56,7 @@ def _ts_us(days_from_epoch_us: np.ndarray) -> pa.Array:
     return pa.array(days_from_epoch_us.astype("int64"), type=pa.timestamp("us"))
 
 
-def generate(sf: float, outdir: str, seed: int = 42) -> None:
+def generate(sf: float, outdir: str, seed: int = 42, doc_vocab: str = "zipf") -> None:
     os.makedirs(outdir, exist_ok=True)
     rng = np.random.RandomState(seed)
     n_li = int(6_000_000 * sf)
@@ -147,20 +151,54 @@ def generate(sf: float, outdir: str, seed: int = 42) -> None:
         "props": pa.array([f'{{"k": {v}}}' for v in k]),
     }))
 
-    # -- documents (31-token soup, ~0.2% exact dups) ------------------------
-    vocab = np.array(VOCAB)
+    # -- documents ----------------------------------------------------------
+    # Default corpus is REALISTIC for dedup measurement: a Zipf(1.07) draw
+    # over a vocabulary that grows with scale (~0.4 words per document,
+    # floor 1000), so shingle document-frequency stays roughly flat as the
+    # corpus grows — like a real crawl, where new text brings new types.
+    # The round-5 fixed-31-token corpus made shingle df grow LINEARLY with
+    # corpus size, so sf1 Jaccard/cluster timings measured the adversarial
+    # sum-df^2 cap regime instead of the expected one (VERDICT r5). That
+    # corpus remains available as an explicit stress case (doc_vocab="fixed31").
+    if doc_vocab == "fixed31":
+        vocab = np.array(VOCAB)
+        probs = None
+    else:
+        v_size = max(1000, int(20_000 * sf))
+        vocab = np.array(VOCAB + [f"w{i}" for i in range(v_size - len(VOCAB))])
+        ranks = np.arange(1, len(vocab) + 1, dtype=np.float64)
+        probs = ranks**-1.07
+        probs /= probs.sum()
     lens = rng.randint(10, 101, n_doc)
-    tok_ids = rng.randint(0, len(vocab), int(lens.sum()))
+    n_tok = int(lens.sum())
+    if probs is None:
+        tok_ids = rng.randint(0, len(vocab), n_tok)
+    else:
+        tok_ids = np.searchsorted(np.cumsum(probs), rng.rand(n_tok)).clip(
+            0, len(vocab) - 1
+        )
     texts: list[str] = []
     pos = 0
     for ln in lens:
         texts.append(" ".join(vocab[tok_ids[pos : pos + ln]]))
         pos += ln
+    # controlled duplication: ~0.17% exact copies + ~0.25% near-duplicates
+    # (random doc with ~5% of tokens swapped) so dedup operators have known
+    # positives at every scale
     n_dup = max(1, n_doc // 600)
     dup_to = rng.randint(0, n_doc, n_dup)
     dup_from = rng.randint(0, n_doc, n_dup)
     for a, b in zip(dup_to, dup_from):
         texts[a] = texts[b]
+    n_near = max(1, n_doc // 400)
+    near_to = rng.randint(0, n_doc, n_near)
+    near_from = rng.randint(0, n_doc, n_near)
+    for a, b in zip(near_to, near_from):
+        toks = texts[b].split(" ")
+        n_swap = max(1, len(toks) // 20)
+        for j in rng.randint(0, len(toks), n_swap):
+            toks[j] = str(vocab[rng.randint(0, len(vocab))])
+        texts[a] = " ".join(toks)
     _write(outdir, "documents", pa.table({
         "doc_id": pa.array(np.arange(n_doc)),
         "text": pa.array(texts),
@@ -183,11 +221,13 @@ def generate(sf: float, outdir: str, seed: int = 42) -> None:
 
 
 if __name__ == "__main__":
-    sf = float(sys.argv[1]) if len(sys.argv) > 1 else 1.0
-    outdir = sys.argv[2] if len(sys.argv) > 2 else f"/root/repo/testdata_sf{sf:g}"
-    seed = int(sys.argv[3]) if len(sys.argv) > 3 else 42
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    doc_vocab = "fixed31" if "--fixed-vocab" in sys.argv else "zipf"
+    sf = float(args[0]) if args else 1.0
+    outdir = args[1] if len(args) > 1 else f"/root/repo/testdata_sf{sf:g}"
+    seed = int(args[2]) if len(args) > 2 else 42
     assert not os.path.realpath(outdir).startswith("/root/testdata"), \
         "driver testdata is read-only"
-    print(f"generating sf={sf} -> {outdir} (seed={seed})", flush=True)
-    generate(sf, outdir, seed)
+    print(f"generating sf={sf} -> {outdir} (seed={seed}, docs={doc_vocab})", flush=True)
+    generate(sf, outdir, seed, doc_vocab=doc_vocab)
     print("done", flush=True)
