@@ -1646,6 +1646,31 @@ def bench_components() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the certified gate workload (exact-DECIMAL power sums, 2 columns)
         return queries()["numeric_profile"](spark, sf)
 
+    def c_e2e_profile_generate(spark, sf):
+        # END-TO-END composition line: the reference's whole main() at SF
+        # scale — infer + profile every orders column, synthesize 10k rows,
+        # validate the round-trip. Per-operator lines hide the composed
+        # job-count cost; this one shows it.
+        from etl_processes_spark.pipeline import run_reference_pipeline
+
+        synth, _, _ = run_reference_pipeline(
+            spark, f"{sf}/orders.parquet", n_samples=10_000, seed=7
+        )
+        return synth
+
+    def c_e2e_training_pipeline(spark, sf):
+        # END-TO-END composition line: the LLM training-data assembly flow
+        # (dedup clusters -> PII scrub -> lang/quality scoring -> filter ->
+        # token packing) over the documents table.
+        from etl_processes_spark.pipeline import run_training_data_pipeline
+
+        d = _t(spark, sf, "documents")
+        return run_training_data_pipeline(
+            spark, d, min_quality=0.0, langs=("en", "zh", "es", "fr", "de"),
+            pack_budget=2048, near_dup_threshold=0.5, max_df=500,
+            scrub_pii=True,
+        )
+
     return {
         "ngram_jaccard_pairs": c_ngram,
         "minhash_lsh_pairs": c_minhash,
@@ -1675,6 +1700,8 @@ def bench_components() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivfpq_topk_refine": c_ivfpq_topk_refine,
         "numeric_profile": c_numeric_profile,
         "numeric_profile_exact": c_numeric_profile_exact,
+        "e2e_profile_generate": c_e2e_profile_generate,
+        "e2e_training_pipeline": c_e2e_training_pipeline,
     }
 
 

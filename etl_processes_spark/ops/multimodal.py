@@ -412,12 +412,12 @@ def _audio_features(wave: np.ndarray, rate: int, dim: int) -> np.ndarray:
 
 
 def real_feature_kernel(content: bytes | None, dim: int = 16) -> np.ndarray:
-    """REAL decode → feature-extract for BMP / PPM / PNG / WAV-PCM16,
-    satisfying the pinned kernel contract: (dim,) float64, deterministic,
-    None-safe, zero vector for undecodable bytes. jpeg/mp4 remain out of
-    scope in this container — swap in a PIL/ffmpeg kernel on a cluster
-    that has them; the Spark plumbing (extract_features) is unchanged
-    either way."""
+    """REAL decode → feature-extract for BMP / PPM / PNG / baseline JPEG /
+    WAV-PCM16, satisfying the pinned kernel contract: (dim,) float64,
+    deterministic, None-safe, zero vector for undecodable bytes.
+    Progressive JPEG and mp4 remain out of scope in this container — swap
+    in a PIL/ffmpeg kernel on a cluster that has them; the Spark plumbing
+    (extract_features) is unchanged either way."""
     if content is None:
         return np.zeros(dim)
     b = bytes(content)
@@ -426,6 +426,12 @@ def real_feature_kernel(content: bytes | None, dim: int = 16) -> np.ndarray:
         img = decode_ppm(b)
     if img is None:
         img = decode_png(b)
+    if img is None and len(b) > 3 and b[:3] == b"\xff\xd8\xff":
+        from etl_processes_spark.ops.jpeg import decode_jpeg_baseline
+
+        img = decode_jpeg_baseline(b)
+        if img is not None and img.ndim == 2:
+            img = img[:, :, None].repeat(3, axis=2)
     if img is not None:
         return _image_features(img, dim)
     au = decode_wav_pcm16(b)
