@@ -76,7 +76,12 @@ def _dt_parseable(v: str) -> bool:
     return False
 
 
-def twin_detect_type(series: pd.Series) -> str:
+def twin_detect_type(series: pd.Series, probe_rows: int | None = None) -> str:
+    """``probe_rows`` mirrors the engine's probe mode (reference head(100),
+    Latanova_v1.py:72,79,163): the regex/parse-heavy ratios (email/phone/
+    datetime) are computed over the first ``probe_rows`` rows only, while
+    counts/cardinalities/numeric ratios stay full-column — exactly the
+    split inference_metrics makes."""
     s = series.dropna()
     if len(s) == 0:
         return "unknown"
@@ -86,13 +91,14 @@ def twin_detect_type(series: pd.Series) -> str:
     if len(ul) <= 3 and set(ul) <= BOOL_VOCAB:
         return "boolean"
     sv = _strip(s)
+    pv = sv if probe_rows is None else _strip(series.head(probe_rows).dropna())
     email = (
-        sv.str.contains("@", regex=False)
-        & sv.str.split("@").str[-1].str.contains(".", regex=False)
+        pv.str.contains("@", regex=False)
+        & pv.str.split("@").str[-1].str.contains(".", regex=False)
     ).mean()
     if email > 0.7:
         return "email"
-    dlen = sv.str.replace(r"\D", "", regex=True).str.len()
+    dlen = pv.str.replace(r"\D", "", regex=True).str.len()
     if ((dlen >= 7) & (dlen <= 15)).mean() > 0.7:
         return "phone"
     if pd.api.types.is_numeric_dtype(series):
@@ -106,7 +112,8 @@ def twin_detect_type(series: pd.Series) -> str:
         return "integer" if intr >= 0.95 else "float"
     if pd.api.types.is_datetime64_any_dtype(series):
         return "datetime"
-    if float(sv.map(_dt_parseable).mean()) >= 0.8:
+    dt_ratio = float(pv.map(_dt_parseable).mean()) if len(pv) else float("nan")
+    if dt_ratio >= 0.8:
         return "datetime"
     uq = sv.nunique()
     if uq / len(s) <= 0.3 and uq < 50:
@@ -294,6 +301,46 @@ def test_inference_tree_differential(spark, seed):
     expected = {name: twin_detect_type(s) for name, s in cols.items()}
     diffs = {c: (got[c], expected[c]) for c in cols if got[c] != expected[c]}
     assert not diffs, f"seed={seed}: {diffs}"
+
+
+def _probe_divergence_battery() -> dict[str, pd.Series]:
+    """200-row columns whose FIRST 100 rows disagree with the full column,
+    so probe mode (head(100) ratios, reference semantics) and full-column
+    mode provably classify them differently — including the round-5
+    digit-string datetime fix inside the probe window."""
+    phones = [f"+1 555 {i:04d} {i % 100:02d}" for i in range(100)]
+    words = [f"word{i}" for i in range(100)]
+    years = ["1999", "2003"] * 50  # dt-parseable digit strings (4-digit year)
+    emails = [f"u{i}@ex.com" for i in range(100)]
+    return {
+        "probe_phone_full_text": pd.Series(phones + words),
+        "probe_text_full_mixed": pd.Series(words + phones),
+        "probe_email_full_text": pd.Series(emails + words),
+        "probe_digit_year_dt": pd.Series(years + words),
+        "probe_sparse_nulls": pd.Series([None] * 80 + phones[:20] + words),
+    }
+
+
+@pytest.mark.parametrize("probe_rows", [None, 100])
+def test_inference_probe_mode_differential(spark, probe_rows):
+    cols = _probe_divergence_battery()
+    sdf = spark.createDataFrame(pd.DataFrame(cols)).coalesce(1)
+    got = infer_types(sdf, probe_rows=probe_rows)
+    expected = {k: twin_detect_type(s, probe_rows=probe_rows) for k, s in cols.items()}
+    diffs = {c: (got[c], expected[c]) for c in cols if got[c] != expected[c]}
+    assert not diffs, f"probe_rows={probe_rows}: {diffs}"
+
+
+def test_probe_battery_actually_diverges():
+    # guard: the battery must exercise DIFFERENT decisions per mode, or the
+    # parametrized test above pins nothing
+    cols = _probe_divergence_battery()
+    full = {k: twin_detect_type(s) for k, s in cols.items()}
+    probed = {k: twin_detect_type(s, probe_rows=100) for k, s in cols.items()}
+    assert full != probed
+    assert probed["probe_phone_full_text"] == "phone" != full["probe_phone_full_text"]
+    assert probed["probe_digit_year_dt"] == "datetime" != full["probe_digit_year_dt"]
+    assert probed["probe_sparse_nulls"] == "phone" != full["probe_sparse_nulls"]
 
 
 def test_inference_categorical_boundaries(spark):
