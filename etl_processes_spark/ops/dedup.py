@@ -60,14 +60,35 @@ def grams_from_tokens_expr(toks: Column, k: int) -> Column:
     ).otherwise(F.array().cast("array<string>"))
 
 
+def let_expr(value: Column, body) -> Column:
+    """Let-binding for Column expressions: evaluate ``value`` ONCE per row
+    and hand ``body`` a cheap reference to it. Spark's interpreted
+    higher-order lambdas re-evaluate captured argument subtrees on every
+    lambda call (no CSE — the round-4 lesson), so an expression like
+    ``transform(sequence(...), i -> slice(tokens_tree, i, k))`` re-runs the
+    whole split+filter token pipeline once PER SHINGLE INDEX: measured as a
+    single-core multi-minute straggler on the sf10 decontaminate stage
+    (jstack: StringSplit inside ArrayFilter inside the transform lambda).
+    Wrapping the subtree as the ARGUMENT of a one-element transform makes
+    every inner reference a NamedLambdaVariable lookup instead of a
+    recompute — arguments of a higher-order function are evaluated exactly
+    once per row."""
+    return F.element_at(F.transform(F.array(value), body), 1)
+
+
 def shingles_expr(c: str | Column, k: int = 3) -> Column:
     """Distinct k-word shingles (space-joined). Docs shorter than k tokens
-    contribute their full token string as a single shingle."""
-    toks = tokens_expr(c)
-    sh = F.when(
-        F.size(toks) >= k, grams_from_tokens_expr(toks, k)
-    ).otherwise(F.array(F.array_join(toks, " ")))
-    return F.array_distinct(sh)
+    contribute their full token string as a single shingle. The token array
+    is let-bound (``let_expr``) so the split+filter pipeline runs once per
+    row, not once per shingle index."""
+
+    def build(toks: Column) -> Column:
+        sh = F.when(
+            F.size(toks) >= k, grams_from_tokens_expr(toks, k)
+        ).otherwise(F.array(F.array_join(toks, " ")))
+        return F.array_distinct(sh)
+
+    return let_expr(tokens_expr(c), build)
 
 
 # ---------------------------------------------------------------------------
@@ -265,10 +286,24 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     max_df: int | None = None,
     ndigits: int = 6,
+    mode: str = "auto",
 ) -> DataFrame:
     """All pairs (id_a < id_b) with Jaccard(shingleset_a, shingleset_b) >=
     threshold. Exact; the self-join is on the shingle key (inverted index),
     so cost is Σ df(shingle)² — cap with ``max_df`` at scale.
+
+    ``mode``: "inverted" = the full-postings join below; "prefix" = PPJoin
+    prefix filtering (Bayardo et al., WWW'07; Xiao et al., WWW'08): each
+    doc indexes only its |S| - ceil(t*|S|) + 1 RAREST shingles (global
+    (df, hash) order) — two sets with Jaccard >= t must collide inside
+    those prefixes, so candidate volume falls from Σ df² to Σ pdf² and the
+    exact verify (array_intersect on per-doc hash arrays) runs on survivors
+    only. Identical output, certified by a brute-force differential test.
+    "auto" = prefix when threshold >= 0.3 (prefixes prune meaningfully),
+    inverted otherwise — at sf10 (500k realistic docs) the t=0.06 inverted
+    join measures ~570s while t=0.5 prefix measures seconds; LOW-threshold
+    exact all-pairs is intrinsically Σ df²-bound, and the scale answer
+    there is minhash_lsh_pairs or a higher threshold, not this operator.
 
     PRECONDITION: ``id_col`` is unique (one row per document) — the doc-id
     contract every dedup operator here shares. Rows that duplicate an id
@@ -283,6 +318,10 @@ def ngram_jaccard_pairs(
     ~n²/2⁶⁰ per doc pair), ~3-4× narrower shuffles. The hashed stream is
     localCheckpoint'd once and feeds the df-cap, the size count and both
     self-join sides — without it the scan+shingle+md5 work runs 3×."""
+    if mode not in ("auto", "inverted", "prefix"):
+        raise ValueError(f"mode must be auto|inverted|prefix, got {mode!r}")
+    if mode == "auto":
+        mode = "prefix" if threshold >= 0.3 else "inverted"
     sh = widen(df).select(
         F.col(id_col).alias("id"), F.explode(shingles_expr(text_col, k)).alias("shingle")
     ).select("id", md5_long_expr("shingle").alias("h"))
@@ -291,6 +330,8 @@ def ngram_jaccard_pairs(
         freq = sh.groupBy("h").agg(F.count(F.lit(1)).alias("__df"))
         sh = sh.join(freq.filter(F.col("__df") <= max_df).select("h"), "h")
         sh = sh.localCheckpoint(eager=False)
+    if mode == "prefix":
+        return _jaccard_pairs_prefix(sh, threshold, ndigits)
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -312,6 +353,60 @@ def ngram_jaccard_pairs(
         .select("id_a", "id_b", "jaccard")
     )
     return out
+
+
+def _jaccard_pairs_prefix(sh: DataFrame, threshold: float, ndigits: int) -> DataFrame:
+    """PPJoin candidate generation + exact verify over the kept postings
+    ``sh`` = (id, h). Prefix principle: order every doc's shingles by global
+    rarity (df asc, hash asc — a total order both docs agree on); if
+    J(a, b) >= t, then |a ∩ b| >= ceil(t/(1+t)·(|a|+|b|)) > |a| - p_a where
+    p_a = |a| - ceil(t·|a|) + 1, so the intersection cannot live entirely
+    outside both prefixes — prefix collision is guaranteed, candidates from
+    prefix postings only are EXACT (no false negatives; pinned by a
+    brute-force differential test).
+
+    Plan shape: one window rank per doc (id-keyed shuffle), prefix
+    self-join whose volume is Σ prefix-df² (at t=0.9 prefixes are ~1-2
+    shingles/doc regardless of length), then the verify joins candidate
+    pairs to per-doc sorted hash ARRAYS and computes exact Jaccard with
+    native array_intersect — JVM-side, no lambda, no Python."""
+    from pyspark.sql.window import Window
+
+    freq = sh.groupBy("h").agg(F.count(F.lit(1)).alias("__df"))
+    ranked = sh.join(freq, "h").withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("id").orderBy(F.asc("__df"), F.asc("h"))
+        ),
+    )
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    prefix = (
+        ranked.join(sizes, "id")
+        .filter(F.col("rn") <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1)
+        .select("id", "h")
+    )
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cand = (
+        a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    docs = sh.groupBy("id").agg(F.sort_array(F.collect_list("h")).alias("hs"))
+    return (
+        cand.join(docs.select(F.col("id").alias("id_a"), F.col("hs").alias("hs_a")), "id_a")
+        .join(docs.select(F.col("id").alias("id_b"), F.col("hs").alias("hs_b")), "id_b")
+        .withColumn("__common", F.size(F.array_intersect("hs_a", "hs_b")))
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("__common")
+                / (F.size("hs_a") + F.size("hs_b") - F.col("__common")),
+                ndigits,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -449,3 +449,99 @@ def test_edit_distance_pairs_empty_strings(spark):
     assert got[(1, 3)] == 2 and got[(2, 3)] == 2  # '' vs 'ab'
     assert (1, 4) not in got      # distance 4 > 2
     assert all(5 not in p for p in got)  # NULLs drop
+
+
+# ---------------------------------------------------------------------------
+# PPJoin prefix filtering (exactness vs the inverted-index path)
+# ---------------------------------------------------------------------------
+
+
+def _rand_docs(seed, n=60, vocab=40, lo=5, hi=30):
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    rows = []
+    for i in range(n):
+        ln = rng.randint(lo, hi)
+        rows.append((i, " ".join(f"w{v}" for v in rng.randint(0, vocab, ln))))
+    # plant near-dups and exact dups so high thresholds have positives
+    rows[7] = (7, rows[3][1])
+    toks = rows[11][1].split()
+    toks[0] = "zzz"
+    rows[12] = (12, " ".join(toks))
+    return rows
+
+
+@pytest.mark.parametrize("seed,threshold", [(1, 0.3), (2, 0.5), (3, 0.8), (4, 0.9)])
+def test_prefix_mode_equals_inverted_mode(spark, seed, threshold):
+    """The PPJoin prefix path must return EXACTLY the inverted-index result
+    (same pairs, same jaccard values) — prefix filtering is lossless by the
+    prefix principle; a false negative anywhere fails this differential."""
+    df = spark.createDataFrame(_rand_docs(seed), ["doc_id", "text"])
+    inv = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(
+            df, "doc_id", "text", k=2, threshold=threshold, mode="inverted"
+        ).collect()
+    }
+    pre = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(
+            df, "doc_id", "text", k=2, threshold=threshold, mode="prefix"
+        ).collect()
+    }
+    assert pre == inv
+
+
+def test_prefix_mode_equals_inverted_with_max_df(spark):
+    # the df cap excludes shingles from index AND verify in both modes
+    df = spark.createDataFrame(_rand_docs(9, vocab=8), ["doc_id", "text"])
+    kw = dict(k=2, threshold=0.4, max_df=10)
+    inv = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(df, "doc_id", "text", mode="inverted", **kw).collect()
+    }
+    pre = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(df, "doc_id", "text", mode="prefix", **kw).collect()
+    }
+    assert pre == inv and len(inv) > 0
+
+
+def test_ngram_mode_auto_routing(spark, docs):
+    # auto = prefix at t >= 0.3 (prunes), inverted below; both exact, so
+    # routing is a plan decision — results must agree with explicit modes
+    hi = ngram_jaccard_pairs(docs, "doc_id", "text", k=3, threshold=0.5)
+    lo = ngram_jaccard_pairs(docs, "doc_id", "text", k=3, threshold=0.06)
+    assert {(r["id_a"], r["id_b"]) for r in hi.collect()} <= {
+        (r["id_a"], r["id_b"]) for r in lo.collect()
+    }
+    with pytest.raises(ValueError, match="mode"):
+        ngram_jaccard_pairs(docs, "doc_id", "text", mode="nope")
+
+
+def test_prefix_index_is_actually_smaller(spark):
+    """At t=0.9 the prefix index holds ~|S| - ceil(0.9|S|) + 1 entries per
+    doc — materially smaller than full postings (the point of the route)."""
+    from pyspark.sql.window import Window
+
+    from etl_processes_spark.ops.dedup import md5_long_expr, shingles_expr
+
+    df = spark.createDataFrame(_rand_docs(5, n=40), ["doc_id", "text"])
+    sh = df.select(
+        F.col("doc_id").alias("id"),
+        F.explode(shingles_expr("text", 2)).alias("s"),
+    ).select("id", md5_long_expr("s").alias("h"))
+    total = sh.count()
+    freq = sh.groupBy("h").agg(F.count(F.lit(1)).alias("__df"))
+    ranked = sh.join(freq, "h").withColumn(
+        "rn", F.row_number().over(Window.partitionBy("id").orderBy("__df", "h"))
+    )
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    t = 0.9
+    prefix_n = (
+        ranked.join(sizes, "id")
+        .filter(F.col("rn") <= F.col("sz") - F.ceil(F.lit(t) * F.col("sz")) + 1)
+        .count()
+    )
+    assert prefix_n < total * 0.35
