@@ -1430,6 +1430,15 @@ def bench_components() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             k=3, threshold=0.06, max_df=500, ndigits=ND,
         )
 
+    def c_ngram_prefix(spark, sf):
+        # the HIGH-threshold scale path: PPJoin prefix filtering (auto at
+        # t>=0.3) — candidates from rarest-prefix collisions only; the
+        # t=0.06 inverted line above is the documented sum(df^2) envelope
+        return ngram_jaccard_pairs(
+            _t(spark, sf, "documents"), "doc_id", "text",
+            k=3, threshold=0.8, ndigits=ND,
+        )
+
     def c_minhash(spark, sf):
         return minhash_lsh_pairs(
             _t(spark, sf, "documents"), "doc_id", "text",
@@ -1673,6 +1682,7 @@ def bench_components() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     return {
         "ngram_jaccard_pairs": c_ngram,
+        "ngram_jaccard_prefix": c_ngram_prefix,
         "minhash_lsh_pairs": c_minhash,
         "simhash_fingerprints": c_simhash,
         "winnowing_fingerprints": c_winnowing,

@@ -18,6 +18,10 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+# subset/repeat knobs for scale runs (sf10 times a family subset; repeating
+# a 60M-row query 3x buys nothing): comma-separated query names, repeat count
+ONLY = {q for q in os.environ.get("SPARK_GRAFT_ONLY", "").split(",") if q}
+REPEATS = int(os.environ.get("SPARK_GRAFT_REPEATS", "3"))
 
 
 def main() -> None:
@@ -44,6 +48,7 @@ def main() -> None:
         "dedup_incremental",
         "dedup_clusters",
         "ngram_jaccard_pairs",
+        "ngram_jaccard_prefix",
         "minhash_lsh_pairs",
         "edit_distance_pairs",
         "simhash_fingerprints",
@@ -168,6 +173,8 @@ def main() -> None:
     # from a code change without the spreads).
     repeats: dict[str, list[float]] = {}
 
+    if ONLY:
+        bench_queries = [q for q in bench_queries if q in ONLY]
     try:
         for name in bench_queries:
             best, n = float("inf"), 0
@@ -175,7 +182,7 @@ def main() -> None:
                 fn = qs[name]  # inside the try: a renamed query must not
                 # abort the loop and silently drop every later entry
                 reps: list[float] = []
-                for rep in range(3):
+                for rep in range(REPEATS):
                     _reclaim()
                     t0 = time.time()
                     df = fn(spark, SF_DIR)

@@ -140,7 +140,42 @@ def widen(df: DataFrame, min_factor: int = 2, per_mb: float | None = None) -> Da
         # density-reduced target
         split = min(max_pb, max(open_cost, size // max(1, sc.defaultParallelism)))
         est_parts = max(1, (size + split - 1) // split)
-        if est_parts * min_factor > target:
+        if est_parts * min_factor <= target:
+            # the formula is an UPPER bound on the real width (row-group
+            # boundaries can only make real splits coarser), so
+            # formula-narrow is definitely narrow: widen without probing
+            return df.repartition(target)
+        # Formula says wide — but parquet is only splittable at ROW-GROUP
+        # boundaries: Spark still creates est_parts byte-range partitions,
+        # yet every row lands in the partition holding its row-group's
+        # midpoint, so a monolithic-row-group file scans as ONE loaded task
+        # however many empty splits surround it (measured at sf10: a 91 MB
+        # single-row-group documents file serialized every text operator
+        # onto one core, 2-3x the whole-query wall — and getNumPartitions
+        # cannot see it, since the empty splits still count). Probe the
+        # footers: row groups are the indivisible units, so their count
+        # bounds the loaded-task width. Skipped when file-level parallelism
+        # alone suffices, and any unreadable footer (remote fs, non-parquet
+        # format — CSV/JSON split at arbitrary bytes anyway) falls back to
+        # trusting the formula.
+        try:
+            files = df.inputFiles()
+        except Exception:
+            return df
+        if len(files) * min_factor > target:
+            return df
+        n_rg = 0
+        try:
+            import pyarrow.parquet as _pq
+            from urllib.parse import urlparse
+            for uri in files:
+                p = urlparse(uri)
+                if p.scheme not in ("", "file"):
+                    return df
+                n_rg += _pq.ParquetFile(p.path or uri).metadata.num_row_groups
+                if n_rg * min_factor > target:
+                    return df  # enough indivisible chunks to scan wide
+        except Exception:
             return df
         return df.repartition(target)
     # non-file leaves (Range, parallelized local data): the split formula

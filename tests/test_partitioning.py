@@ -50,24 +50,68 @@ def test_parse_bytes_conf():
     assert _parse_bytes_conf("garbage") == 128 << 20
 
 
-def test_widen_noop_for_already_wide_scan(spark, sf_dir):
+def test_widen_noop_for_already_wide_scan(spark, tmp_path):
     # a scan whose split math already spreads it cluster-wide must NOT pay a
     # repartition (regression: the est_parts heuristic once called a wide
-    # scan narrow and re-shuffled it). Simulate width by shrinking the split
-    # confs so the tiny test file is "many partitions" to Spark itself.
+    # scan narrow and re-shuffled it). The file must have enough ROW GROUPS
+    # to genuinely fill those splits — Spark splits parquet only at
+    # row-group boundaries, so byte math alone proves nothing.
     import os
 
-    size = os.path.getsize(f"{sf_dir}/documents.parquet")
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
     target = spark.sparkContext.defaultParallelism
+    path = str(tmp_path / "wide.parquet")
+    n = 4000
+    pq.write_table(
+        pa.table({"id": list(range(n)), "v": [f"row{i:06d}" for i in range(n)]}),
+        path, row_group_size=n // (2 * target + 2),  # > 2*target row groups
+    )
+    assert pq.ParquetFile(path).metadata.num_row_groups * 2 > target
+    size = os.path.getsize(path)
     # pick a split size that makes est_parts * 2 > target
-    split = max(1, size // target)  # ~target*1 partitions -> est*2 > target
+    split = max(1, size // target)
     old_mpb = spark.conf.get("spark.sql.files.maxPartitionBytes")
     old_oc = spark.conf.get("spark.sql.files.openCostInBytes")
     try:
         spark.conf.set("spark.sql.files.maxPartitionBytes", str(split))
         spark.conf.set("spark.sql.files.openCostInBytes", "1")
-        df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        df = spark.read.parquet(path)
         assert widen(df) is df
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old_mpb)
+        spark.conf.set("spark.sql.files.openCostInBytes", old_oc)
+
+
+def test_widen_spreads_monolithic_row_group_despite_byte_splits(spark, tmp_path):
+    # sf10 regression: a file big enough that the split formula says "wide"
+    # but written as ONE row group scans as one loaded task — widen must see
+    # through the empty byte-range splits and repartition.
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    target = spark.sparkContext.defaultParallelism
+    path = str(tmp_path / "mono.parquet")
+    n = 4000
+    pq.write_table(
+        pa.table({"id": list(range(n)), "v": [f"row{i:06d}" for i in range(n)]}),
+        path, row_group_size=n,  # monolithic
+    )
+    size = os.path.getsize(path)
+    split = max(1, size // target)  # formula: ~target partitions -> "wide"
+    old_mpb = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    old_oc = spark.conf.get("spark.sql.files.openCostInBytes")
+    try:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", str(split))
+        spark.conf.set("spark.sql.files.openCostInBytes", "1")
+        df = spark.read.parquet(path)
+        out = widen(df)
+        assert out is not df
+        assert out.rdd.getNumPartitions() == target
+        assert out.count() == n
     finally:
         spark.conf.set("spark.sql.files.maxPartitionBytes", old_mpb)
         spark.conf.set("spark.sql.files.openCostInBytes", old_oc)

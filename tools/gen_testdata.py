@@ -48,7 +48,20 @@ REGIONS = ["AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST"]
 
 
 def _write(outdir: str, name: str, table: pa.Table) -> None:
-    pq.write_table(table, os.path.join(outdir, f"{name}.parquet"))
+    # Bound row groups to ~4 MB: Spark can only split a parquet file at
+    # row-group boundaries, and its finest split is openCostInBytes (4 MB)
+    # — so ~4 MB row groups let every byte-range split own real rows. A
+    # single-row-group 91 MB documents file forces every scan of it onto
+    # ONE task (and a 10-row-group events file onto 10 of 32 cores) — the
+    # first sf10 run measured that serialization, not the operators. Real
+    # multi-TB corpora are thousands of files; fine row groups in one file
+    # are the single-file stand-in for that layout.
+    rows_per_group = table.num_rows
+    if table.nbytes > (4 << 20) and table.num_rows > 1:
+        rows_per_group = max(
+            1024, int(table.num_rows * (4 << 20) / table.nbytes))
+    pq.write_table(table, os.path.join(outdir, f"{name}.parquet"),
+                   row_group_size=rows_per_group)
     print(f"  {name}: {table.num_rows} rows", flush=True)
 
 
