@@ -1072,7 +1072,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.sum("qty").cast("double").alias("sum_qty"),
         ).select(F.lit("salted").alias("part"), "*")
         urgent = o.filter(F.col("o_orderpriority") == "1-URGENT")
-        bj = bloom_join(li, urgent, "okey", expected_items=20_000)
+        bj = bloom_join(li, urgent, "okey")  # expected_items AUTO-sizes
+        # from the urgent-key count — the static 20k default saturated the
+        # bitmap (fpp -> 1, zero pruning) from sf1 up; result-invariant
+        # either way, which is exactly what this gate certifies
         bloom = bj.groupBy("o_orderpriority").agg(
             F.count(F.lit(1)).alias("n_items"),
             F.sum("qty").cast("double").alias("sum_qty"),

@@ -147,7 +147,7 @@ def bloom_semi_filter(
     keys: DataFrame,
     key: str,
     large_key: str | None = None,
-    expected_items: int = 1_000_000,
+    expected_items: int | None = None,
     fpp: float = 0.03,
     merge: str = "auto",
 ) -> DataFrame:
@@ -177,8 +177,24 @@ def bloom_semi_filter(
 
     This is Spark's own runtime-bloom-filter pattern made explicit and
     composable: usable across pipeline stages (e.g. against a key set a
-    previous step computed and saved), not just within one optimizer plan."""
+    previous step computed and saved), not just within one optimizer plan.
+
+    ``expected_items`` defaults to AUTO: resolved from the key side's row
+    count (Catalyst's free row-count statistic when defined, one keys-only
+    count() otherwise — the build pass scans ``keys`` anyway). A static
+    default is the silent-decay hazard: a filter sized for 1M keys fed 10M
+    saturates (fpp → 1) and the "optimization" quietly becomes a no-op scan
+    + broadcast at exactly the scale where pruning matters most. Row count
+    over-estimates distinct keys, which only buys a LOWER fpp — never a
+    worse filter."""
     lk = large_key or key
+    if expected_items is None:
+        from etl_processes_spark.ops.similarity import _estimate_rows
+
+        est = _estimate_rows(keys)
+        if est is None:
+            est = keys.count()
+        expected_items = max(4096, int(est))
     n_bits = _bloom_num_bits(expected_items, fpp)
     n_bits = ((n_bits + 63) // 64) * 64
     n_hashes = _bloom_num_hashes(n_bits, expected_items)
@@ -296,14 +312,17 @@ def bloom_join(
     small: DataFrame,
     key: str,
     how: str = "inner",
-    expected_items: int = 1_000_000,
+    expected_items: int | None = None,
     fpp: float = 0.03,
 ) -> DataFrame:
     """Exact ``large ⋈ small`` with the large side bloom-prefiltered on the
     join key before its shuffle. The real join still runs (false positives
     are eliminated there), so the result is identical to ``large.join(small,
     key, how)`` — certified by the oracle gate. Only join types where
-    dropping non-matching large-side rows early is sound are accepted."""
+    dropping non-matching large-side rows early is sound are accepted.
+    ``expected_items`` defaults to AUTO-sizing from the small side's row
+    count (see bloom_semi_filter) so the filter keeps pruning as the key
+    set grows."""
     if how.lower().replace("_", "") not in {j.replace("_", "") for j in _BLOOM_SAFE_JOINS}:
         raise ValueError(
             f"bloom_join supports {sorted(_BLOOM_SAFE_JOINS)}; {how!r} must keep "
