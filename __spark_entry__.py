@@ -1066,7 +1066,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         o = _t(spark, sf, "orders").select(
             F.col("o_orderkey").alias("okey"), "o_orderpriority"
         )
-        j = salted_join(li, o, "okey", salt_buckets=8)
+        # hot_keys pinned explicitly: TPC-H orderkeys are uniform (max
+        # multiplicity 7) so auto-detection would correctly find NO hot key
+        # and certify only the plain path; pinning a handful forces the
+        # salted hot-slice + plain-rest UNION through the oracle compare.
+        # (Orderkeys 1..7/32/33 exist at every SF; absent ones are inert.)
+        j = salted_join(
+            li, o, "okey", salt_buckets=8, hot_keys=[1, 2, 3, 5, 6, 7, 32, 33]
+        )
         salted = j.groupBy("o_orderpriority").agg(
             F.count(F.lit(1)).alias("n_items"),
             F.sum("qty").cast("double").alias("sum_qty"),

@@ -95,32 +95,23 @@ def gap_fill(
 
     Returns (key, bucket, value, filled) with filled=1 on generated rows.
 
-    Plan: per-key (min, max) agg → map-side sequence explode for the grid →
-    UNION with the data rows → ONE window pass per key that both drops grid
-    rows shadowed by a real row at the same bucket and computes the
-    neighbour values for the fill. Single data shuffle (the key window);
-    no (key, bucket) join. The grid is never wider than span/step rows per
-    key, so skew is bounded by time span, not event volume."""
+    Plan: window ONLY the data rows (one key shuffle; per-key neighbour
+    values via running frames), then generate each inter-row gap's buckets
+    with a MAP-SIDE sequence explode whose fill value is computed inline
+    from the two attached neighbours. The generated rows — which can dwarf
+    the data (sparse series over a long span: measured 9.5M data rows →
+    105M output at sf10) — are never sorted, shuffled, or re-windowed; the
+    grid-union shape this replaces dragged all of them through two window
+    sorts (106 s → map-bound at sf10). The span is [min, max] of each key's
+    own data, so every gap is interior: both neighbours always exist."""
     if method not in ("linear", "ffill", "value", "none"):
         raise ValueError(f"unknown fill method {method!r}")
     b, v = F.col(bucket), F.col(value)
     data = df.select(
         F.col(key), b.cast("long").alias(bucket), v.cast("double").alias(value)
-    ).withColumn("__src", F.lit(1))
-    bounds = data.groupBy(key).agg(
-        F.min(bucket).alias("__mn"), F.max(bucket).alias("__mx")
     )
-    grid = bounds.select(
-        F.col(key),
-        F.explode(F.sequence(F.col("__mn"), F.col("__mx"))).alias(bucket),
-        F.lit(None).cast("double").alias(value),
-        F.lit(0).alias("__src"),
-    )
-    u = data.unionByName(grid)
-    # data row sorts BEFORE its same-bucket grid twin (__src desc), so the
-    # shadowed grid row is exactly "same bucket as the previous row"
-    w = Window.partitionBy(key).orderBy(F.col(bucket), F.desc("__src"))
-    wprev = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    word = Window.partitionBy(key).orderBy(bucket)
+    wprev = word.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     # "next present value" is a DESCENDING running frame, not an ascending
     # (currentRow, unboundedFollowing) one: Spark re-evaluates an unbounded-
     # FOLLOWING frame from scratch per row — O(rows²) per key (measured 6s →
@@ -128,47 +119,78 @@ def gap_fill(
     # key, so it adds a second in-partition sort but no extra shuffle.
     wnext = (
         Window.partitionBy(key)
-        .orderBy(F.desc(bucket), F.asc("__src"))
+        .orderBy(F.desc(bucket))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    # window exprs are illegal in WHERE — materialize the shadow flag as a
-    # column and filter on it afterwards
-    shadowed = (
-        (F.col("__src") == 0)
-        & F.coalesce(F.lag(bucket).over(w) == F.col(bucket), F.lit(False))
-    )
-    pv = F.last(value, ignorenulls=True).over(wprev)
-    nv = F.last(value, ignorenulls=True).over(wnext)
-    if method == "linear":
-        pb = F.last(
-            F.when(v.isNotNull(), F.col(bucket)), ignorenulls=True
-        ).over(wprev)
-        nb = F.last(
-            F.when(v.isNotNull(), F.col(bucket)), ignorenulls=True
-        ).over(wnext)
-        # NOT rounded: with deterministic inputs the chain of correctly-
-        # rounded IEEE ops is bit-identical in any engine, while rounding
-        # would hit exact decimal ties (dyadic gap ratios x fixed-dp
-        # neighbours systematically produce ...5 at the rounding digit)
-        # where Spark's HALF_UP-on-decimal-repr and other engines' float
-        # rounding disagree
-        interp = pv + (nv - pv) * (
-            (F.col(bucket) - pb).cast("double") / (nb - pb).cast("double")
+    # per data row: nearest present value at-or-before / at-or-after it
+    # (running frames include the current row, so a null-valued data row
+    # correctly looks past itself) — NULL-valued data rows are themselves
+    # imputed, exactly like generated rows
+    pv, nv = F.col("__pv"), F.col("__nv")
+    pb, nb = F.col("__pb"), F.col("__nb")
+    rows = (
+        data.withColumn("__pv", F.last(value, ignorenulls=True).over(wprev))
+        .withColumn(
+            "__pb",
+            F.last(F.when(v.isNotNull(), b), ignorenulls=True).over(wprev),
         )
-        fill = F.coalesce(interp, pv, nv)
-    elif method == "ffill":
-        fill = F.coalesce(pv, nv)
-    elif method == "value":
-        fill = F.lit(float(fill_value))
-    else:
-        fill = F.lit(None).cast("double")
-    return (
-        u.withColumn("__shadowed", shadowed)
-        .withColumn("filled", (v.isNull()).cast("int"))
-        .withColumn(value, F.coalesce(v, fill))
-        .filter(~F.col("__shadowed"))
-        .select(key, bucket, value, "filled")
+        .withColumn("__nv", F.last(value, ignorenulls=True).over(wnext))
+        .withColumn(
+            "__nb",
+            F.last(F.when(v.isNotNull(), b), ignorenulls=True).over(wnext),
+        )
+        # the gap after this row interpolates between this row's trailing
+        # neighbour (__pv/__pb — includes this row itself when present) and
+        # the NEXT row's leading neighbour, attached here so the explode
+        # below needs no further window or join
+        .withColumn("__gap_end", F.lead(bucket).over(word))
+        .withColumn("__gnv", F.lead("__nv").over(word))
+        .withColumn("__gnb", F.lead("__nb").over(word))
     )
+
+    def _fill(g: Column, pv_: Column, pb_: Column, nv_: Column, nb_: Column) -> Column:
+        if method == "linear":
+            # NOT rounded: with deterministic inputs the chain of correctly-
+            # rounded IEEE ops is bit-identical in any engine, while rounding
+            # would hit exact decimal ties (dyadic gap ratios x fixed-dp
+            # neighbours systematically produce ...5 at the rounding digit)
+            # where Spark's HALF_UP-on-decimal-repr and other engines' float
+            # rounding disagree
+            interp = pv_ + (nv_ - pv_) * (
+                (g - pb_).cast("double") / (nb_ - pb_).cast("double")
+            )
+            return F.coalesce(interp, pv_, nv_)
+        if method == "ffill":
+            return F.coalesce(pv_, nv_)
+        if method == "value":
+            return F.lit(float(fill_value))
+        return F.lit(None).cast("double")
+
+    present = rows.select(
+        F.col(key),
+        b,
+        F.coalesce(v, _fill(b, pv, pb, nv, nb)).alias(value),
+        v.isNull().cast("int").alias("filled"),
+    )
+    g = F.col("__g")
+    gaps = (
+        rows.filter(F.col("__gap_end") > b + 1)
+        .select(
+            F.col(key),
+            "__pv",
+            "__pb",
+            "__gnv",
+            "__gnb",
+            F.explode(F.sequence(b + 1, F.col("__gap_end") - 1)).alias("__g"),
+        )
+        .select(
+            F.col(key),
+            g.alias(bucket),
+            _fill(g, pv, pb, F.col("__gnv"), F.col("__gnb")).alias(value),
+            F.lit(1).alias("filled"),
+        )
+    )
+    return present.unionByName(gaps)
 
 
 def rolling_stats(

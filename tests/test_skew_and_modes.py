@@ -96,6 +96,45 @@ def test_range_join_bucketized_guards(spark):
     assert isinstance(exc.value, Py4JJavaError) or "buckets" in str(exc.value)
 
 
+def test_salted_join_hot_detection_and_paths(spark):
+    # one monster key (90% of rows) + a uniform tail: auto-detection must
+    # find exactly the monster, and every path (auto / explicit hot set /
+    # legacy "all" / no-hot plain) must equal the plain join
+    big = spark.range(10_000).select(
+        F.when(F.col("id") % 10 < 9, F.lit(7)).otherwise(F.col("id") % 50).alias("k"),
+        F.col("id").alias("v"),
+    )
+    small = spark.createDataFrame([(i, f"dim{i}") for i in range(50)], ["k", "name"])
+    plain = sorted(map(tuple, big.join(small, "k").select("k", "v", "name").collect()))
+    from etl_processes_spark.ops.skew import _detect_hot_keys
+
+    hot = _detect_hot_keys(big, "k", hot_threshold=1000, max_hot_keys=10)
+    assert hot == [7]
+    for kw in (
+        dict(hot_keys="auto", hot_threshold=1000),
+        dict(hot_keys=[7]),
+        dict(hot_keys=[7, 11, 99999]),  # extra/absent hot keys are inert
+        dict(hot_keys="all"),
+        dict(hot_keys=None),
+    ):
+        got = salted_join(big, small, "k", salt_buckets=8, **kw)
+        assert sorted(map(tuple, got.select("k", "v", "name").collect())) == plain
+
+
+def test_salted_join_left_keeps_unmatched_and_null_keys(spark):
+    big = spark.createDataFrame(
+        [(7, "hot1"), (7, "hot2"), (3, "cold"), (99, "nomatch"), (None, "nullk")],
+        ["k", "v"],
+    )
+    small = spark.createDataFrame([(7, "x"), (3, "y")], ["k", "w"])
+    plain = sorted(
+        map(tuple, big.join(small, "k", "left").select("k", "v", "w").collect()),
+        key=str,
+    )
+    got = salted_join(big, small, "k", salt_buckets=4, how="left", hot_keys=[7])
+    assert sorted(map(tuple, got.select("k", "v", "w").collect()), key=str) == plain
+
+
 def test_salted_join_rejects_outer_joins(spark):
     import pytest
     from etl_processes_spark.ops.skew import salted_join

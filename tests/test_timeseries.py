@@ -235,3 +235,71 @@ def test_gap_fill_linear_matches_pandas_property(spark):
             interp = full.interpolate(method="index")
             for b, v in interp.items():
                 assert got[(k, b)] == pytest.approx(v, abs=1e-9), (trial, k, b)
+
+
+def test_gap_fill_differential_vs_pandas_twin(spark):
+    # randomized series (irregular buckets, NULL-valued data rows, dup-free)
+    # against a brute-force per-key twin of the contract: every bucket in
+    # [min, max], linear interp between nearest present neighbours,
+    # null-valued DATA rows imputed exactly like generated rows
+    import random
+
+    rng = random.Random(2024)
+    rows = []
+    for k in range(20):
+        buckets = sorted(rng.sample(range(0, 200), rng.randint(1, 30)))
+        for b in buckets:
+            val = None if rng.random() < 0.2 else round(rng.uniform(-50, 50), 3)
+            rows.append((k, b, val))
+    df = spark.createDataFrame(rows, "k long, bucket long, value double")
+
+    def twin(method):
+        by_key = {}
+        for k, b, v in rows:
+            by_key.setdefault(k, []).append((b, v))
+        out = {}
+        for k, series in by_key.items():
+            series.sort()
+            have = {b: v for b, v in series}
+            present = [(b, v) for b, v in series if v is not None]
+            lo, hi = series[0][0], series[-1][0]
+            for b in range(lo, hi + 1):
+                v = have.get(b)
+                filled = 1 if (b not in have or v is None) else 0
+                if v is None:
+                    prev = max(((pb, pv) for pb, pv in present if pb <= b), default=None)
+                    nxt = min(((nb, nv) for nb, nv in present if nb >= b), default=None)
+                    if method == "linear":
+                        if prev and nxt:
+                            pb, pv = prev
+                            nb, nv = nxt
+                            v = pv + (nv - pv) * ((b - pb) / (nb - pb))
+                        elif prev or nxt:
+                            v = (prev or nxt)[1]
+                    elif method == "ffill":
+                        v = (prev or nxt)[1] if (prev or nxt) else None
+                    elif method == "value":
+                        v = -1.0
+                if b in have or b not in have:
+                    out[(k, b)] = (v, filled)
+        return out
+
+    for method in ("linear", "ffill", "value", "none"):
+        got = {
+            (r["k"], r["bucket"]): (r["value"], r["filled"])
+            for r in gap_fill(
+                df, "k", "bucket", "value", method=method, fill_value=-1.0
+            ).collect()
+        }
+        want = twin(method)
+        assert set(got) == set(want), method
+        for kk in want:
+            gv, gf = got[kk]
+            wv, wf = want[kk]
+            assert gf == wf, (method, kk)
+            if method == "none" and wf == 1:
+                assert gv is None, (method, kk)
+            elif wv is None:
+                assert gv is None, (method, kk)
+            else:
+                assert gv == pytest.approx(wv, abs=1e-12), (method, kk)
