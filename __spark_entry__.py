@@ -1550,11 +1550,15 @@ def bench_components() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return line_dedup(src, "doc_id", "text", max_doc_freq=1)
 
     def c_semantic_dedup(spark, sf):
+        # pure defaults on purpose: the bench line must exercise the
+        # auto-scaled centroid count (cells of ~target_cell_rows so the
+        # within-cell quadratic stays linear-in-corpus); the hash gate keeps
+        # its own pinned n_centroids=16 literal for oracle stability
         from etl_processes_spark.ops.similarity import semantic_dedup
 
         return semantic_dedup(
             _t(spark, sf, "embeddings"), "vec_id", "embedding",
-            threshold=0.5, n_centroids=16, seed=42,
+            threshold=0.5, seed=42,
         )
 
     def c_shuffle(spark, sf):

@@ -748,6 +748,7 @@ def semantic_dedup(
     seed: int = 42,
     ndigits: int = 6,
     block_rows: int = 4096,
+    target_cell_rows: int = 4096,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): cluster embeddings with a coarse quantizer, then look
@@ -765,11 +766,20 @@ def semantic_dedup(
     map with NO shuffle; the within-cell pair scan shuffles once on the
     cell id (applyInPandas), with per-cell work blocked into
     (block_rows × |cell|) GEMMs so memory stays bounded even in a hot cell.
-    Scale n_centroids with the corpus (cells of ~10-50k rows) to bound
-    Σ|cell|²; the duplicate-pair edge list is sparse, so the component pass
-    is cheap. Approximate like the paper: a duplicate pair straddling a
-    cell boundary is missed (raise n_centroids recall by union-ing a
-    second, shifted-seed clustering if needed)."""
+
+    The within-cell scan is the quadratic term — Σ|cell|² ≈ n · cell_rows —
+    so the auto centroid count targets CONSTANT per-row work: cells of
+    ``target_cell_rows`` (default 4096 ≈ the GEMM block), giving LINEAR
+    total cost in n. This target is deliberately ~5× smaller than the IVF
+    quantizer's (20k): IVF pays its cell size only on probed cells per
+    query, while dedup pays |cell|² on EVERY cell (sf10 measured, 200k
+    vectors: 16 pinned cells = 27.1s and 100× pair work per 10× corpus;
+    n/4096 cells holds per-row work flat). The duplicate-pair edge list is
+    sparse, so the component pass is cheap. Approximate like the paper: a
+    duplicate pair straddling a cell boundary is missed — more cells means
+    more boundary, so raise ``target_cell_rows``/pin ``n_centroids`` when
+    recall matters more than cost, or union a second, shifted-seed
+    clustering."""
     spark = corpus.sparkSession
     sample_pdf = (
         corpus.select(vec_col)
@@ -785,7 +795,7 @@ def semantic_dedup(
         )
     X = np.stack(sample_pdf[vec_col].to_numpy()).astype(np.float64)
     X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
-    n_centroids = _auto_centroids(corpus, n_centroids, fit_sample)
+    n_centroids = _auto_centroids(corpus, n_centroids, fit_sample, target_cell_rows)
     C = _spherical_kmeans(X, n_centroids, seed)
     bC = spark.sparkContext.broadcast(C)
 
