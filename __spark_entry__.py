@@ -1561,6 +1561,42 @@ def bench_components() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             threshold=0.5, seed=42,
         )
 
+    def c_embedding_near_dup(spark, sf):
+        # production-defaults twin of the q_embedding_near_dup gate: same
+        # three parts (near-dup pairs + SemDeDup + classifier scoring) with
+        # NO pinned knobs — pairs take the measured auto route (LSH or
+        # cells) and SemDeDup auto-scales its centroid count. The gate keeps
+        # its pinned n_centroids=16 literal, which at 2M vectors is itself
+        # the quadratic a bench must not measure as the production path.
+        from etl_processes_spark.ops.classify import score_with_classifier
+        from etl_processes_spark.ops.similarity import (
+            embedding_near_dup_pairs,
+            semantic_dedup,
+        )
+
+        e = _t(spark, sf, "embeddings")
+        pairs = embedding_near_dup_pairs(e, threshold=0.5, ndigits=ND).select(
+            F.lit("pairs").alias("part"),
+            F.col("id_a").alias("k1"),
+            F.col("id_b").alias("k2"),
+            F.col("cosine_sim").alias("val"),
+        )
+        sem = semantic_dedup(e, "vec_id", "embedding", threshold=0.5, seed=42).select(
+            F.lit("semdedup").alias("part"),
+            F.col("vec_id").alias("k1"),
+            F.col("cluster_id").cast("long").alias("k2"),
+            F.col("keep").cast("int").cast("double").alias("val"),
+        )
+        clf = score_with_classifier(
+            e, "embedding", _clf_weights(64), bias=_CLF_BIAS, ndigits=ND
+        ).select(
+            F.lit("clf_score").alias("part"),
+            F.col("vec_id").alias("k1"),
+            F.col("label").cast("long").alias("k2"),
+            F.col("clf_score").alias("val"),
+        )
+        return pairs.unionByName(sem).unionByName(clf)
+
     def c_shuffle(spark, sf):
         from etl_processes_spark.ops.pack import shuffle_deterministic
 
@@ -1710,6 +1746,7 @@ def bench_components() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": c_embedding_near_dup,
         "line_dedup": c_line_dedup,
         "semantic_dedup": c_semantic_dedup,
+        "embedding_near_dup": c_embedding_near_dup,
         "shuffle_deterministic": c_shuffle,
         "remove_duplicate_spans": c_despan,
         "gap_fill": c_gap_fill,

@@ -220,43 +220,59 @@ def embedding_near_dup_pairs(
     bands: int | None = None,
     seed: int = 42,
     n_rows: int | None = None,
+    method: str = "auto",
+    max_candidate_factor: float = 64.0,
+    target_cell_rows: int = 4096,
+    fit_sample: int = 10_000,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, rounded cosine >=
-    threshold). Size-routed:
+    threshold). Routed by size AND by measured corpus geometry:
 
      - corpus <= ``max_exact_rows``: EXACT blocked all-pairs — one side
        broadcast as a normalized matrix, corpus streamed, one BLAS matmul per
        Arrow batch, only passing pairs emitted (never the n² pair set).
-     - larger: hyperplane-LSH bucketed candidates (equi-join on band
-       signatures) + exact cosine verify of candidates only. Approximate:
-       recall < 1, and band geometry targets HIGH thresholds (>= ~0.85, the
-       near-duplicate regime); at low thresholds prefer the exact path.
+     - larger, high threshold: hyperplane-LSH bucketed candidates (equi-join
+       on band signatures) + exact cosine verify of candidates only.
+     - larger, when LSH buckets would NOT prune: k-means CELLS (the
+       semantic_dedup quantizer) — within-cell blocked GEMM emitting passing
+       pairs directly, cost bounded at n · target_cell_rows.
+
+    The lsh/cells choice is MEASURED, not threshold-ruled: the expected
+    candidate volume is estimated on the seeded fit sample (mean pairwise
+    band-collision probability × n²/2 — see _estimate_lsh_candidates) and
+    LSH is used only when that stays under ``max_candidate_factor``·n rows.
+    The threshold alone can't decide this: at tau=0.5 a corpus of
+    near-orthogonal vectors buckets fine, while a corpus concentrated in a
+    few tight clusters collides ~20% of same-cluster pairs per band-set —
+    at 2M vectors that is ~10^10 candidate rows, which filled 70 GB of
+    spill and died before this route existed (sf100 measured). Cells bound
+    that regime by construction.
 
     LSH geometry defaults to AUTO (``num_planes``/``bands`` = None): planes
     per band ~ log2(n) so a random (orthogonal) pair's collision odds are
-    ~1/n per band — bounding expected random candidates to ~bands*n rows —
-    and the band count targets 90% recall at the given threshold, capped at
-    32. The round-4 static default (4 planes/band) let a 20k corpus emit
-    ~40% of ALL pairs as candidates: 80M-row verify, measured 170s at sf1;
-    auto geometry holds the candidate set near-linear instead. When the cap
-    cannot reach useful recall (low thresholds: tau=0.5 needs ~1000 bands at
-    log2(n) planes), a warning reports the estimated recall — mid-threshold
-    similarity at scale belongs to ``semantic_dedup``'s k-means cells, not
-    hyperplane buckets. Passing both knobs explicitly skips auto.
+    ~1/n per band, and the band count targets 90% recall at the threshold,
+    capped at 32 (below-0.5 estimated recall warns). Passing both knobs
+    explicitly pins the LSH route and skips auto entirely — existing
+    callers keep their exact plan. ``method`` ("auto"/"exact"/"lsh"/
+    "cells") overrides routing; exact/cells recall contracts match
+    semantic_dedup's (cell-boundary pairs are missed).
 
     Routing reads ``n_rows`` (caller-supplied hint) first. Catalyst's
     optimized-plan row-count statistic is trusted only in the SAFE
-    direction: a large estimate routes to LSH (correct even if stale — at
-    worst a small corpus pays bucketing overhead); a small estimate is
-    confirmed with a count() before committing to the broadcast-everything
-    exact path, because a stale low estimate would broadcast an arbitrarily
-    large matrix. At 100 TB the caller passes the size, so no probe runs.
+    direction: a large estimate routes away from exact (correct even if
+    stale — at worst a small corpus pays bucketing overhead); a small
+    estimate is confirmed with a count() before committing to the
+    broadcast-everything exact path, because a stale low estimate would
+    broadcast an arbitrarily large matrix. At 100 TB the caller passes the
+    size, so no probe runs.
     """
+    if method not in ("auto", "exact", "lsh", "cells"):
+        raise ValueError(f"method must be auto|exact|lsh|cells, got {method!r}")
     n = n_rows
     if n is None:
         est = _estimate_rows(corpus)
         if est is not None and est > max_exact_rows:
-            n = est  # safe direction: over-threshold routes to LSH
+            n = est  # safe direction: over-threshold routes away from exact
         else:
             n = corpus.count()
     if (num_planes is None) != (bands is None):
@@ -265,13 +281,46 @@ def embedding_near_dup_pairs(
             "together (or both left None for auto geometry); got "
             f"num_planes={num_planes!r}, bands={bands!r}"
         )
-    if n <= max_exact_rows:
+    if method == "exact" or (method == "auto" and n <= max_exact_rows):
         return _near_dup_exact_blocked(corpus, id_col, vec_col, threshold, ndigits)
+    if method == "cells":
+        return _near_dup_cells(
+            corpus, id_col, vec_col, threshold, ndigits,
+            target_cell_rows, fit_sample, seed,
+        )
     if num_planes is None:
         num_planes, bands = _auto_lsh_geometry(n, threshold)
+        if method == "auto":
+            X = _sample_norm_matrix(corpus, vec_col, min(fit_sample, 2048), seed)
+            est_cand = _estimate_lsh_candidates(X, n, num_planes, bands)
+            if est_cand > max_candidate_factor * n:
+                return _near_dup_cells(
+                    corpus, id_col, vec_col, threshold, ndigits,
+                    target_cell_rows, fit_sample, seed,
+                )
     return _near_dup_lsh(
         corpus, id_col, vec_col, threshold, ndigits, num_planes, bands, seed
     )
+
+
+def _estimate_lsh_candidates(
+    X: np.ndarray, n: int, num_planes: int, bands: int
+) -> float:
+    """Expected LSH candidate-pair volume for an n-row corpus whose pairwise
+    cosine distribution looks like the sample ``X`` (row-normalized): a pair
+    at cosine s collides in one k-plane band with probability p(s)^k,
+    p(s) = 1 - acos(s)/pi, hence in >= 1 of b bands with 1 - (1-p^k)^b; the
+    expectation over all n(n-1)/2 pairs is the sample mean of that collision
+    probability scaled up. This is the quantity that decides whether LSH
+    prunes AT ALL on this corpus — the threshold/geometry math alone assumes
+    random pairs are near-orthogonal, which clustered corpora violate."""
+    S = X[: min(len(X), 1024)]
+    sims = np.clip(S @ S.T, -1.0, 1.0)
+    iu = np.triu_indices(len(S), k=1)
+    p = 1.0 - np.arccos(sims[iu]) / np.pi
+    k = max(1, num_planes // max(bands, 1))
+    collide = 1.0 - (1.0 - p**k) ** bands
+    return float(collide.mean()) * n * (n - 1) / 2.0
 
 
 def _sample_norm_matrix(
@@ -474,6 +523,143 @@ def _near_dup_lsh(
         )
         .filter(F.col("cosine_sim") >= threshold)
     )
+
+
+def _fit_and_assign_cells(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_centroids: int | None,
+    fit_sample: int,
+    seed: int,
+    target_cell_rows: int,
+) -> tuple[DataFrame | None, int]:
+    """Shared coarse-quantizer front end for the cell-based pair scans
+    (semantic_dedup and the near-dup cells route): seeded driver-side fit
+    sample → deterministic spherical k-means → broadcast-centroid GEMM
+    assignment with NO shuffle. Returns (cells, n_centroids) where cells =
+    (__cell int, id long, v array<double> row-normalized), localCheckpoint'd
+    because every caller reads it at least twice; (None, 0) on an empty
+    corpus."""
+    spark = corpus.sparkSession
+    sample_pdf = (
+        corpus.select(vec_col)
+        .sample(withReplacement=False, fraction=1.0, seed=seed)
+        .limit(fit_sample)
+        .toPandas()
+    )
+    if len(sample_pdf) == 0:
+        return None, 0
+    X = np.stack(sample_pdf[vec_col].to_numpy()).astype(np.float64)
+    X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    n_centroids = _auto_centroids(corpus, n_centroids, fit_sample, target_cell_rows)
+    C = _spherical_kmeans(X, n_centroids, seed)
+    bC = spark.sparkContext.broadcast(C)
+
+    assign_schema = T.StructType(
+        [
+            T.StructField("__cell", T.IntegerType()),
+            T.StructField("id", T.LongType()),
+            T.StructField("v", T.ArrayType(T.DoubleType())),
+        ]
+    )
+
+    def assign(batches):
+        C_ = bC.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            M = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            Mn = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+            cell = np.argmax(Mn @ C_.T, axis=1).astype(np.int32)
+            yield pd.DataFrame(
+                {
+                    "__cell": cell,
+                    "id": pdf[id_col].to_numpy().astype(np.int64),
+                    "v": [m.tolist() for m in Mn],
+                }
+            )
+
+    assign_per_mb = max(0.5, min(8.0, 8.0 * 64.0 / max(1, n_centroids)))
+    cells = widen(corpus.select(id_col, vec_col), per_mb=assign_per_mb).mapInPandas(
+        assign, schema=assign_schema
+    )
+    return cells.localCheckpoint(eager=False), n_centroids
+
+
+def _cell_pair_scan(
+    cells: DataFrame,
+    threshold: float,
+    ndigits: int,
+    block_rows: int,
+    with_sim: bool,
+) -> DataFrame:
+    """Within-cell passing-pair scan over ``cells`` from _fit_and_assign_cells:
+    one shuffle on the cell id (applyInPandas), per-cell work blocked into
+    (block_rows × |cell|) GEMMs so memory stays bounded even in a hot cell.
+    Emits (id_a, id_b) with id_a < id_b — plus the rounded cosine when
+    ``with_sim`` — for pairs whose rounded similarity meets the threshold;
+    the n² pair set never materializes."""
+    fields = [T.StructField("id_a", T.LongType()), T.StructField("id_b", T.LongType())]
+    if with_sim:
+        fields.append(T.StructField("cosine_sim", T.DoubleType()))
+    edge_schema = T.StructType(fields)
+
+    def cell_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        cols = ["id_a", "id_b"] + (["cosine_sim"] if with_sim else [])
+        if n < 2:
+            out = pd.DataFrame({c: [] for c in cols})
+            return out.astype({"id_a": "int64", "id_b": "int64"})
+        pdf = pdf.sort_values("id")
+        ids = pdf["id"].to_numpy().astype(np.int64)
+        M = np.stack(pdf["v"].to_numpy())  # already normalized
+        out_a, out_b, out_s = [], [], []
+        for lo in range(0, n, block_rows):
+            blk = M[lo : lo + block_rows]
+            sims = np.round(blk @ M.T, ndigits)
+            bi, ci = np.nonzero(sims >= threshold - 1e-9)
+            keep_mask = (lo + bi) < ci  # id_a < id_b once, sorted order
+            out_a.append(ids[lo + bi[keep_mask]])
+            out_b.append(ids[ci[keep_mask]])
+            if with_sim:
+                out_s.append(sims[bi[keep_mask], ci[keep_mask]])
+        data = {"id_a": np.concatenate(out_a), "id_b": np.concatenate(out_b)}
+        if with_sim:
+            data["cosine_sim"] = np.concatenate(out_s)
+        return pd.DataFrame(data)
+
+    return cells.groupBy("__cell").applyInPandas(cell_pairs, schema=edge_schema)
+
+
+def _near_dup_cells(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+    ndigits: int,
+    target_cell_rows: int,
+    fit_sample: int,
+    seed: int,
+    block_rows: int = 4096,
+) -> DataFrame:
+    """Cells route for embedding_near_dup_pairs: semantic_dedup's coarse
+    quantizer + within-cell blocked GEMM, but emitting (id_a, id_b,
+    cosine_sim) pairs directly. Cost is bounded at ~n · target_cell_rows
+    sims regardless of how the corpus clusters — the regime where
+    hyperplane LSH emits ~all same-cluster pairs as candidates (measured:
+    70 GB of spill at 2M clustered vectors). Approximate like
+    semantic_dedup: pairs straddling a cell boundary are missed."""
+    cells, _ = _fit_and_assign_cells(
+        corpus, id_col, vec_col, None, fit_sample, seed, target_cell_rows
+    )
+    if cells is None:
+        spark = corpus.sparkSession
+        return spark.createDataFrame(
+            [], "id_a long, id_b long, cosine_sim double"
+        )
+    pairs = _cell_pair_scan(cells, threshold, ndigits, block_rows, with_sim=True)
+    return pairs.filter(F.col("cosine_sim") >= threshold)
 
 
 def _band_hashes_udf(planes: np.ndarray, bands: int):
@@ -780,79 +966,16 @@ def semantic_dedup(
     more boundary, so raise ``target_cell_rows``/pin ``n_centroids`` when
     recall matters more than cost, or union a second, shifted-seed
     clustering."""
-    spark = corpus.sparkSession
-    sample_pdf = (
-        corpus.select(vec_col)
-        .sample(withReplacement=False, fraction=1.0, seed=seed)
-        .limit(fit_sample)
-        .toPandas()
+    cells, n_centroids = _fit_and_assign_cells(
+        corpus, id_col, vec_col, n_centroids, fit_sample, seed, target_cell_rows
     )
-    if len(sample_pdf) == 0:  # empty corpus: nothing to cluster or prune
+    if cells is None:  # empty corpus: nothing to cluster or prune
         return corpus.select(
             F.col(id_col),
             F.lit(0).cast("int").alias("cluster_id"),
             F.lit(True).alias("keep"),
         )
-    X = np.stack(sample_pdf[vec_col].to_numpy()).astype(np.float64)
-    X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
-    n_centroids = _auto_centroids(corpus, n_centroids, fit_sample, target_cell_rows)
-    C = _spherical_kmeans(X, n_centroids, seed)
-    bC = spark.sparkContext.broadcast(C)
-
-    assign_schema = T.StructType(
-        [
-            T.StructField("__cell", T.IntegerType()),
-            T.StructField("id", T.LongType()),
-            T.StructField("v", T.ArrayType(T.DoubleType())),
-        ]
-    )
-
-    def assign(batches):
-        C_ = bC.value
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            M = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-            Mn = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
-            cell = np.argmax(Mn @ C_.T, axis=1).astype(np.int32)
-            yield pd.DataFrame(
-                {
-                    "__cell": cell,
-                    "id": pdf[id_col].to_numpy().astype(np.int64),
-                    "v": [m.tolist() for m in Mn],
-                }
-            )
-
-    assign_per_mb = max(0.5, min(8.0, 8.0 * 64.0 / max(1, n_centroids)))
-    cells = widen(corpus.select(id_col, vec_col), per_mb=assign_per_mb).mapInPandas(
-        assign, schema=assign_schema
-    )
-    cells = cells.localCheckpoint(eager=False)  # feeds both pair scan and output
-
-    edge_schema = T.StructType(
-        [T.StructField("id_a", T.LongType()), T.StructField("id_b", T.LongType())]
-    )
-
-    def cell_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
-        n = len(pdf)
-        if n < 2:
-            return pd.DataFrame({"id_a": [], "id_b": []}).astype("int64")
-        pdf = pdf.sort_values("id")
-        ids = pdf["id"].to_numpy().astype(np.int64)
-        M = np.stack(pdf["v"].to_numpy())  # already normalized
-        out_a, out_b = [], []
-        for lo in range(0, n, block_rows):
-            blk = M[lo : lo + block_rows]
-            sims = np.round(blk @ M.T, ndigits)
-            bi, ci = np.nonzero(sims >= threshold - 1e-9)
-            keep_mask = (lo + bi) < ci  # id_a < id_b once, sorted order
-            out_a.append(ids[lo + bi[keep_mask]])
-            out_b.append(ids[ci[keep_mask]])
-        return pd.DataFrame(
-            {"id_a": np.concatenate(out_a), "id_b": np.concatenate(out_b)}
-        )
-
-    edges = cells.groupBy("__cell").applyInPandas(cell_pairs, schema=edge_schema)
+    edges = _cell_pair_scan(cells, threshold, ndigits, block_rows, with_sim=False)
 
     from etl_processes_spark.ops.dedup import connected_components
 

@@ -481,3 +481,88 @@ def test_auto_pq_m_prefers_4dim_subspaces():
     assert _auto_pq_m(768) == 192
     assert _auto_pq_m(6) == 3    # falls back to 2-dim subspaces
     assert _auto_pq_m(7) == 1    # prime, <=8: single subspace
+
+
+def test_near_dup_cells_route_subset_of_exact_with_high_recall(spark):
+    # corpus of tight planted near-dup pairs: the cells route must return a
+    # SUBSET of the exact pairs (precision 1, identical rounded sims) and
+    # recover nearly all of them (only cell-boundary straddlers may drop)
+    rng = np.random.RandomState(7)
+    base = rng.randn(200, 16)
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((2 * i, v.tolist()))
+        w = v + 1e-4 * rng.randn(16)  # planted near-dup of v
+        rows.append((2 * i + 1, (w / np.linalg.norm(w)).tolist()))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    pair_map = lambda res: {
+        (r["id_a"], r["id_b"]): r["cosine_sim"] for r in res.collect()
+    }
+    exact = pair_map(
+        embedding_near_dup_pairs(df, threshold=0.999, method="exact")
+    )
+    cells = pair_map(
+        embedding_near_dup_pairs(
+            df, threshold=0.999, method="cells", target_cell_rows=32,
+        )
+    )
+    assert set(cells) <= set(exact)
+    assert len(cells) >= 0.8 * len(exact) > 0
+    for p, sim in cells.items():
+        assert sim == exact[p]
+
+
+def test_near_dup_auto_routes_clustered_corpus_to_cells(spark):
+    # mid-threshold + clustered corpus + big-n hint: the sampled candidate
+    # estimate must reject LSH, and the auto result must equal the explicit
+    # cells route bit-for-bit (same seed, same quantizer)
+    import warnings
+
+    from etl_processes_spark.ops.similarity import (
+        _auto_lsh_geometry,
+        _estimate_lsh_candidates,
+    )
+
+    rng = np.random.RandomState(3)
+    centers = rng.randn(5, 16)
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    lab = rng.randint(0, 5, 300)
+    M = centers[lab] + 0.05 * rng.randn(300, 16)
+    M /= np.linalg.norm(M, axis=1, keepdims=True)
+    df = spark.createDataFrame(
+        [(i, M[i].tolist()) for i in range(300)],
+        "vec_id long, embedding array<double>",
+    )
+    n_hint = 2_000_000
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        npl, b = _auto_lsh_geometry(n_hint, 0.5)
+    est = _estimate_lsh_candidates(M, n_hint, npl, b)
+    assert est > 64.0 * n_hint  # clustered corpus: LSH would not prune
+
+    pair_set = lambda res: {(r["id_a"], r["id_b"]) for r in res.collect()}
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        auto = pair_set(
+            embedding_near_dup_pairs(df, threshold=0.5, n_rows=n_hint)
+        )
+    explicit = pair_set(
+        embedding_near_dup_pairs(df, threshold=0.5, method="cells")
+    )
+    assert auto == explicit and len(auto) > 0
+
+    # the tight near-dup regime on a NON-clustered sample keeps LSH:
+    # random d=64 sims concentrate near 0, so candidates stay in budget
+    Xr = rng.randn(512, 64)
+    Xr /= np.linalg.norm(Xr, axis=1, keepdims=True)
+    npl2, b2 = _auto_lsh_geometry(n_hint, 0.95)
+    assert _estimate_lsh_candidates(Xr, n_hint, npl2, b2) <= 64.0 * n_hint
+
+
+def test_near_dup_method_validation(spark):
+    import pytest
+
+    df = spark.createDataFrame([(0, [1.0, 0.0])], "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="method"):
+        embedding_near_dup_pairs(df, method="fast")
