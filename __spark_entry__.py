@@ -1531,15 +1531,6 @@ def bench_components() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return raw.unionByName(sha)
 
-    def c_embedding_near_dup(spark, sf):
-        # round-2/3 workload: exact all-pairs only (the gate adds semdedup
-        # and the classifier part)
-        from etl_processes_spark.ops.similarity import embedding_near_dup_pairs
-
-        return embedding_near_dup_pairs(
-            _t(spark, sf, "embeddings"), threshold=0.5, ndigits=ND
-        )
-
     def c_line_dedup(spark, sf):
         from etl_processes_spark.ops.dedup import line_dedup
 
@@ -1743,7 +1734,6 @@ def bench_components() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_analysis": c_text_analysis,
         "pack_documents": c_pack_documents,
         "dedup_exact": c_dedup_exact,
-        "embedding_near_dup": c_embedding_near_dup,
         "line_dedup": c_line_dedup,
         "semantic_dedup": c_semantic_dedup,
         "embedding_near_dup": c_embedding_near_dup,

@@ -33,19 +33,34 @@ def _orderable(dt: "T.DataType") -> bool:
 
 def _tiebreak_exprs(changes: DataFrame, keys: list[str], ts: str):
     """Deterministic same-timestamp tie-break: every remaining ORDERABLE
-    column, desc nulls last. Map-typed columns (unorderable) fall back to a
-    64-bit hash when hashable so rows differing only in a map still order
-    deterministically."""
+    column, desc nulls last. Map-typed columns (unorderable) order on a json
+    render instead — for a top-level map whose key/value types are
+    themselves orderable, the entries are sorted by key first, so two maps
+    equal as VALUES but built with different entry-insertion order
+    tie-break identically. Deeper-nested maps (inside arrays/structs) fall
+    back to the raw json render, which is deterministic per physical entry
+    layout only."""
     others = [c for c in changes.columns if c not in keys and c != ts]
     by_name = {f.name: f.dataType for f in changes.schema.fields}
     exprs = [
         F.col(c).desc_nulls_last() for c in others if _orderable(by_name[c])
     ]
-    unord = [c for c in others if not _orderable(by_name[c])]
-    if unord:
-        # hash(map) needs the legacy flag in some Spark configs; order on the
-        # json render instead — deterministic and always valid.
-        exprs += [F.to_json(F.col(c)).desc_nulls_last() for c in unord]
+    for c in others:
+        dt = by_name[c]
+        if _orderable(dt):
+            continue
+        if (
+            isinstance(dt, T.MapType)
+            and _orderable(dt.keyType)
+            and _orderable(dt.valueType)
+        ):
+            # canonical order-insensitive render: entries sorted by key
+            # (sort_array on struct<key,value> compares key first; map keys
+            # are unique so the value never decides)
+            canon = F.to_json(F.sort_array(F.map_entries(F.col(c))))
+        else:
+            canon = F.to_json(F.col(c))
+        exprs.append(canon.desc_nulls_last())
     return exprs
 
 

@@ -375,33 +375,78 @@ def _jaccard_pairs_prefix(sh: DataFrame, threshold: float, ndigits: int) -> Data
     prefix postings only are EXACT (no false negatives; pinned by a
     brute-force differential test).
 
-    Plan shape: one window rank per doc (id-keyed shuffle), prefix
-    self-join whose volume is Σ prefix-df² (at t=0.9 prefixes are ~1-2
-    shingles/doc regardless of length), then the verify joins candidate
-    pairs to per-doc sorted hash ARRAYS and computes exact Jaccard with
-    native array_intersect — JVM-side, no lambda, no Python."""
+    Plan shape (round-7 restructure — the first cut window-ranked the FULL
+    posting stream and collect_list'd EVERY doc before any pruning, which
+    went 26× superlinear at sf100):
+
+     - df==1 postings can never collide, and because df==1 sorts before any
+       df>=2 in the (df asc, h asc) rarity order, a doc's ``u1`` singleton
+       shingles occupy exactly the FIRST u1 prefix slots. So the row_number
+       window ranks ONLY the df>=2 stream (on a Zipf corpus the hapax mass
+       is the bulk of the postings) with the cutoff shifted down by u1 —
+       identical prefixes minus provably-collision-free members.
+     - candidates carry set sizes inline and apply the PPJoin length filter
+       |small| >= t·|large| (J >= t forces it) INSIDE the self-join, before
+       the distinct.
+     - the verify arrays are built only for docs that appear in a candidate
+       pair (semi-join on the candidate id set) — at t>=0.3 that is a tiny
+       fraction of the corpus, and collect_list over everything was the
+       widest shuffle in the pipeline.
+
+    Verify then joins candidate pairs to per-doc sorted hash ARRAYS and
+    computes exact Jaccard with native array_intersect — JVM-side, no
+    lambda, no Python."""
     from pyspark.sql.window import Window
 
     freq = sh.groupBy("h").agg(F.count(F.lit(1)).alias("__df"))
-    ranked = sh.join(freq, "h").withColumn(
+    j = sh.join(freq, "h").localCheckpoint(eager=False)  # feeds stats AND rank
+    stats = j.groupBy("id").agg(
+        F.count(F.lit(1)).alias("sz"),
+        F.sum((F.col("__df") == 1).cast("int")).alias("u1"),
+    )
+    ranked = j.filter(F.col("__df") >= 2).withColumn(
         "rn",
         F.row_number().over(
             Window.partitionBy("id").orderBy(F.asc("__df"), F.asc("h"))
         ),
     )
-    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     prefix = (
-        ranked.join(sizes, "id")
-        .filter(F.col("rn") <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1)
-        .select("id", "h")
+        ranked.join(stats, "id")
+        .filter(
+            F.col("rn") + F.col("u1")
+            <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1
+        )
+        .select("id", "h", "sz")
     )
     a, b = prefix.alias("a"), prefix.alias("b")
     cand = (
-        a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.id") < F.col("b.id")))
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.id") < F.col("b.id"))
+            # length filter: J >= t ⇒ min(|a|,|b|) >= t·max(|a|,|b|); the
+            # 1e-9 slack keeps float rounding from dropping boundary pairs
+            # (false positives are fine — verify is exact)
+            & (
+                F.least(F.col("a.sz"), F.col("b.sz"))
+                >= F.lit(threshold) * F.greatest(F.col("a.sz"), F.col("b.sz"))
+                - F.lit(1e-9)
+            ),
+        )
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
-    docs = sh.groupBy("id").agg(F.sort_array(F.collect_list("h")).alias("hs"))
+    cand = cand.localCheckpoint(eager=False)  # feeds the id set AND the verify join
+    cand_ids = (
+        cand.select(F.col("id_a").alias("id"))
+        .union(cand.select(F.col("id_b").alias("id")))
+        .distinct()
+    )
+    docs = (
+        sh.join(cand_ids, "id", "left_semi")
+        .groupBy("id")
+        .agg(F.sort_array(F.collect_list("h")).alias("hs"))
+    )
     return (
         cand.join(docs.select(F.col("id").alias("id_a"), F.col("hs").alias("hs_a")), "id_a")
         .join(docs.select(F.col("id").alias("id_b"), F.col("hs").alias("hs_b")), "id_b")
@@ -1127,19 +1172,57 @@ def remove_duplicate_spans(
     j = base.join(starts, "__id", "left").withColumn(
         "__starts", F.coalesce("__starts", F.array().cast("array<int>"))
     )
-    covered = lambda i: F.exists(
-        F.col("__starts"), lambda s: (s <= i) & (i < s + F.lit(k))
+    # Coverage via MERGED intervals, not per-token exists: the naive
+    # exists(__starts, s <= i < s+k) is O(n_tokens × n_dup_windows) per doc —
+    # quadratic exactly where a Zipf corpus concentrates duplicated spans
+    # (measured 18.5× superlinear at sf100). Stride-1 duplicate windows
+    # overlap massively, so first fold the sorted starts into disjoint
+    # [lo, hi) intervals, then reassemble the KEPT text directly from the
+    # gaps between them with array slices — O(n_tokens + n_intervals), all
+    # shift/zip_with/slice native exprs (no O(m²) aggregate-fold, which
+    # copies the accumulator array per step).
+    #
+    # A start s covers tokens [s, s+k); two sorted starts s, s' merge iff
+    # s' - s <= k (adjacent windows produce contiguous coverage). So an
+    # interval OPENS at each start whose predecessor is > k behind, and
+    # CLOSES at s+k for each start whose successor is > k ahead — computed
+    # by zipping __starts with its shift-by-one in both directions.
+    n_starts = F.size("__starts")
+    prevs = F.concat(
+        F.array(F.lit(-(10**9))),
+        F.slice("__starts", 1, F.greatest(n_starts - 1, F.lit(0))),
     )
-    # sequence(1, 0) would generate a DESCENDING [1, 0] — token-less docs
-    # must map to an empty index list explicitly
-    idx = F.when(
-        F.col("__n") >= 1, F.sequence(F.lit(1), F.col("__n"))
-    ).otherwise(F.array().cast("array<int>"))
-    kept = F.filter(
-        F.transform(
-            idx, lambda i: F.when(~covered(i), F.element_at("__toks", i))
+    nexts = F.concat(
+        F.slice("__starts", 2, F.greatest(n_starts - 1, F.lit(0))),
+        F.array(F.lit(2 * 10**9)),
+    )
+    los = F.transform(
+        F.filter(
+            F.zip_with(
+                "__starts", prevs, lambda s, p: F.struct(s.alias("s"), (s - p > k).alias("f"))
+            ),
+            lambda x: x["f"],
         ),
-        lambda t: t.isNotNull(),
+        lambda x: x["s"],
+    )
+    his = F.transform(
+        F.filter(
+            F.zip_with(
+                "__starts", nexts, lambda s, nx: F.struct((s + k).alias("s"), (nx - s > k).alias("f"))
+            ),
+            lambda x: x["f"],
+        ),
+        lambda x: x["s"],
+    )
+    # kept segments are the gaps: [1, lo_1) ∪ [hi_1, lo_2) ∪ … ∪ [hi_m, n+1)
+    seg_los = F.concat(F.array(F.lit(1)), his)
+    seg_his = F.concat(los, F.array(F.col("__n") + 1))  # exclusive
+    gaps = F.filter(
+        F.zip_with(seg_los, seg_his, lambda a, b: F.struct(a.alias("lo"), b.alias("hi"))),
+        lambda g: g["hi"] > g["lo"],
+    )
+    kept = F.flatten(
+        F.transform(gaps, lambda g: F.slice("__toks", g["lo"], g["hi"] - g["lo"]))
     )
     return j.select(
         F.col("__id").alias(id_col),

@@ -327,7 +327,6 @@ def _decode_scan(b, start, frame, scan_comps, qt, huff, restart_interval):
     seg_idx = 0
     reader = _BitReader(segs[0])
     pred = [0] * len(order)
-    per_seg = restart_interval if restart_interval else n_mcu
 
     for mcu in range(n_mcu):
         if mcu and restart_interval and mcu % restart_interval == 0:
@@ -430,7 +429,12 @@ def _build_huffman(freqs: dict[int, int]) -> tuple[list[int], list[int]]:
     nodes = [(f, [s]) for s, f in freqs.items()]
     lengths: dict[int, int] = {s: 0 for s in freqs}
     while len(nodes) > 1:
-        nodes.sort(key=lambda t: t[0])
+        # tie-break: the node holding the reserved symbol 256 merges FIRST
+        # at equal frequency, so 256 always ends at the deepest code length
+        # and the all-1-bits code (reserved by ISO 10918-1 for baseline
+        # tables) is guaranteed to land on it, never on a real symbol —
+        # libjpeg's "V=256 takes the longest code" guarantee
+        nodes.sort(key=lambda t: (t[0], 0 if 256 in t[1] else 1))
         (f1, s1), (f2, s2) = nodes[0], nodes[1]
         for s in s1 + s2:
             lengths[s] += 1

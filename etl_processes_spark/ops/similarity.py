@@ -363,6 +363,7 @@ def _auto_topk_lsh_geometry(
     max_bands: int = 64,
     max_total_planes: int = 1024,
     nq: int = 20,
+    warn: bool = True,
 ) -> tuple[int, int]:
     """Cost-optimal (num_planes, bands) for TOP-K hyperplane LSH at an
     estimated k-th-neighbor similarity ``tau``: per-band collision odds for
@@ -393,7 +394,7 @@ def _auto_topk_lsh_geometry(
         kp, b = 2, max_bands
     else:
         _, kp, b = best
-    if b * 2.0**-kp > 0.25:
+    if warn and b * 2.0**-kp > 0.25:
         warnings.warn(
             f"ann_cosine_lsh: at estimated neighbor similarity tau={tau:.2f} "
             f"the geometry ({b} bands x {kp} planes) expects to verify "
@@ -698,6 +699,8 @@ def ann_cosine_lsh(
     target_recall: float = 0.9,
     fit_sample: int = 2048,
     n_rows: int | None = None,
+    route: str = "auto",
+    max_verify_frac: float = 0.25,
 ) -> DataFrame:
     """ANN via random-hyperplane LSH: candidates = bucket collisions on any
     band of the sign signature; exact cosine re-rank of candidates only.
@@ -710,7 +713,20 @@ def ann_cosine_lsh(
     default (16 planes / 4 bands) measured recall 0.39 at sf0.1 because the
     test corpus's neighbors live near cosine 0.35 where 4-plane bands almost
     never collide. Pass both knobs to pin a geometry (the gate/oracle path);
-    pass ``n_rows`` at scale to skip the count."""
+    pass ``n_rows`` at scale to skip the count.
+
+    ``route``: with "auto" (default) the MEASURED regime decides the
+    algorithm, the way ``embedding_near_dup_pairs`` routes lsh/cells: if the
+    chosen geometry's expected per-query verify volume exceeds
+    ``max_verify_frac`` of the corpus (bands·2^-planes_per_band — the same
+    quantity the old warning reported), hyperplane buckets are not pruning
+    in this similarity regime and the call delegates to ``ann_cosine_ivf``
+    (identical output contract, calibrated to the same ``target_recall``) —
+    sf100 measured 188s non-pruning LSH vs 13-28s IVF at equal-or-better
+    recall. "lsh" pins the hyperplane path (the old warning fires instead);
+    explicit ``num_planes``/``bands`` also pin it."""
+    if route not in ("auto", "lsh"):
+        raise ValueError(f"route must be auto|lsh, got {route!r}")
     if (num_planes is None) != (bands is None):
         raise ValueError(
             "ann_cosine_lsh: num_planes and bands must be supplied together "
@@ -725,7 +741,21 @@ def ann_cosine_lsh(
             n = corpus.count()
         X = _sample_norm_matrix(corpus, vec_col, fit_sample, seed)
         tau = _estimate_tau_k(X, n, k)
-        num_planes, bands = _auto_topk_lsh_geometry(n, tau, target_recall)
+        num_planes, bands = _auto_topk_lsh_geometry(
+            n, tau, target_recall, warn=(route != "auto")
+        )
+        kp = max(1, num_planes // max(bands, 1))
+        if route == "auto" and bands * 2.0**-kp > max_verify_frac:
+            return ann_cosine_ivf(
+                corpus,
+                queries,
+                id_col,
+                vec_col,
+                k=k,
+                seed=seed,
+                ndigits=ndigits,
+                target_recall=target_recall,
+            )
         dim = X.shape[1]
     if dim is None:
         dim = len(corpus.select(vec_col).first()[0])
@@ -1034,10 +1064,65 @@ def _auto_refine(n: int) -> int:
     candidate multiple grows with log2(n) — measured: 11× at 2k rows and
     14× at 20k rows lift refined recall to ~1.0/0.97 where a static 8×
     reached 0.45. The refine stage reads only nq·refine·k true vectors, so
-    generosity is cheap."""
+    generosity is cheap. This is the FLOOR; the auto paths calibrate on the
+    fit sample instead (_calibrate_refine) because log2(n) undershoots on
+    corpora where ADC rank quality is poor (measured recall slide
+    1.0 → 0.95 → 0.89 across sf1 → sf10 → sf100)."""
     import math
 
     return max(8, int(round(math.log2(max(n, 2)))))
+
+
+def _calibrate_refine(
+    X: np.ndarray,
+    books: np.ndarray,
+    n: int,
+    k: int,
+    target_recall: float = 0.95,
+    nq_cal: int = 128,
+    cap: int = 512,
+) -> int:
+    """Resolve the refine (over-fetch) multiple by MEASURING ADC rank
+    quality on the fit sample, the _calibrate_nprobe pattern: encode the
+    sample with the trained codebooks, ADC-score ``nq_cal`` sample queries,
+    and read off how deep in the ADC ranking the true (exact-cosine) top-k
+    neighbors actually live. The ``target_recall``-quantile of those sample
+    ranks scales LINEARLY with corpus size (an intruder is a vector whose
+    quantization error lifts its ADC score above a true neighbor's; intruder
+    count at fixed error density is proportional to n), so the sample rank
+    is multiplied by n/|sample| before converting to a multiple of k.
+    Clamped to [_auto_refine(n), cap] — the refine stage reads only
+    nq·refine·k true vectors, so the cap binds cost, not recall, and a cap
+    that binds hard means PQ itself is the wrong index for the corpus."""
+    m, ksub, dsub = books.shape
+    s = len(X)
+    if s < 2:
+        return _auto_refine(n)
+    codes = np.empty((s, m), dtype=np.int64)
+    for sub in range(m):
+        Xs = X[:, sub * dsub : (sub + 1) * dsub]
+        codes[:, sub] = np.argmin(_sq_dists(Xs, books[sub]), axis=1)
+    nq = min(nq_cal, s)
+    Q = X[:nq]
+    tables = np.einsum("qsd,sjd->qsj", Q.reshape(nq, m, dsub), books)
+    adc = np.zeros((nq, s), dtype=np.float64)
+    for sub in range(m):
+        adc += tables[:, sub, codes[:, sub]]
+    exact = Q @ X.T
+    diag = np.arange(nq)
+    exact[diag, diag] = -np.inf  # query qi IS sample row qi
+    adc[diag, diag] = -np.inf
+    kk = min(k, s - 1)
+    if kk <= 0:
+        return _auto_refine(n)
+    topk = np.argsort(-exact, axis=1)[:, :kk]
+    adc_rank = np.argsort(np.argsort(-adc, axis=1), axis=1)  # 0-based positions
+    ranks = np.sort(adc_rank[diag[:, None], topk].ravel())
+    need = int(np.ceil(target_recall * len(ranks)))
+    r_sample = int(ranks[need - 1]) + 1 if need else 1
+    scaled = r_sample * max(1.0, n / s)
+    refine = int(np.ceil(scaled / max(k, 1)))
+    return max(_auto_refine(n), min(refine, cap))
 
 
 def _pq_fit(X: np.ndarray, m: int, ksub: int, max_iter: int = 10) -> np.ndarray:
@@ -1306,7 +1391,11 @@ def ann_cosine_pq(
             n = _estimate_rows(corpus)
         if n is None:
             n = corpus.count()
-        refine = _auto_refine(n)
+        # calibrated on the SAME seeded sample pq_train fit on (deterministic
+        # by the shared _sample_norm_matrix contract) — log2(n) alone
+        # undershot at sf100 (recall 0.89 and sliding one decade per ~0.05)
+        X_fit = _sample_norm_matrix(corpus, vec_col, fit_sample, seed)
+        refine = _calibrate_refine(X_fit, books, n, k)
     if refine is None:
         return pq_topk(codes, qpdf, books, id_col, vec_col, k=k, ndigits=ndigits)
     cand = pq_topk(
@@ -1427,19 +1516,26 @@ def ann_cosine_ivf_pq(
             n = _estimate_rows(corpus)
         if n is None:
             n = corpus.count()
-    if refine == "auto":
-        refine = _auto_refine(n)
     k_out = k
-    if refine is not None:
-        k = k * max(1, refine)
     C, books, index = ivf_pq_index(
         corpus, id_col, vec_col, n_centroids, m, ksub, fit_sample, seed
     )
     n_centroids = len(C)  # resolved (auto-scaled and/or sample-clamped)
     m_, ksub_, dsub = books.shape
-    if n_probe is None:
+    if refine == "auto" or n_probe is None:
         Xs_fit = _sample_norm_matrix(corpus, vec_col, fit_sample, seed)
-        n_probe = _calibrate_nprobe(Xs_fit, C, target_recall**0.5, k_out)
+        if refine == "auto":
+            # the probe stage and the ADC+refine stage multiply, so the
+            # refine calibration targets sqrt of the end-to-end goal —
+            # matched to the n_probe split below; measured on the sample,
+            # scaled to the corpus (see _calibrate_refine)
+            refine = _calibrate_refine(
+                Xs_fit, books, n, k_out, target_recall=max(0.95, target_recall**0.5)
+            )
+        if n_probe is None:
+            n_probe = _calibrate_nprobe(Xs_fit, C, target_recall**0.5, k_out)
+    if refine is not None:
+        k = k * max(1, refine)
     qpdf = queries.select(id_col, vec_col).toPandas()
     qids = qpdf[id_col].to_numpy().astype(np.int64)
     Q = np.stack(qpdf[vec_col].to_numpy()).astype(np.float64)
