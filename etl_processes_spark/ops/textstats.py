@@ -147,6 +147,101 @@ def quality_features(df: DataFrame, id_col: str, text_col: str, ndigits: int = 6
     )
 
 
+def text_analysis_features(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    ndigits: int = 6,
+    extra_rowwise: dict[str, Column] | None = None,
+) -> DataFrame:
+    """Fused text-analysis pass: token counts + language ID + quality
+    features (+ optional caller row-wise columns) in ONE tokenize →
+    explode → hash aggregate. Value-identical to
+    token_count ⋈ lang_id ⋈ quality_features, but without the two id-keyed
+    join shuffles and — the real cost — without re-evaluating the
+    interpreted tokenize pipeline per consumer: higher-order functions are
+    never subexpression-eliminated, so the column-composition form
+    (token_count_expr + 4 _marker_hits + the argmax when-chain referencing
+    every score twice) re-tokenizes each row ~12×. Here tokens_expr runs
+    once, the exploded stream partial-aggregates map-side (one row per doc
+    reaches the shuffle), and marker/stopword hits are branches of the same
+    aggregate.
+
+    ``extra_rowwise``: name → Column of additional row-wise expressions
+    (e.g. URL-curation columns) carried through the aggregate as grouping
+    keys — callers get their columns back without a join."""
+    from etl_processes_spark.ops.dedup import tokens_expr
+
+    s = F.col(text_col).cast("string")
+    extra = dict(extra_rowwise or {})
+    base = widen(df, per_mb=2.0).select(
+        F.col(id_col),
+        F.monotonically_increasing_id().alias("__rid"),
+        tokens_expr(text_col).alias("__toks"),
+        F.length(s).alias("__nchars_i"),
+        F.length(F.regexp_replace(F.lower(s), r"[^a-z0-9 ]", ""))
+        .cast("double")
+        .alias("__alpha"),
+        bpe_ish_token_count_expr(text_col).alias("__bpe"),
+        *[v.alias(f"__x_{k}") for k, v in extra.items()],
+    )
+    keys = [id_col, "__rid", "__nchars_i", "__alpha", "__bpe"] + [
+        f"__x_{k}" for k in extra
+    ]
+    tok = base.select(
+        *keys,
+        # size(null)/filter(null) propagate NULL in the expression forms —
+        # the flag reproduces that for null text (count() alone would give 0)
+        F.col("__toks").isNull().alias("__tnull"),
+        F.explode_outer("__toks").alias("__t"),
+    )
+    agg = tok.groupBy(*keys, "__tnull").agg(
+        F.count("__t").alias("__cnt"),
+        F.sum(F.when(F.col("__t").isin(*STOPWORDS), 1).otherwise(0))
+        .cast("double")
+        .alias("__stop"),
+        F.sum(F.coalesce(F.length("__t"), F.lit(0))).cast("double").alias("__toklen"),
+        *[
+            F.sum(F.when(F.col("__t").isin(*m), 1).otherwise(0)).alias(f"__hit_{lang}")
+            for lang, m in LANG_MARKERS.items()
+        ],
+    )
+    n_tok = F.col("__cnt").cast("double")
+    n_chars = F.col("__nchars_i").cast("double")
+    len_score = F.least(n_tok / F.lit(100.0), F.lit(1.0))
+    alpha_ratio = F.when(n_chars > 0, F.col("__alpha") / n_chars).otherwise(F.lit(0.0))
+    stop_ratio = F.when(n_tok > 0, F.col("__stop") / n_tok).otherwise(F.lit(0.0))
+    mean_tok_len = F.when(n_tok > 0, F.col("__toklen") / n_tok).otherwise(F.lit(0.0))
+    score = (
+        F.lit(0.4) * len_score
+        + F.lit(0.3) * alpha_ratio
+        + F.lit(0.3) * F.least(stop_ratio * 5, F.lit(1.0))
+    )
+    best = F.greatest(*[F.col(f"__hit_{lang}") for lang in LANG_ORDER])
+    pred = F.lit("und")
+    for lang in reversed(LANG_ORDER):
+        pred = F.when(F.col(f"__hit_{lang}") == best, F.lit(lang)).otherwise(pred)
+    pred = F.when(best == 0, F.lit("und")).otherwise(pred)
+    null_l = F.lit(None).cast("long")
+    return agg.select(
+        F.col(id_col),
+        F.when(F.col("__tnull"), F.lit(None))
+        .otherwise(F.col("__cnt"))
+        .cast("int")
+        .alias("n_tokens"),
+        F.col("__bpe").alias("n_tokens_bpe"),
+        F.col("__nchars_i").alias("n_chars_measured"),
+        pred.alias("pred_lang"),
+        F.when(F.col("__tnull"), null_l).otherwise(best.cast("long")).alias("lang_score"),
+        *[F.col(f"__x_{k}").alias(k) for k in extra],
+        F.round(len_score, ndigits).alias("len_score"),
+        F.round(alpha_ratio, ndigits).alias("alpha_ratio"),
+        F.round(stop_ratio, ndigits).alias("stopword_ratio"),
+        F.round(mean_tok_len, ndigits).alias("mean_token_len"),
+        F.round(score, ndigits).alias("quality_score"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # intra-document repetition (Gopher-style repetition signals)
 # ---------------------------------------------------------------------------

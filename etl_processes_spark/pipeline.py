@@ -138,11 +138,7 @@ def run_training_data_pipeline(
 
     from etl_processes_spark.ops.dedup import dedup_clusters
     from etl_processes_spark.ops.pack import pack_documents, stratified_sample
-    from etl_processes_spark.ops.textstats import (
-        lang_id_exprs,
-        quality_features,
-        token_count_expr,
-    )
+    from etl_processes_spark.ops.textstats import text_analysis_features
 
     if line_dedup_max_df is not None:
         from etl_processes_spark.ops.dedup import line_dedup
@@ -224,20 +220,15 @@ def run_training_data_pipeline(
 
         kept = kept.withColumn(text_col, pii_clean_expr(text_col))
 
-    # lang-ID and token counting are row-wise Column expressions — computed
-    # in the SAME select, not joined back on id (each such join is a full
-    # corpus shuffle). Only quality_features genuinely aggregates (token
-    # explode + per-doc sums), so it is the one id-keyed join that remains.
-    pred_lang, _score = lang_id_exprs(text_col)
-    scored = kept.select(
-        F.col(id_col),
-        F.col(text_col),
-        pred_lang.alias("pred_lang"),
-        token_count_expr(text_col).alias("n_tokens"),
-    ).join(
-        quality_features(kept, id_col, text_col).select(id_col, "quality_score"),
-        id_col,
-    )
+    # lang-ID + token count + quality score come from ONE fused tokenize →
+    # explode → aggregate pass (text_analysis_features): the old
+    # column-composition form re-ran the interpreted tokenize pipeline
+    # ~10× per row (HOFs are never CSE'd) and still paid an id-keyed join
+    # for quality_features. The text column rides through the aggregate as
+    # a grouping key — one corpus shuffle total, text shipped once.
+    scored = text_analysis_features(
+        kept, id_col, text_col, extra_rowwise={text_col: F.col(text_col)}
+    ).select(id_col, text_col, "pred_lang", "n_tokens", "quality_score")
     filtered = scored.filter(
         F.col("pred_lang").isin(*langs) & (F.col("quality_score") >= min_quality)
     ).select(id_col, text_col, "pred_lang", "quality_score", "n_tokens")
