@@ -217,22 +217,29 @@ def text_analysis_features(
         + F.lit(0.3) * alpha_ratio
         + F.lit(0.3) * F.least(stop_ratio * 5, F.lit(1.0))
     )
-    best = F.greatest(*[F.col(f"__hit_{lang}") for lang in LANG_ORDER])
+    # null-text parity with the expression forms: size(filter(NULL)) = -1
+    # under the (default) legacy sizeOfNull, so the composed form reports
+    # n_tokens = -1 and every marker score -1 → best = -1 ≠ 0 → the argmax
+    # when-chain resolves to "en" (first in LANG_ORDER). Reproduced exactly.
+    hit = {
+        lang: F.when(F.col("__tnull"), F.lit(-1)).otherwise(F.col(f"__hit_{lang}"))
+        for lang in LANG_ORDER
+    }
+    best = F.greatest(*[hit[lang] for lang in LANG_ORDER])
     pred = F.lit("und")
     for lang in reversed(LANG_ORDER):
-        pred = F.when(F.col(f"__hit_{lang}") == best, F.lit(lang)).otherwise(pred)
+        pred = F.when(hit[lang] == best, F.lit(lang)).otherwise(pred)
     pred = F.when(best == 0, F.lit("und")).otherwise(pred)
-    null_l = F.lit(None).cast("long")
     return agg.select(
         F.col(id_col),
-        F.when(F.col("__tnull"), F.lit(None))
+        F.when(F.col("__tnull"), F.lit(-1))
         .otherwise(F.col("__cnt"))
         .cast("int")
         .alias("n_tokens"),
         F.col("__bpe").alias("n_tokens_bpe"),
         F.col("__nchars_i").alias("n_chars_measured"),
         pred.alias("pred_lang"),
-        F.when(F.col("__tnull"), null_l).otherwise(best.cast("long")).alias("lang_score"),
+        best.cast("long").alias("lang_score"),
         *[F.col(f"__x_{k}").alias(k) for k in extra],
         F.round(len_score, ndigits).alias("len_score"),
         F.round(alpha_ratio, ndigits).alias("alpha_ratio"),

@@ -182,6 +182,28 @@ def test_dedup_clusters_exact_and_near(docs):
     assert 4 not in out and 5 not in out
 
 
+def test_dedup_clusters_minhash_edge_source(docs):
+    """The scale route (edge_source="minhash") must find the same obvious
+    clusters as the exact n-gram route on this corpus: 0/1/3 collapse via
+    exact edges alone, 2 joins via the near-dup edge (any banding of a
+    0.7-Jaccard pair collides here), and unrelated docs stay out."""
+    import pytest as _pytest
+
+    from etl_processes_spark.ops.dedup import dedup_clusters
+
+    out = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup_clusters(
+            docs, "doc_id", "text", k=3, threshold=0.5,
+            edge_source="minhash", num_hashes=64, bands=32,
+        ).collect()
+    }
+    assert out[0] == out[1] == out[3] == 0
+    assert 4 not in out and 5 not in out
+    with _pytest.raises(ValueError, match="edge_source"):
+        dedup_clusters(docs, "doc_id", "text", edge_source="bogus")
+
+
 # hypothesis: connected components vs python union-find ----------------------
 
 from hypothesis import given, settings, strategies as st

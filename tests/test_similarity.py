@@ -566,3 +566,48 @@ def test_near_dup_method_validation(spark):
     df = spark.createDataFrame([(0, [1.0, 0.0])], "vec_id long, embedding array<double>")
     with pytest.raises(ValueError, match="method"):
         embedding_near_dup_pairs(df, method="fast")
+
+
+def test_ann_lsh_route_param_and_pinning(spark, sf_dir):
+    """route="auto" may delegate to IVF in a non-pruning regime; route="lsh"
+    pins the hyperplane path (warning fires instead) and still honors the
+    output contract; a bogus route raises."""
+    import warnings
+
+    from pyspark.sql import functions as F
+
+    from etl_processes_spark.ops.similarity import ann_cosine_lsh
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = e.filter(F.col("vec_id") < 3)
+    with pytest.raises(ValueError, match="route"):
+        ann_cosine_lsh(e, q, "vec_id", "embedding", k=3, route="bogus")
+    with warnings.catch_warnings(record=True):
+        warnings.simplefilter("always")
+        pinned = ann_cosine_lsh(e, q, "vec_id", "embedding", k=3, route="lsh")
+    rows = pinned.collect()
+    assert {r["query_id"] for r in rows} <= {0, 1, 2}
+    assert all(1 <= r["rank"] <= 3 for r in rows)
+
+
+def test_calibrate_refine_scales_with_corpus_and_floors(spark):
+    """Calibrated refine: (a) never below the log2 floor, (b) grows when the
+    claimed corpus is 100x the sample (intruder count scales with n),
+    (c) capped."""
+    import numpy as np
+
+    from etl_processes_spark.ops.similarity import (
+        _auto_refine,
+        _calibrate_refine,
+        _pq_fit,
+    )
+
+    rng = np.random.RandomState(3)
+    X = rng.randn(512, 16)
+    X /= np.linalg.norm(X, axis=1, keepdims=True)
+    books = _pq_fit(X, m=4, ksub=16)
+    small = _calibrate_refine(X, books, n=512, k=5)
+    big = _calibrate_refine(X, books, n=51_200, k=5)
+    assert small >= _auto_refine(512)
+    assert big >= small
+    assert _calibrate_refine(X, books, n=10**9, k=5, cap=64) <= 64

@@ -413,3 +413,69 @@ def test_frequent_itemsets_support_denominator(spark):
     empty = spark.createDataFrame([([],), (None,)], "items array<string>")
     i0, r0 = frequent_itemsets(empty, "items")
     assert i0.count() == 0 and r0.count() == 0
+
+
+def test_text_analysis_features_matches_composed_form(spark):
+    """The fused single-aggregate pass must be value-identical to the
+    composed form (token_count ⋈ lang_id ⋈ quality_features) — including
+    the null-text and empty-text edges where size(null)/filter(null)
+    propagate NULL in the expression forms."""
+    from pyspark.sql import functions as F
+
+    from etl_processes_spark.ops.textstats import (
+        bpe_ish_token_count_expr,
+        lang_id_exprs,
+        quality_features,
+        text_analysis_features,
+        token_count_expr,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (0, "the quick brown fox and the lazy dog sit by the river"),
+            (1, "der hund und die katze sind nicht ein problem"),
+            (2, "el gato es una criatura que duerme"),
+            (3, ""),                      # empty text
+            (4, None),                    # null text
+            (5, "!!! ### $$$ 12345"),     # symbol soup
+            (6, "x" * 500),               # one long token
+        ],
+        "doc_id long, text string",
+    )
+    pred_lang, lang_score = lang_id_exprs("text")
+    composed = (
+        df.select(
+            "doc_id",
+            token_count_expr("text").alias("n_tokens"),
+            bpe_ish_token_count_expr("text").alias("n_tokens_bpe"),
+            F.length(F.col("text").cast("string")).alias("n_chars_measured"),
+            pred_lang.alias("pred_lang"),
+            lang_score.alias("lang_score"),
+        )
+        .join(quality_features(df, "doc_id", "text"), "doc_id")
+    )
+    fused = text_analysis_features(df, "doc_id", "text")
+    cols = sorted(composed.columns)
+    a = {r["doc_id"]: tuple(r[c] for c in cols) for r in composed.collect()}
+    b = {r["doc_id"]: tuple(r[c] for c in cols) for r in fused.collect()}
+    assert composed.select(*cols).dtypes == fused.select(*cols).dtypes
+    assert a == b
+
+
+def test_text_analysis_features_extra_rowwise(spark):
+    from pyspark.sql import functions as F
+
+    from etl_processes_spark.ops.textstats import text_analysis_features
+
+    df = spark.createDataFrame(
+        [(0, "the cat", "u0"), (1, "le chat les dans", "u1")],
+        "doc_id long, text string, src string",
+    )
+    out = text_analysis_features(
+        df, "doc_id", "text",
+        extra_rowwise={"src_upper": F.upper("src"), "flag": F.col("doc_id") > 0},
+    )
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert rows[0]["src_upper"] == "U0" and rows[0]["flag"] is False
+    assert rows[1]["src_upper"] == "U1" and rows[1]["flag"] is True
+    assert rows[1]["pred_lang"] == "fr"

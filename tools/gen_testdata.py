@@ -71,6 +71,42 @@ def _ts_us(days_from_epoch_us: np.ndarray) -> pa.Array:
     return pa.array(days_from_epoch_us.astype("int64"), type=pa.timestamp("us"))
 
 
+# rows per generation chunk: big tables (sf100 lineitem = 600M rows, ~60 GB
+# of transient numpy arrays if built monolithically) are generated and
+# written slice-by-slice. A run that fits in ONE chunk draws from the rng in
+# exactly the monolithic order, so every existing sf <= ~3 corpus stays
+# bit-reproducible; multi-chunk runs interleave the per-column draws per
+# chunk (documented: subset/chunked runs are for load measurement, not
+# cross-run value comparison).
+CHUNK_ROWS = 20_000_000
+
+
+class _StreamWriter:
+    """Chunked parquet writer with the same ~4 MB row-group sizing as
+    ``_write`` (Spark splits parquet at row-group boundaries; see there)."""
+
+    def __init__(self, outdir: str, name: str):
+        self.path = os.path.join(outdir, f"{name}.parquet")
+        self.name = name
+        self.writer: pq.ParquetWriter | None = None
+        self.rows = 0
+
+    def write(self, table: pa.Table) -> None:
+        rows_per_group = table.num_rows
+        if table.nbytes > (4 << 20) and table.num_rows > 1:
+            rows_per_group = max(
+                1024, int(table.num_rows * (4 << 20) / table.nbytes))
+        if self.writer is None:
+            self.writer = pq.ParquetWriter(self.path, table.schema)
+        self.writer.write_table(table, row_group_size=rows_per_group)
+        self.rows += table.num_rows
+
+    def close(self) -> None:
+        if self.writer is not None:
+            self.writer.close()
+        print(f"  {self.name}: {self.rows} rows", flush=True)
+
+
 def generate(
     sf: float,
     outdir: str,
@@ -142,50 +178,68 @@ def generate(
         # -- orders / lineitem --------------------------------------------------
         base_1995 = (np.datetime64("1995-01-01", "us") - np.datetime64("1970-01-01", "us")).astype("int64")
         span_days = int((np.datetime64("2001-08-01") - np.datetime64("1995-01-01")) / np.timedelta64(1, "D"))
-        o_date_days = rng.randint(0, span_days + 1, n_ord)
-        _write(outdir, "orders", pa.table({
-            "o_orderkey": pa.array(np.arange(n_ord)),
-            "o_custkey": pa.array(rng.randint(0, max(n_cust, 1), n_ord)),
-            "o_orderstatus": pa.array(np.array(["F", "O", "P"])[rng.randint(0, 3, n_ord)]),
-            "o_totalprice": np.round(rng.uniform(1000, 500000, n_ord), 2),
-            "o_orderdate": _ts_us(base_1995 + o_date_days * US_PER_DAY),
-            "o_orderpriority": pa.array(np.array(
-                ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
-            )[rng.randint(0, 5, n_ord)]),
-        }))
+        # kept whole (int32: ~600 MB at sf100) — lineitem shipdates derive
+        # from the order dates via lo_key gather
+        o_date_days = rng.randint(0, span_days + 1, n_ord).astype(np.int32)
+        w = _StreamWriter(outdir, "orders")
+        for lo in range(0, n_ord, CHUNK_ROWS):
+            m = min(lo + CHUNK_ROWS, n_ord) - lo
+            w.write(pa.table({
+                "o_orderkey": pa.array(np.arange(lo, lo + m)),
+                "o_custkey": pa.array(rng.randint(0, max(n_cust, 1), m)),
+                "o_orderstatus": pa.array(np.array(["F", "O", "P"])[rng.randint(0, 3, m)]),
+                "o_totalprice": np.round(rng.uniform(1000, 500000, m), 2),
+                "o_orderdate": _ts_us(
+                    base_1995 + o_date_days[lo : lo + m].astype(np.int64) * US_PER_DAY
+                ),
+                "o_orderpriority": pa.array(np.array(
+                    ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+                )[rng.randint(0, 5, m)]),
+            }))
+        w.close()
         # ~4 lines per order, shipdate = orderdate + 1..95 days
-        lo_key = rng.randint(0, max(n_ord, 1), n_li)
-        ship = base_1995 + (o_date_days[lo_key] + rng.randint(1, 96, n_li)) * US_PER_DAY
-        qty = rng.randint(1, 51, n_li).astype(np.float64)
-        price = np.round(rng.uniform(900, 105000, n_li), 2)
-        _write(outdir, "lineitem", pa.table({
-            "l_orderkey": pa.array(lo_key),
-            "l_partkey": pa.array(rng.randint(0, max(n_part, 1), n_li)),
-            "l_suppkey": pa.array(rng.randint(0, max(n_supp, 1), n_li)),
-            "l_linenumber": pa.array((rng.randint(1, 8, n_li)).astype(np.int32)),
-            "l_quantity": qty,
-            "l_extendedprice": price,
-            "l_discount": np.round(rng.randint(0, 11, n_li) / 100.0, 2),
-            "l_tax": np.round(rng.randint(0, 9, n_li) / 100.0, 2),
-            "l_returnflag": pa.array(np.array(["A", "N", "R"])[rng.randint(0, 3, n_li)]),
-            "l_linestatus": pa.array(np.array(["F", "O"])[rng.randint(0, 2, n_li)]),
-            "l_shipdate": _ts_us(ship),
-        }))
+        w = _StreamWriter(outdir, "lineitem")
+        for lo in range(0, n_li, CHUNK_ROWS):
+            m = min(lo + CHUNK_ROWS, n_li) - lo
+            lo_key = rng.randint(0, max(n_ord, 1), m)
+            ship = base_1995 + (
+                o_date_days[lo_key].astype(np.int64) + rng.randint(1, 96, m)
+            ) * US_PER_DAY
+            qty = rng.randint(1, 51, m).astype(np.float64)
+            price = np.round(rng.uniform(900, 105000, m), 2)
+            w.write(pa.table({
+                "l_orderkey": pa.array(lo_key),
+                "l_partkey": pa.array(rng.randint(0, max(n_part, 1), m)),
+                "l_suppkey": pa.array(rng.randint(0, max(n_supp, 1), m)),
+                "l_linenumber": pa.array((rng.randint(1, 8, m)).astype(np.int32)),
+                "l_quantity": qty,
+                "l_extendedprice": price,
+                "l_discount": np.round(rng.randint(0, 11, m) / 100.0, 2),
+                "l_tax": np.round(rng.randint(0, 9, m) / 100.0, 2),
+                "l_returnflag": pa.array(np.array(["A", "N", "R"])[rng.randint(0, 3, m)]),
+                "l_linestatus": pa.array(np.array(["F", "O"])[rng.randint(0, 2, m)]),
+                "l_shipdate": _ts_us(ship),
+            }))
+        w.close()
 
     if want("events"):
         # -- events (30 days, zipf-free uniform users, JSON props) --------------
         base_2024 = (np.datetime64("2024-01-01", "us") - np.datetime64("1970-01-01", "us")).astype("int64")
         ts = base_2024 + rng.randint(0, 30 * US_PER_DAY, n_evt, dtype=np.int64)
         ts.sort()
-        k = rng.randint(0, 100, n_evt)
-        _write(outdir, "events", pa.table({
-            "event_id": pa.array(np.arange(n_evt)),
-            "ts": _ts_us(ts),
-            "user_id": pa.array(rng.randint(0, max(int(15_000 * sf), 1), n_evt)),
-            "event_type": pa.array(np.array(EVENT_TYPES)[rng.randint(0, 5, n_evt)]),
-            "value": np.round(np.abs(rng.exponential(80, n_evt)), 2),
-            "props": pa.array([f'{{"k": {v}}}' for v in k]),
-        }))
+        w = _StreamWriter(outdir, "events")
+        for lo in range(0, n_evt, CHUNK_ROWS):
+            m = min(lo + CHUNK_ROWS, n_evt) - lo
+            k = rng.randint(0, 100, m)
+            w.write(pa.table({
+                "event_id": pa.array(np.arange(lo, lo + m)),
+                "ts": _ts_us(ts[lo : lo + m]),
+                "user_id": pa.array(rng.randint(0, max(int(15_000 * sf), 1), m)),
+                "event_type": pa.array(np.array(EVENT_TYPES)[rng.randint(0, 5, m)]),
+                "value": np.round(np.abs(rng.exponential(80, m)), 2),
+                "props": pa.array([f'{{"k": {v}}}' for v in k]),
+            }))
+        w.close()
 
     if want("documents"):
         # -- documents ----------------------------------------------------------
