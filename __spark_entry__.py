@@ -44,6 +44,21 @@ _TEXT_PROFILE_CACHE: dict[tuple, dict] = {}
 _INGEST_STATE: dict[str, dict] = {}
 
 
+def release_ingest_state() -> None:
+    """Unpin the memoized ingest state (eagerly-checkpointed frames live in
+    the block manager until released). bench.py calls this after the
+    incremental_ingest repeats finish — at sf10 the minhash index alone is
+    ~7 GB of checkpoint blocks, and leaving it pinned degrades every LATER
+    query in a family run (the round-6 GC-thrash lesson, state edition)."""
+    for state in _INGEST_STATE.values():
+        for df in state.values():
+            try:
+                df.unpersist()
+            except Exception:
+                pass
+    _INGEST_STATE.clear()
+
+
 def _text_profile_cached(
     spark: SparkSession, sf_dir: str, vector_size: int = 4, refresh: bool = False
 ) -> dict:
