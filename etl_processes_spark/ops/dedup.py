@@ -399,22 +399,26 @@ def _jaccard_pairs_prefix(sh: DataFrame, threshold: float, ndigits: int) -> Data
     from pyspark.sql.window import Window
 
     freq = sh.groupBy("h").agg(F.count(F.lit(1)).alias("__df"))
-    j = sh.join(freq, "h").localCheckpoint(eager=False)  # feeds stats AND rank
-    stats = j.groupBy("id").agg(
-        F.count(F.lit(1)).alias("sz"),
-        F.sum((F.col("__df") == 1).cast("int")).alias("u1"),
-    )
-    ranked = j.filter(F.col("__df") >= 2).withColumn(
-        "rn",
-        F.row_number().over(
-            Window.partitionBy("id").orderBy(F.asc("__df"), F.asc("h"))
-        ),
+    # Join ONLY the df>=2 postings (the hapax mass never ranks or joins).
+    # The prefix cutoff needs u1 = |df==1 postings per doc|, but u1 never
+    # has to be counted separately: with mc = |df>=2 postings per doc|
+    # (a count window over the SAME partition the rank uses — no extra
+    # shuffle, no stats join, no posting-stream checkpoint),
+    # rn + u1 <= sz - ceil(t·sz) + 1  ⇔  rn <= mc - ceil(t·sz) + 1.
+    multi = sh.join(freq.filter(F.col("__df") >= 2), "h")
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    byid = Window.partitionBy("id")
+    ranked = multi.select(
+        "id",
+        "h",
+        F.row_number().over(byid.orderBy(F.asc("__df"), F.asc("h"))).alias("rn"),
+        F.count(F.lit(1)).over(byid).alias("__mc"),
     )
     prefix = (
-        ranked.join(stats, "id")
+        ranked.join(sizes, "id")
         .filter(
-            F.col("rn") + F.col("u1")
-            <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1
+            F.col("rn")
+            <= F.col("__mc") - F.ceil(F.lit(threshold) * F.col("sz")) + 1
         )
         .select("id", "h", "sz")
     )
