@@ -23,10 +23,21 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from etl_processes_spark.partitioning import widen
+
+
+def _ckpt_wide(df: DataFrame) -> DataFrame:
+    """Lazy localCheckpoint for WIDE posting/window streams (hundreds of
+    millions of narrow rows at sf100): SERIALIZED memory+disk blocks
+    instead of the deserialized default — ~3-5× smaller on heap, evictable
+    to disk under pressure, and far gentler on GC. The deserialized default
+    OOM'd a 48 g heap holding the 260 M-row duplicate-window stream while
+    32 explode tasks allocated against it (sf100 measured)."""
+    return df.localCheckpoint(eager=False, storageLevel=StorageLevel.MEMORY_AND_DISK)
 
 # ---------------------------------------------------------------------------
 # normalization / shingling (shared, expression-only)
@@ -179,7 +190,7 @@ def _exploded_lines(
             "__pos", "__line"
         ),
     ).withColumn("__h", md5_long_expr(normalized_text_expr(F.col("__line"))))
-    return lines.localCheckpoint(eager=False)
+    return _ckpt_wide(lines)
 
 
 def _line_doc_freq(lines: DataFrame) -> DataFrame:
@@ -327,11 +338,11 @@ def ngram_jaccard_pairs(
     sh = widen(df).select(
         F.col(id_col).alias("id"), F.explode(shingles_expr(text_col, k)).alias("shingle")
     ).select("id", md5_long_expr("shingle").alias("h"))
-    sh = sh.localCheckpoint(eager=False)  # scan+shingle+md5 runs ONCE, in parallel
+    sh = _ckpt_wide(sh)  # scan+shingle+md5 runs ONCE, in parallel
     if max_df is not None:
         freq = sh.groupBy("h").agg(F.count(F.lit(1)).alias("__df"))
         sh = sh.join(freq.filter(F.col("__df") <= max_df).select("h"), "h")
-        sh = sh.localCheckpoint(eager=False)
+        sh = _ckpt_wide(sh)
     if mode == "prefix":
         return _jaccard_pairs_prefix(sh, threshold, ndigits)
     # set sizes travel INLINE on the postings (one narrow join on id, ~|postings|
@@ -1163,7 +1174,7 @@ def remove_duplicate_spans(
     # size(toks) alongside toks.alias() would re-run the tokenize pipeline
     base = (
         df.select(F.col(id_col).alias("__id"), tokens_expr(text_col).alias("__toks"))
-        .localCheckpoint(eager=False)  # feeds windows AND reassembly
+        .transform(_ckpt_wide)  # feeds windows AND reassembly
         .withColumn("__n", F.size("__toks"))
     )
 
@@ -1178,7 +1189,7 @@ def remove_duplicate_spans(
     ).select(
         "__id", (F.col("__p") + 1).alias("__start"), md5_long_expr("__w").alias("__h")
     )
-    win = win.localCheckpoint(eager=False)
+    win = _ckpt_wide(win)
 
     freq = win.groupBy("__h").agg(F.count_distinct("__id").alias("__df"))
     dup_pred = F.col("__df") >= min_df
@@ -1362,7 +1373,7 @@ def edit_distance_pairs(
         base.filter(F.col("len") >= q)
         .select("id", "len", F.posexplode(tagged_arr).alias("pos", "tg"))
         .select("id", "len", "pos", md5_long_expr("tg").alias("h"))
-        .localCheckpoint(eager=False)  # feeds the df-agg AND the rank join
+        .transform(_ckpt_wide)  # feeds the df-agg AND the rank join
     )
     gdf = tagged.groupBy("h").agg(F.count(F.lit(1)).alias("__df"))
     w_rank = Window.partitionBy("id").orderBy("__df", "h", "pos")
