@@ -1537,20 +1537,27 @@ def bench_components() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the full flow including state maintenance.
         from etl_processes_spark.pipeline import run_incremental_ingest
 
+        from pyspark import StorageLevel
+
         d = _t(spark, sf, "documents").select("doc_id", "text")
         state = _INGEST_STATE.get(sf)
         if state is None:
             corpus = d.filter(F.col("doc_id") % 10 != 0)
             _, st = run_incremental_ingest(spark, corpus, shingle_k=5, bands=16)
+            # serialized blocks: the sf100 state (4.5M sigs + 72M bucket
+            # rows) must not hold deserialized heap for the whole bench
             state = {
-                k: st[k].localCheckpoint(eager=True)
-                for k in ("digests", "index", "counts")
+                k: st[k].localCheckpoint(
+                    eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK
+                )
+                for k in ("digests", "index", "sigs", "counts")
             }
             _INGEST_STATE[sf] = state
         batch = d.filter(F.col("doc_id") % 10 == 0)
         accepted, deltas = run_incremental_ingest(
             spark, batch,
             seen_digests=state["digests"], near_dup_index=state["index"],
+            near_dup_sigs=state["sigs"],
             lm_counts=state["counts"], min_logprob=-12.0,
             split_fractions={"train": 0.95, "val": 0.05},
             shingle_k=5, bands=16, near_dup_threshold=0.5,
@@ -1566,11 +1573,15 @@ def bench_components() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.lit("index_delta").alias("part"),
             F.concat_ws(":", F.col("id"), F.col("band"), F.col("bh")).alias("k"),
         )
+        sg = deltas["sigs"].select(
+            F.lit("sigs_delta").alias("part"),
+            F.concat_ws(":", F.col("id"), F.hash("sig").cast("string")).alias("k"),
+        )
         ct = deltas["counts"].select(
             F.lit("count_delta").alias("part"),
             F.concat_ws(":", F.col("token"), F.col("c")).alias("k"),
         )
-        return acc.unionByName(dg).unionByName(ix).unionByName(ct)
+        return acc.unionByName(dg).unionByName(ix).unionByName(sg).unionByName(ct)
 
     def c_text_analysis(spark, sf):
         # round-2 workload (token count + lang id + quality) — round-7:

@@ -1032,12 +1032,21 @@ def minhash_index(
     num_hashes: int = 64,
     bands: int = 16,
     k: int = 5,
-) -> DataFrame:
-    """The persistable near-dup INDEX of a corpus: one row per (doc, band)
-    with the banded bucket hash AND the full MinHash signature carried —
-    (id, sig, band, bh). An incremental pipeline writes this table once per
-    ingested batch and appends; the raw corpus text is never needed again
-    (signatures stand in for shingle sets at verify time)."""
+) -> tuple[DataFrame, DataFrame]:
+    """The persistable near-dup INDEX of a corpus, NORMALIZED into two
+    frames: ``sigs`` = (id, sig) — ONE row per doc carrying the full
+    MinHash signature — and ``buckets`` = (id, band, bh) — ``bands`` narrow
+    rows per doc for the LSH equi-join. An incremental pipeline persists
+    both once per ingested batch and appends; the raw corpus text is never
+    needed again (signatures stand in for shingle sets at verify time).
+
+    Returns (sigs, buckets). The first cut was one denormalized table with
+    the 64-component signature duplicated onto every band row — 16× the
+    payload, which at sf100 (4.5 M docs) spilled ~40 GB building the state
+    and died out-of-disk (measured); at 100 TB the wide layout ships the
+    signature mass ``bands`` times through every shuffle that touches the
+    index. Candidates join on the narrow buckets; signatures join back by
+    id only for the candidate pairs."""
     if bands < 1 or num_hashes % bands != 0:
         raise ValueError(
             f"num_hashes ({num_hashes}) must be a positive multiple of "
@@ -1045,7 +1054,9 @@ def minhash_index(
             "signature components (bands > num_hashes would crash)"
         )
     rows_per_band = num_hashes // bands
-    sig = minhash_signatures(df, id_col, text_col, num_hashes, k)
+    # lazily checkpointed: buckets derive from sigs, and both frames are
+    # consumed — without this the signature aggregation runs twice
+    sigs = _ckpt_wide(minhash_signatures(df, id_col, text_col, num_hashes, k))
 
     def band_hash(i: int) -> Column:
         bh: Column | None = None
@@ -1057,9 +1068,10 @@ def minhash_index(
     band_cols = F.array(
         *[F.struct(F.lit(i).alias("band"), band_hash(i).alias("bh")) for i in range(bands)]
     )
-    return sig.select("id", "sig", F.explode(band_cols).alias("b")).select(
-        "id", "sig", F.col("b.band").alias("band"), F.col("b.bh").alias("bh")
+    buckets = sigs.select("id", F.explode(band_cols).alias("b")).select(
+        "id", F.col("b.band").alias("band"), F.col("b.bh").alias("bh")
     )
+    return sigs, buckets
 
 
 def _sig_agreement(a: Column, b: Column, num_hashes: int) -> Column:
@@ -1084,11 +1096,15 @@ def near_dup_incremental(
     bands: int = 16,
     k: int = 5,
     threshold: float = 0.5,
-) -> tuple[DataFrame, DataFrame]:
+    sigs: DataFrame | None = None,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Near-dup dedup of a NEW batch against an already-ingested corpus
     without re-reading the corpus — the append-mode twin of
     ``minhash_lsh_pairs`` (same role ``dedup_incremental`` plays for exact
-    dups). ``index`` is a prior ``minhash_index`` table.
+    dups). ``index`` is a prior ``minhash_index`` buckets table
+    (id, band, bh) with ``sigs`` its (id, sig) companion. A legacy
+    denormalized index (sig carried on every band row) is also accepted —
+    it is split in place and ``sigs`` may stay None.
 
     A batch doc is a dup if any LSH bucket collision (against the corpus
     index OR within the batch) verifies at >= threshold on the MinHash
@@ -1097,34 +1113,64 @@ def near_dup_incremental(
     1/sqrt(num_hashes), so size num_hashes to the precision the cut
     needs). Within the batch, the min-id member of a dup group survives.
 
-    Returns (fresh_docs, batch_index): append ``batch_index`` (the FULL
-    batch's index — dups included, so future batches dedup against the
-    canonical copy whichever batch it arrived in) to the corpus index.
+    Returns (fresh_docs, batch_sigs, batch_buckets): append BOTH deltas
+    (the FULL batch's — dups included, so future batches dedup against the
+    canonical copy whichever batch it arrived in) to the corpus state.
 
-    Scale: candidates come only from bucket equi-joins — the corpus index
-    is touched by (band, bh) key, never scanned per batch doc; everything
-    else is batch-sized."""
-    batch_index = minhash_index(new_docs, id_col, text_col, num_hashes, bands, k)
-    batch_index = batch_index.localCheckpoint(eager=False)
+    Scale: candidates come only from the NARROW bucket equi-join — the
+    corpus index is touched by (band, bh) key, never scanned per batch
+    doc; colliding pairs dedupe across bands BEFORE signatures join back
+    by id, so the 64-component signature mass moves once per candidate
+    pair, not once per band row (the denormalized layout shipped it
+    ``bands`` times and died out-of-disk building sf100 state)."""
+    if "sig" in index.columns:  # legacy denormalized layout
+        if sigs is None:
+            sigs = index.select("id", "sig").dropDuplicates(["id"])
+        index = index.select("id", "band", "bh")
+    if sigs is None:
+        raise ValueError(
+            "near_dup_incremental: a normalized buckets index needs its "
+            "(id, sig) companion frame via sigs=..."
+        )
+    batch_sigs, batch_buckets = minhash_index(
+        new_docs, id_col, text_col, num_hashes, bands, k
+    )
+    batch_buckets = batch_buckets.localCheckpoint(eager=False)
 
-    corpus = index.select(
-        F.col("band"), F.col("bh"), F.col("sig").alias("__sig_c")
+    cand_corpus = (
+        batch_buckets.join(
+            index.select(F.col("id").alias("__cid"), "band", "bh"), ["band", "bh"]
+        )
+        .select("id", "__cid")
+        .distinct()
     )
     vs_corpus = (
-        batch_index.join(corpus, ["band", "bh"])
+        cand_corpus.join(batch_sigs, "id")
+        .join(
+            sigs.select(F.col("id").alias("__cid"), F.col("sig").alias("__sig_c")),
+            "__cid",
+        )
         .filter(_sig_agreement(F.col("sig"), F.col("__sig_c"), num_hashes) >= threshold)
         .select("id")
         .distinct()
     )
-    a = batch_index.select(
-        F.col("band"), F.col("bh"), F.col("id").alias("id_a"), F.col("sig").alias("__sig_a")
-    )
-    b = batch_index.select(
-        F.col("band"), F.col("bh"), F.col("id").alias("id_b"), F.col("sig").alias("__sig_b")
-    )
-    within = (
+    a = batch_buckets.select("band", "bh", F.col("id").alias("id_a"))
+    b = batch_buckets.select("band", "bh", F.col("id").alias("id_b"))
+    cand_within = (
         a.join(b, ["band", "bh"])
         .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    within = (
+        cand_within.join(
+            batch_sigs.select(F.col("id").alias("id_a"), F.col("sig").alias("__sig_a")),
+            "id_a",
+        )
+        .join(
+            batch_sigs.select(F.col("id").alias("id_b"), F.col("sig").alias("__sig_b")),
+            "id_b",
+        )
         .filter(_sig_agreement(F.col("__sig_a"), F.col("__sig_b"), num_hashes) >= threshold)
         .select(F.col("id_b").alias("id"))
         .distinct()
@@ -1133,7 +1179,7 @@ def near_dup_incremental(
     fresh = new_docs.join(
         dup_ids.withColumnRenamed("id", id_col), id_col, "left_anti"
     )
-    return fresh, batch_index
+    return fresh, batch_sigs, batch_buckets
 
 
 # ---------------------------------------------------------------------------

@@ -301,6 +301,7 @@ def run_incremental_ingest(
     seen_digests: DataFrame | None = None,
     near_dup_index: DataFrame | None = None,
     lm_counts: DataFrame | None = None,
+    near_dup_sigs: DataFrame | None = None,
     id_col: str = "doc_id",
     text_col: str = "text",
     min_logprob: float | None = None,
@@ -321,9 +322,12 @@ def run_incremental_ingest(
 
       - ``seen_digests``: (__key) content sha digests → exact dedup
         (one anti-join; `ops.dedup.dedup_incremental`);
-      - ``near_dup_index``: (id, sig, band, bh) MinHash index → near-dup
-        dedup by bucket join + signature-agreement verify
-        (`ops.dedup.near_dup_incremental`);
+      - ``near_dup_index``: (id, band, bh) MinHash buckets with
+        ``near_dup_sigs`` = (id, sig) its signature companion (normalized —
+        the signature is never duplicated per band row) → near-dup dedup
+        by bucket join + signature-agreement verify
+        (`ops.dedup.near_dup_incremental`; a legacy denormalized index is
+        split automatically);
       - ``lm_counts``: (token, c) frozen unigram LM → fluency scoring of
         the batch against the CORPUS distribution (`unigram_logprob_score`
         with counts_df — new batches must not re-estimate the LM, or
@@ -339,7 +343,7 @@ def run_incremental_ingest(
     corpus grows.
 
     Returns (accepted, new_state) where new_state holds the DELTAS to
-    append: {"digests", "index", "counts"[, "line_counts"]} — counts are
+    append: {"digests", "index", "sigs", "counts"[, "line_counts"]} — counts are
     the ACCEPTED batch's token counts (merge = unionByName + groupBy-sum on
     the caller's schedule). Every stage is anti-join/bucket-join shaped:
     per-batch cost scales with the batch, not the corpus."""
@@ -372,13 +376,13 @@ def run_incremental_ingest(
     if seen_digests is not None:
         batch, _ = dedup_incremental(batch, seen_digests, id_col, text_col)
     if near_dup_index is not None:
-        batch, index_delta = near_dup_incremental(
+        batch, sigs_delta, index_delta = near_dup_incremental(
             batch, near_dup_index, id_col, text_col,
             num_hashes=num_hashes, bands=bands, k=shingle_k,
-            threshold=near_dup_threshold,
+            threshold=near_dup_threshold, sigs=near_dup_sigs,
         )
     else:
-        index_delta = minhash_index(
+        sigs_delta, index_delta = minhash_index(
             batch, id_col, text_col, num_hashes, bands, shingle_k
         )
     accepted = batch
@@ -403,6 +407,7 @@ def run_incremental_ingest(
     state = {
         "digests": digests_delta,
         "index": index_delta,
+        "sigs": sigs_delta,
         "counts": counts_delta,
     }
     if line_cleaning:

@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 
-STATE_TABLES = ("digests", "index", "counts", "line_counts")
+STATE_TABLES = ("digests", "index", "sigs", "counts", "line_counts")
 
 
 def _load_state(
@@ -101,6 +101,7 @@ def incremental_ingest_stream(
         sess = batch_df.sparkSession
         digests = _load_state(sess, state_dir, "digests", before_batch=batch_id)
         index = _load_state(sess, state_dir, "index", before_batch=batch_id)
+        sigs = _load_state(sess, state_dir, "sigs", before_batch=batch_id)
         counts = _merged_counts(
             _load_state(sess, state_dir, "counts", before_batch=batch_id),
             "token", "c",
@@ -114,6 +115,7 @@ def incremental_ingest_stream(
             batch_df,
             seen_digests=digests,
             near_dup_index=index,
+            near_dup_sigs=sigs,
             lm_counts=counts,
             line_counts=line_counts,
             id_col=id_col,

@@ -336,8 +336,11 @@ def test_near_dup_incremental_against_frozen_index(spark):
                         "comets orbits and the vast emptiness between galaxies")],
         ["doc_id", "text"],
     )
-    idx = minhash_index(corpus, "doc_id", "text", num_hashes=64, bands=16, k=3)
-    assert set(idx.columns) == {"id", "sig", "band", "bh"}
+    sigs, idx = minhash_index(corpus, "doc_id", "text", num_hashes=64, bands=16, k=3)
+    # normalized layout: the signature lives ONCE per doc, never per band row
+    assert set(sigs.columns) == {"id", "sig"}
+    assert set(idx.columns) == {"id", "band", "bh"}
+    assert sigs.count() == 2 and idx.count() == 2 * 16
 
     batch = spark.createDataFrame(
         [
@@ -350,8 +353,9 @@ def test_near_dup_incremental_against_frozen_index(spark):
         ],
         ["doc_id", "text"],
     )
-    fresh, batch_idx = near_dup_incremental(
-        batch, idx, "doc_id", "text", num_hashes=64, bands=16, k=3, threshold=0.5
+    fresh, batch_sigs, batch_idx = near_dup_incremental(
+        batch, idx, "doc_id", "text", num_hashes=64, bands=16, k=3,
+        threshold=0.5, sigs=sigs,
     )
     kept = sorted(r["doc_id"] for r in fresh.collect())
     assert kept == [12]  # 10/11 dup corpus; 13 dups 12 (min-id 12 survives)
@@ -359,11 +363,26 @@ def test_near_dup_incremental_against_frozen_index(spark):
     # batch index covers the WHOLE batch (dups included) and appends cleanly
     assert batch_idx.select("id").distinct().count() == 4
     grown = idx.unionByName(batch_idx)
+    grown_sigs = sigs.unionByName(batch_sigs)
     # replaying the same batch against the grown index is a no-op
-    fresh2, _ = near_dup_incremental(
-        batch, grown, "doc_id", "text", num_hashes=64, bands=16, k=3, threshold=0.5
+    fresh2, _, _ = near_dup_incremental(
+        batch, grown, "doc_id", "text", num_hashes=64, bands=16, k=3,
+        threshold=0.5, sigs=grown_sigs,
     )
     assert fresh2.count() == 0
+
+    # legacy denormalized index (sig on every band row) splits in place
+    legacy = idx.join(sigs, "id").select("id", "sig", "band", "bh")
+    fresh3, _, _ = near_dup_incremental(
+        batch, legacy, "doc_id", "text", num_hashes=64, bands=16, k=3,
+        threshold=0.5,
+    )
+    assert sorted(r["doc_id"] for r in fresh3.collect()) == [12]
+    # normalized buckets without the sigs companion is a loud error
+    with pytest.raises(ValueError, match="sigs"):
+        near_dup_incremental(
+            batch, idx, "doc_id", "text", num_hashes=64, bands=16, k=3
+        )
 
 
 def test_minhash_band_validation(docs):

@@ -288,7 +288,11 @@ def test_incremental_ingest_flow(spark):
 
     digests = st0["digests"]
     index = st0["index"]
+    sigs = st0["sigs"]
     counts = st0["counts"]
+    # normalized state: buckets are narrow, signatures live once per doc
+    assert set(index.columns) == {"id", "band", "bh"}
+    assert set(sigs.columns) == {"id", "sig"}
 
     batch = spark.createDataFrame(
         [(10, "the quick brown fox jumps over the lazy dog near the river bank today"),  # exact dup
@@ -298,7 +302,8 @@ def test_incremental_ingest_flow(spark):
     )
     accepted, st = run_incremental_ingest(
         spark, batch,
-        seen_digests=digests, near_dup_index=index, lm_counts=counts,
+        seen_digests=digests, near_dup_index=index, near_dup_sigs=sigs,
+        lm_counts=counts,
         min_logprob=-50.0, split_fractions={"train": 0.9, "val": 0.1},
         shingle_k=3, bands=32, near_dup_threshold=0.4,
     )
@@ -310,8 +315,10 @@ def test_incremental_ingest_flow(spark):
     # replay with merged state: everything rejected
     merged_digests = digests.unionByName(st["digests"]).distinct()
     merged_index = index.unionByName(st["index"])
+    merged_sigs = sigs.unionByName(st["sigs"])
     accepted2, _ = run_incremental_ingest(
         spark, batch, seen_digests=merged_digests, near_dup_index=merged_index,
+        near_dup_sigs=merged_sigs,
         shingle_k=3, bands=32, near_dup_threshold=0.4,
     )
     assert accepted2.count() == 0
@@ -376,6 +383,7 @@ def test_incremental_ingest_with_line_state(spark):
     acc2, st2 = run_incremental_ingest(
         spark, b2,
         seen_digests=st1["digests"], near_dup_index=st1["index"],
+        near_dup_sigs=st1["sigs"],
         line_counts=st1["line_counts"], shingle_k=3, bands=32,
         line_dedup_max_df=1,
     )
@@ -474,6 +482,7 @@ def test_incremental_ingest_line_state_replay_is_noop(spark):
     # replay the SAME batch with the state appended: all docs rejected
     acc2, st2 = run_incremental_ingest(
         spark, b, seen_digests=st1["digests"], near_dup_index=st1["index"],
+        near_dup_sigs=st1["sigs"],
         line_counts=st1["line_counts"], shingle_k=3, line_dedup_max_df=1,
     )
     assert acc2.count() == 0
