@@ -597,12 +597,25 @@ def exact_percentiles_distributed(
 
     from pyspark.sql.window import Window
 
+    from pyspark import StorageLevel
+
     col = F.col(y) if isinstance(y, str) else y
     vals = df.select(col.cast("double").alias("v")).filter(F.col("v").isNotNull())
+    # ``parts`` is a floor, not a cap: at sf100 (600 M doubles) 32 range
+    # partitions mean 32 CONCURRENT ~19 M-row sorts in the row_number stage,
+    # which exhausted the unified memory pool (UNABLE_TO_ACQUIRE_MEMORY,
+    # measured) — scale the partition count so each range owns ~64 MB of
+    # column data, and store the shared checkpoint SERIALIZED so its blocks
+    # stay compact and disk-evictable under sort pressure.
+    sz = _plan_size_bytes(vals)
+    if sz is not None:
+        parts = max(parts, min(2048, int(sz // (64 << 20)) + 1))
     ranged = (
         vals.repartitionByRange(parts, "v")
         .withColumn("pid", F.spark_partition_id())
-        .localCheckpoint(eager=False)  # shared by the counts + selection jobs
+        .localCheckpoint(  # shared by the counts + selection jobs
+            eager=False, storageLevel=StorageLevel.MEMORY_AND_DISK
+        )
     )
     counts = sorted(
         [(r["pid"], r["count"]) for r in ranged.groupBy("pid").count().collect()]
