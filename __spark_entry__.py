@@ -49,14 +49,30 @@ def release_ingest_state() -> None:
     the block manager until released). bench.py calls this after the
     incremental_ingest repeats finish — at sf10 the minhash index alone is
     ~7 GB of checkpoint blocks, and leaving it pinned degrades every LATER
-    query in a family run (the round-6 GC-thrash lesson, state edition)."""
+    query in a family run (the round-6 GC-thrash lesson, state edition).
+
+    unpersist() on a localCheckpoint-backed frame is a no-op — checkpoint
+    RDD blocks are only reclaimed when the ContextCleaner GCs the Python
+    DataFrame references — so after clearing the dict this triggers both
+    collectors itself (callers must not need to know to follow up with a
+    manual GC for the release to actually happen)."""
+    spark = None
     for state in _INGEST_STATE.values():
         for df in state.values():
+            spark = spark or df.sparkSession
             try:
                 df.unpersist()
             except Exception:
                 pass
     _INGEST_STATE.clear()
+    import gc
+
+    gc.collect()  # drop the Python-side DataFrame refs first
+    if spark is not None:
+        try:
+            spark._jvm.System.gc()  # let ContextCleaner reclaim the blocks
+        except Exception:
+            pass
 
 
 def _text_profile_cached(

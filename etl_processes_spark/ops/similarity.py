@@ -746,6 +746,21 @@ def ann_cosine_lsh(
         )
         kp = max(1, num_planes // max(bands, 1))
         if route == "auto" and bands * 2.0**-kp > max_verify_frac:
+            # the algorithm switch must be observable in production runs:
+            # identical calls can return different (recall-equivalent)
+            # neighbor sets once the regime changes — callers needing
+            # reproducible LSH output pin route="lsh" or explicit geometry
+            import logging
+
+            logging.getLogger(__name__).info(
+                "ann_cosine_lsh(route='auto'): hyperplane buckets are not "
+                "pruning in this similarity regime (expected verify fraction "
+                "%.3f = bands*2^-planes_per_band > max_verify_frac=%.3f); "
+                "delegating to ann_cosine_ivf at target_recall=%.2f. Pin "
+                "route='lsh' or explicit num_planes/bands for reproducible "
+                "LSH output.",
+                bands * 2.0**-kp, max_verify_frac, target_recall,
+            )
             return ann_cosine_ivf(
                 corpus,
                 queries,

@@ -109,23 +109,31 @@ def quality_features(df: DataFrame, id_col: str, text_col: str, ndigits: int = 6
     # doc-keyed shuffle) rather than array-lambda expressions: higher-order
     # functions evaluate interpreted in Spark and dominated this query's
     # runtime (~5 s → <1 s on 5k docs); the agg form also partial-aggregates
-    # map-side at scale. A synthetic row key preserves per-row semantics even
-    # under duplicate ids.
+    # map-side at scale. Row identity is the DETERMINISTIC (id, text-hash)
+    # pair (retry-safe — see text_analysis_features); exact (id, text)
+    # duplicate rows collapse to one output row with single-copy values
+    # (every sum divided by the group's source-row multiplicity).
     s = (F.col(text_col)).cast("string")
     base = widen(df, per_mb=2.0).select(
         F.col(id_col),
-        F.monotonically_increasing_id().alias("__rid"),
+        F.xxhash64(s).alias("__rid"),
         tokens_expr(text_col).alias("__toks"),
         F.length(s).cast("double").alias("__n_chars"),
         F.length(F.regexp_replace(F.lower(s), r"[^a-z0-9 ]", "")).cast("double").alias("__alpha"),
     )
     tok = base.select(
-        id_col, "__rid", "__n_chars", "__alpha", F.explode_outer("__toks").alias("__t")
+        id_col, "__rid", "__n_chars", "__alpha",
+        F.posexplode_outer("__toks").alias("__pos", "__t"),
+    )
+    m = F.sum(
+        F.when(F.col("__pos").isNull() | (F.col("__pos") == 0), 1).otherwise(0)
     )
     agg = tok.groupBy("__rid", id_col, "__n_chars", "__alpha").agg(
-        F.count("__t").cast("double").alias("__n_tok"),
-        F.sum(F.when(F.col("__t").isin(*STOPWORDS), 1).otherwise(0)).cast("double").alias("__stop"),
-        F.sum(F.coalesce(F.length("__t"), F.lit(0))).cast("double").alias("__toklen"),
+        (F.count("__t") / m).alias("__n_tok"),
+        (F.sum(F.when(F.col("__t").isin(*STOPWORDS), 1).otherwise(0)) / m)
+        .cast("double").alias("__stop"),
+        (F.sum(F.coalesce(F.length("__t"), F.lit(0))) / m)
+        .cast("double").alias("__toklen"),
     )
     n_tok, n_chars = F.col("__n_tok"), F.col("__n_chars")
     len_score = F.least(n_tok / F.lit(100.0), F.lit(1.0))
@@ -169,14 +177,24 @@ def text_analysis_features(
 
     ``extra_rowwise``: name → Column of additional row-wise expressions
     (e.g. URL-curation columns) carried through the aggregate as grouping
-    keys — callers get their columns back without a join."""
+    keys — callers get their columns back without a join.
+
+    Row identity through the aggregate is DETERMINISTIC: the grouping key is
+    (id, xxhash64(text), …), not a monotonically_increasing_id — so task
+    retries / speculative re-execution can never re-key a row (a
+    nondeterministic id can duplicate or drop aggregate rows when a lost
+    partition is recomputed). The price: rows that are exact (id, text)
+    duplicates collapse into ONE output row — with SINGLE-COPY values, not
+    doubled counts: each source row contributes exactly one pos-0 (or
+    null-pos) row to the exploded stream, so dividing every sum by that
+    multiplicity recovers per-copy stats exactly."""
     from etl_processes_spark.ops.dedup import tokens_expr
 
     s = F.col(text_col).cast("string")
     extra = dict(extra_rowwise or {})
     base = widen(df, per_mb=2.0).select(
         F.col(id_col),
-        F.monotonically_increasing_id().alias("__rid"),
+        F.xxhash64(s).alias("__rid"),
         tokens_expr(text_col).alias("__toks"),
         F.length(s).alias("__nchars_i"),
         F.length(F.regexp_replace(F.lower(s), r"[^a-z0-9 ]", ""))
@@ -193,17 +211,38 @@ def text_analysis_features(
         # size(null)/filter(null) propagate NULL in the expression forms —
         # the flag reproduces that for null text (count() alone would give 0)
         F.col("__toks").isNull().alias("__tnull"),
-        F.explode_outer("__toks").alias("__t"),
+        F.posexplode_outer("__toks").alias("__pos", "__t"),
     )
     agg = tok.groupBy(*keys, "__tnull").agg(
         F.count("__t").alias("__cnt"),
+        # multiplicity of this (id, text) group: exactly one pos==0 (or
+        # null-pos, for null/empty token arrays) row per SOURCE row
+        F.sum(
+            F.when(F.col("__pos").isNull() | (F.col("__pos") == 0), 1).otherwise(0)
+        ).alias("__m"),
         F.sum(F.when(F.col("__t").isin(*STOPWORDS), 1).otherwise(0))
         .cast("double")
-        .alias("__stop"),
-        F.sum(F.coalesce(F.length("__t"), F.lit(0))).cast("double").alias("__toklen"),
+        .alias("__stop_raw"),
+        F.sum(F.coalesce(F.length("__t"), F.lit(0)))
+        .cast("double")
+        .alias("__toklen_raw"),
         *[
-            F.sum(F.when(F.col("__t").isin(*m), 1).otherwise(0)).alias(f"__hit_{lang}")
+            F.sum(F.when(F.col("__t").isin(*m), 1).otherwise(0)).alias(f"__hit_raw_{lang}")
             for lang, m in LANG_MARKERS.items()
+        ],
+    )
+    # normalize every token-level sum back to single-copy values (exact:
+    # duplicate rows contribute identical token multisets, so each sum is an
+    # exact multiple of __m; __m >= 1 always)
+    agg = agg.select(
+        *keys,
+        "__tnull",
+        (F.col("__cnt") / F.col("__m")).alias("__cnt"),
+        (F.col("__stop_raw") / F.col("__m")).alias("__stop"),
+        (F.col("__toklen_raw") / F.col("__m")).alias("__toklen"),
+        *[
+            (F.col(f"__hit_raw_{lang}") / F.col("__m")).cast("long").alias(f"__hit_{lang}")
+            for lang in LANG_MARKERS
         ],
     )
     n_tok = F.col("__cnt").cast("double")
