@@ -26,6 +26,7 @@ hitters via candidate/verify (topk_categories token_heavy).
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -73,6 +74,41 @@ def release_ingest_state() -> None:
             spark._jvm.System.gc()  # let ContextCleaner reclaim the blocks
         except Exception:
             pass
+
+
+def _ensure_ingest_state(spark: SparkSession, sf_dir: str) -> dict:
+    """Build (once per sf_dir) and memoize the corpus-side ingest state —
+    digests / minhash index+sigs / frozen LM counts — over the 90% corpus
+    slice, eagerly checkpointed with SERIALIZED storage (the sf100 state is
+    4.5M sigs + 72M bucket rows; deserialized blocks were a round-7 OOM).
+    bench.py calls this untimed via bench_prepare() so the ingest_batch line
+    measures only the marginal per-batch cost."""
+    state = _INGEST_STATE.get(sf_dir)
+    if state is None:
+        from pyspark import StorageLevel
+
+        from etl_processes_spark.pipeline import run_incremental_ingest
+
+        d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+        corpus = d.filter(F.col("doc_id") % 10 != 0)
+        _, st = run_incremental_ingest(spark, corpus, shingle_k=5, bands=16)
+        state = {
+            k: st[k].localCheckpoint(
+                eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK
+            )
+            for k in ("digests", "index", "sigs", "counts")
+        }
+        _INGEST_STATE[sf_dir] = state
+    return state
+
+
+def bench_prepare() -> dict:
+    """name → fn(spark, sf_dir) run ONCE, untimed, before that bench line's
+    timing repeats — for lines whose steady-state cost depends on state that
+    production amortizes (and which has its own separate bench line)."""
+    return {
+        "ingest_batch": _ensure_ingest_state,
+    }
 
 
 def _text_profile_cached(
@@ -1540,44 +1576,9 @@ def bench_components() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             num_hashes=64, bands=16,
         )
 
-    def c_incremental_ingest(spark, sf):
-        # composed APPEND-MODE flow at a realistic ~9:1 corpus:batch ratio
-        # (pipeline.run_incremental_ingest). Corpus-side state (digests /
-        # minhash index / frozen LM counts) is built ONCE per sf_dir by a
-        # cold-start ingest of the corpus slice and EAGERLY checkpointed —
-        # production amortizes state across every arriving batch, so the
-        # timing repeats measure the per-batch ingest; the first repeat
-        # pays the state build and best-of-N drops it (the build cost is
-        # visible in the repeat spread). The returned frame unions the
-        # accepted docs with all three state DELTAS so the noop sink forces
-        # the full flow including state maintenance.
-        from etl_processes_spark.pipeline import run_incremental_ingest
-
-        from pyspark import StorageLevel
-
-        d = _t(spark, sf, "documents").select("doc_id", "text")
-        state = _INGEST_STATE.get(sf)
-        if state is None:
-            corpus = d.filter(F.col("doc_id") % 10 != 0)
-            _, st = run_incremental_ingest(spark, corpus, shingle_k=5, bands=16)
-            # serialized blocks: the sf100 state (4.5M sigs + 72M bucket
-            # rows) must not hold deserialized heap for the whole bench
-            state = {
-                k: st[k].localCheckpoint(
-                    eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK
-                )
-                for k in ("digests", "index", "sigs", "counts")
-            }
-            _INGEST_STATE[sf] = state
-        batch = d.filter(F.col("doc_id") % 10 == 0)
-        accepted, deltas = run_incremental_ingest(
-            spark, batch,
-            seen_digests=state["digests"], near_dup_index=state["index"],
-            near_dup_sigs=state["sigs"],
-            lm_counts=state["counts"], min_logprob=-12.0,
-            split_fractions={"train": 0.95, "val": 0.05},
-            shingle_k=5, bands=16, near_dup_threshold=0.5,
-        )
+    def _ingest_delta_union(accepted, deltas):
+        # union the accepted docs with all state DELTAS so the noop sink
+        # forces the full flow including state maintenance
         acc = accepted.select(
             F.lit("accepted").alias("part"),
             F.concat_ws(":", F.col("doc_id"), F.col("split")).alias("k"),
@@ -1598,6 +1599,69 @@ def bench_components() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.concat_ws(":", F.col("token"), F.col("c")).alias("k"),
         )
         return acc.unionByName(dg).unionByName(ix).unionByName(sg).unionByName(ct)
+
+    def c_ingest_state_build(spark, sf):
+        # the ONE-TIME corpus-state build (digests / minhash index+sigs /
+        # LM counts) over the 90% corpus slice — measured as its own line so
+        # it is never conflated with the per-batch marginal cost (round-7
+        # verdict: the combined line overstated steady-state ingest by the
+        # whole state build at REPEATS=1). Cold every repeat: no memoization,
+        # no checkpoint — this times the build itself.
+        from etl_processes_spark.pipeline import run_incremental_ingest
+
+        d = _t(spark, sf, "documents").select("doc_id", "text")
+        corpus = d.filter(F.col("doc_id") % 10 != 0)
+        _, st = run_incremental_ingest(spark, corpus, shingle_k=5, bands=16)
+        dg = st["digests"].select(F.lit("digests").alias("part"), F.col("__key").alias("k"))
+        ix = st["index"].select(
+            F.lit("index").alias("part"),
+            F.concat_ws(":", F.col("id"), F.col("band"), F.col("bh")).alias("k"),
+        )
+        sg = st["sigs"].select(
+            F.lit("sigs").alias("part"),
+            F.concat_ws(":", F.col("id"), F.hash("sig").cast("string")).alias("k"),
+        )
+        ct = st["counts"].select(
+            F.lit("counts").alias("part"),
+            F.concat_ws(":", F.col("token"), F.col("c")).alias("k"),
+        )
+        return dg.unionByName(ix).unionByName(sg).unionByName(ct)
+
+    def c_ingest_batch(spark, sf, quarters: int | None = None):
+        # the STEADY-STATE per-batch ingest: anti-join/bucket-join flow of an
+        # arriving batch against the memoized, eagerly-checkpointed corpus
+        # state (built untimed via bench_prepare — so even a REPEATS=1 scale
+        # run times only the marginal batch cost). ``quarters`` (1/2/4 →
+        # 2.5%/5%/10% of the corpus; env SPARK_GRAFT_INGEST_QUARTERS for
+        # bench runs) scales the BATCH with the state fixed, demonstrating
+        # per-batch cost tracks batch size, not corpus size.
+        from etl_processes_spark.pipeline import run_incremental_ingest
+
+        if quarters is None:
+            quarters = int(os.environ.get("SPARK_GRAFT_INGEST_QUARTERS", "4"))
+        state = _ensure_ingest_state(spark, sf)
+        d = _t(spark, sf, "documents").select("doc_id", "text")
+        batch = d.filter(F.col("doc_id") % 10 == 0)
+        if quarters < 4:
+            # doc_id is a multiple of 10 here, so doc_id % 40 ∈ {0,10,20,30}
+            # selects (doc_id/10) % 4 without a float division
+            batch = batch.filter(F.col("doc_id") % 40 < quarters * 10)
+        accepted, deltas = run_incremental_ingest(
+            spark, batch,
+            seen_digests=state["digests"], near_dup_index=state["index"],
+            near_dup_sigs=state["sigs"],
+            lm_counts=state["counts"], min_logprob=-12.0,
+            split_fractions={"train": 0.95, "val": 0.05},
+            shingle_k=5, bands=16, near_dup_threshold=0.5,
+        )
+        return _ingest_delta_union(accepted, deltas)
+
+    def c_incremental_ingest(spark, sf):
+        # legacy combined line (state build amortized into the first repeat,
+        # best-of-N drops it) — kept for cross-round comparability under
+        # SPARK_GRAFT_ONLY; the headline list reports the split
+        # ingest_state_build / ingest_batch lines instead.
+        return c_ingest_batch(spark, sf)
 
     def c_text_analysis(spark, sf):
         # round-2 workload (token count + lang id + quality) — round-7:
@@ -1823,6 +1887,27 @@ def bench_components() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             scrub_pii=True,
         )
 
+    def c_e2e_training_pipeline_full(spark, sf):
+        # the HEAVY composition: default e2e config + the two most expensive
+        # optional stages ON — exact-substring span removal (k=5 windows
+        # shared by >=2 docs vanish) and SemDeDup semantic dedup over the
+        # embeddings side-table (vec_id ↔ doc_id prefix-aligned in the
+        # testdata). Round-7 verdict: these stages had only standalone sf100
+        # numbers; composed cost must be measured, not inferred.
+        from etl_processes_spark.pipeline import run_training_data_pipeline
+
+        d = _t(spark, sf, "documents")
+        emb = _t(spark, sf, "embeddings").select(
+            F.col("vec_id").alias("doc_id"), "embedding"
+        )
+        return run_training_data_pipeline(
+            spark, d, min_quality=0.0, langs=("en", "zh", "es", "fr", "de"),
+            pack_budget=2048, near_dup_threshold=0.5, max_df=500,
+            scrub_pii=True,
+            span_dedup_k=5, span_dedup_min_df=2,
+            semantic_embeddings=emb, semantic_threshold=0.95,
+        )
+
     return {
         "ngram_jaccard_pairs": c_ngram,
         "ngram_jaccard_prefix": c_ngram_prefix,
@@ -1835,6 +1920,8 @@ def bench_components() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": c_dedup_clusters,
         "dedup_clusters_minhash": c_dedup_clusters_minhash,
         "incremental_ingest": c_incremental_ingest,
+        "ingest_state_build": c_ingest_state_build,
+        "ingest_batch": c_ingest_batch,
         "text_analysis": c_text_analysis,
         "pack_documents": c_pack_documents,
         "dedup_exact": c_dedup_exact,
@@ -1857,6 +1944,7 @@ def bench_components() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "numeric_profile_exact": c_numeric_profile_exact,
         "e2e_profile_generate": c_e2e_profile_generate,
         "e2e_training_pipeline": c_e2e_training_pipeline,
+        "e2e_training_pipeline_full": c_e2e_training_pipeline_full,
     }
 
 

@@ -86,6 +86,7 @@ def run_training_data_pipeline(
     semantic_threshold: float = 0.95,
     semantic_vec_col: str = "embedding",
     shuffle_seed: int | None = None,
+    stage_hook=None,
 ) -> DataFrame:
     """The LLM training-data assembly flow, composed from the extension
     operators — what a user runs over raw documents before tokenization:
@@ -133,12 +134,22 @@ def run_training_data_pipeline(
     [, unigram_logprob][, chunk_id][, bin_id, offset_in_bin]). Every stage
     is the bucketed/inverted-index/window formulation documented in
     SCALING.md — no all-pairs or driver-side loops anywhere; the whole flow
-    is deterministic for a given (corpus, seed)."""
+    is deterministic for a given (corpus, seed).
+
+    ``stage_hook``: optional fn(stage_name, df) -> df called at every stage
+    BOUNDARY with the stage's output frame; whatever it returns feeds the
+    next stage. The per-stage profiler (tools/profile_e2e.py) passes an
+    eager-checkpoint-and-time hook so each stage's wall time is attributed
+    cleanly (a later stage can't silently recompute an earlier one); None
+    (default) adds nothing to the plan."""
     from pyspark.sql import functions as F
 
     from etl_processes_spark.ops.dedup import dedup_clusters
     from etl_processes_spark.ops.pack import pack_documents, stratified_sample
     from etl_processes_spark.ops.textstats import text_analysis_features
+
+    def _h(stage: str, frame: DataFrame) -> DataFrame:
+        return stage_hook(stage, frame) if stage_hook is not None else frame
 
     if line_dedup_max_df is not None:
         from etl_processes_spark.ops.dedup import line_dedup
@@ -156,6 +167,7 @@ def run_training_data_pipeline(
                 id_col, F.col("clean_text").alias(text_col)
             )
         )
+        docs = _h("line_dedup", docs)
 
     if span_dedup_k is not None:
         from etl_processes_spark.ops.dedup import remove_duplicate_spans
@@ -172,12 +184,13 @@ def run_training_data_pipeline(
             if extra
             else despanned
         )
+        docs = _h("span_dedup", docs)
 
     clusters = dedup_clusters(
         docs, id_col, text_col, threshold=near_dup_threshold, max_df=max_df
     )  # output keyed by id_col (see dedup_clusters)
     losers = clusters.filter(F.col(id_col) != F.col("cluster_id")).select(id_col)
-    kept = docs.join(losers, id_col, "left_anti")
+    kept = _h("cluster_dedup", docs.join(losers, id_col, "left_anti"))
 
     if semantic_embeddings is not None:
         from etl_processes_spark.ops.similarity import semantic_dedup
@@ -197,14 +210,17 @@ def run_training_data_pipeline(
             .filter(~F.col("keep"))
             .select(id_col)
         )
-        kept = kept.join(sem_losers, id_col, "left_anti")
+        kept = _h("semantic_dedup", kept.join(sem_losers, id_col, "left_anti"))
 
     if eval_df is not None:
         from etl_processes_spark.ops.decontaminate import decontaminate
 
-        kept = decontaminate(
-            kept, eval_df, id_col, text_col,
-            k=contamination_k, threshold=contamination_threshold,
+        kept = _h(
+            "decontaminate",
+            decontaminate(
+                kept, eval_df, id_col, text_col,
+                k=contamination_k, threshold=contamination_threshold,
+            ),
         )
     if filter_repetitive:
         from etl_processes_spark.ops.textstats import repetition_stats
@@ -214,7 +230,7 @@ def run_training_data_pipeline(
             .filter(F.col("repetitive"))
             .select(id_col)
         )
-        kept = kept.join(flagged, id_col, "left_anti")
+        kept = _h("repetition_filter", kept.join(flagged, id_col, "left_anti"))
     if scrub_pii:
         from etl_processes_spark.ops.textstats import pii_clean_expr
 
@@ -232,6 +248,7 @@ def run_training_data_pipeline(
     filtered = scored.filter(
         F.col("pred_lang").isin(*langs) & (F.col("quality_score") >= min_quality)
     ).select(id_col, text_col, "pred_lang", "quality_score", "n_tokens")
+    filtered = _h("score_filter", filtered)
     if min_logprob is not None:
         from etl_processes_spark.ops.textstats import unigram_logprob_score
 
@@ -239,8 +256,11 @@ def run_training_data_pipeline(
         # dedup/scoring work above isn't executed once per downstream job
         filtered = filtered.persist()
         lm = unigram_logprob_score(filtered, id_col, text_col)
-        filtered = filtered.join(lm, id_col).filter(
-            F.col("unigram_logprob") >= min_logprob
+        filtered = _h(
+            "lm_floor",
+            filtered.join(lm, id_col).filter(
+                F.col("unigram_logprob") >= min_logprob
+            ),
         )
     if per_lang_cap is not None:
         filtered = stratified_sample(filtered, "pred_lang", per_lang_cap, id_col, seed)
@@ -273,6 +293,7 @@ def run_training_data_pipeline(
             )
             .drop("__chunk_tokens")
         )
+        filtered = _h("chunk", filtered)
         pack_key = "__seq_key"
     if pack_budget is None:
         out = filtered
@@ -281,8 +302,11 @@ def run_training_data_pipeline(
         # dedup/scoring/sampling subtree executes once, not twice
         filtered = filtered.persist()
         packed = pack_documents(filtered, pack_key, "n_tokens", pack_budget)
-        out = filtered.join(
-            packed.select(pack_key, "bin_id", "offset_in_bin"), pack_key
+        out = _h(
+            "pack",
+            filtered.join(
+                packed.select(pack_key, "bin_id", "offset_in_bin"), pack_key
+            ),
         )
     if shuffle_seed is not None:
         from etl_processes_spark.ops.pack import shuffle_deterministic
