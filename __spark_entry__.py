@@ -52,26 +52,25 @@ def release_ingest_state() -> None:
     ~7 GB of checkpoint blocks, and leaving it pinned degrades every LATER
     query in a family run (the round-6 GC-thrash lesson, state edition).
 
-    unpersist() on a localCheckpoint-backed frame is a no-op — checkpoint
-    RDD blocks are only reclaimed when the ContextCleaner GCs the Python
-    DataFrame references — so after clearing the dict this triggers both
-    collectors itself (callers must not need to know to follow up with a
-    manual GC for the release to actually happen)."""
+    DataFrame.unpersist() on a localCheckpoint-backed frame is a no-op (it
+    only talks to the SQL CacheManager), so the blocks are released
+    DETERMINISTICALLY by unpersisting the checkpointed plan's underlying
+    RDD (release_checkpoint); GC is kept as the fallback for any frame the
+    direct release can't reach."""
+    from etl_processes_spark.partitioning import release_checkpoint
+
     spark = None
     for state in _INGEST_STATE.values():
         for df in state.values():
             spark = spark or df.sparkSession
-            try:
-                df.unpersist()
-            except Exception:
-                pass
+            release_checkpoint(df)
     _INGEST_STATE.clear()
     import gc
 
-    gc.collect()  # drop the Python-side DataFrame refs first
+    gc.collect()  # drop the Python-side DataFrame refs
     if spark is not None:
         try:
-            spark._jvm.System.gc()  # let ContextCleaner reclaim the blocks
+            spark._jvm.System.gc()  # ContextCleaner fallback
         except Exception:
             pass
 

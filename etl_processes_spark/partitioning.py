@@ -87,6 +87,25 @@ def _parse_bytes_conf(v: str) -> int:
         return 128 << 20
 
 
+def release_checkpoint(df: DataFrame) -> bool:
+    """Deterministically free the block-manager storage behind a
+    ``localCheckpoint``-backed DataFrame. ``df.unpersist()`` is a no-op for
+    these (it only talks to the SQL CacheManager; checkpoint blocks are
+    otherwise reclaimed only when the ContextCleaner GCs the RDD) — but the
+    checkpointed plan is a LogicalRDD whose underlying RDD we can unpersist
+    directly. Returns True when the blocks were released, False when the
+    frame isn't checkpoint-backed (or internals moved); never raises.
+
+    Callers that pin large intermediate state (the memoized ingest corpus
+    state, the stage profiler's boundary checkpoints) use this so release
+    happens when they decide, not when two garbage collectors agree."""
+    try:
+        df._jdf.queryExecution().optimizedPlan().rdd().unpersist(False)
+        return True
+    except Exception:
+        return False
+
+
 def widen(df: DataFrame, min_factor: int = 2, per_mb: float | None = None) -> DataFrame:
     """Round-robin repartition a narrow scan-shaped frame up to the cluster's
     default parallelism; df unchanged otherwise. Frames downstream of a

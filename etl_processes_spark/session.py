@@ -20,7 +20,18 @@ def get_spark(
 ) -> SparkSession:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     master = master or f"local[{cpus}]"
-    shuffle_partitions = shuffle_partitions or int(cpus)
+    # Initial shuffle width = 8× the core count (the canonical AQE pattern:
+    # start high, let coalescing merge small shuffles back down to the
+    # 64 MB advisory size). At shuffle.partitions == cores, a corpus-sized
+    # shuffle at sf100 put ~850 MB behind EACH aggregate task and the hash
+    # aggregates fell back to sort-spill — remove_duplicate_spans alone
+    # spilled 119.7 GB (measured round 8); at 8× the per-task footprint
+    # drops under the spill threshold while AQE keeps small-sf queries at
+    # their coalesced width, so the tiny-query regime pays only scheduling
+    # noise. Env override: SPARK_GRAFT_SHUFFLE_PARTITIONS.
+    shuffle_partitions = shuffle_partitions or int(
+        os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "0")
+    ) or int(cpus) * 8
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)

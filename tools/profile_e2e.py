@@ -51,8 +51,11 @@ def main() -> None:
         lambda it: it, schema="id long"
     ).count()
 
+    from etl_processes_spark.partitioning import release_checkpoint
+
     stages: dict[str, float] = {}
     last = [0.0]  # set to t_start right before the pipeline call
+    prev_ckpt = []  # the previous boundary's checkpoint, released once superseded
 
     def hook(name, df):
         # serialized blocks (Python MEMORY_AND_DISK is serialized): the
@@ -66,6 +69,14 @@ def main() -> None:
         # cluster stage at sf0.01
         stages[name] = round(now - last[0], 2)
         last[0] = now
+        # every stage reads only the PREVIOUS boundary's frame (+ external
+        # side tables), so once this checkpoint is materialized the one
+        # before it is dead weight — at sf100 each boundary pins a
+        # full-corpus block set, and keeping them all would exhaust the
+        # disk the corpus itself needs
+        while prev_ckpt:
+            release_checkpoint(prev_ckpt.pop())
+        prev_ckpt.append(out)
         print(f"# stage {name}: {stages[name]}s", file=sys.stderr, flush=True)
         return out
 
