@@ -157,3 +157,38 @@ def test_widen_ignores_shuffleish_column_names(spark, tmp_path):
     # a real aggregation still blocks widening
     agg = df.groupBy("JoinDate").count()
     assert widen(agg) is agg
+
+
+def test_release_checkpoint_frees_blocks_and_rejects_plain_frames(spark):
+    """release_checkpoint must free a localCheckpoint's block-manager
+    storage deterministically (DataFrame.unpersist is a no-op for
+    checkpoint-backed frames) and report False — without raising — on a
+    frame that is not checkpoint-backed."""
+    from pyspark import StorageLevel
+
+    from etl_processes_spark.partitioning import release_checkpoint
+
+    def _storage_used() -> int:
+        # block-manager memory in use across the (single, local[*]) JVM;
+        # measured as a DELTA so blocks other tests left cached don't flake
+        status = spark.sparkContext._jsc.sc().getExecutorMemoryStatus()
+        it = status.iterator()
+        used = 0
+        while it.hasNext():
+            kv = it.next()
+            used += kv._2()._1() - kv._2()._2()
+        return used
+
+    base = _storage_used()
+    df = spark.range(0, 100_000, numPartitions=4).selectExpr(
+        "id", "repeat('x', 32) AS s"
+    )
+    ck = df.localCheckpoint(eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK)
+    assert ck.count() == 100_000
+    pinned = _storage_used()
+    assert pinned > base  # the checkpoint actually holds blocks
+    assert release_checkpoint(ck) is True
+    assert _storage_used() <= base  # and release actually frees them
+
+    plain = spark.range(10)
+    assert release_checkpoint(plain) is False
