@@ -234,6 +234,9 @@ def main() -> None:
 
     if ONLY:
         bench_queries = [q for q in bench_queries if q in ONLY]
+    loop_completed = False  # a crash mid-loop must keep ITS traceback: the
+    # finally block below must not replace an in-flight exception with
+    # SystemExit just because a recall floor also failed (round-8 advice)
     try:
         for name in bench_queries:
             best, n = float("inf"), 0
@@ -295,6 +298,7 @@ def main() -> None:
                 errors += 1
                 timings[name] = {"err": f"{type(e).__name__}: {e}"[:500]}
                 print(f"# {name}: ERROR {type(e).__name__}: {e}", file=sys.stderr, flush=True)
+        loop_completed = True
     finally:
         sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
         out = {
@@ -326,17 +330,26 @@ def main() -> None:
         if not ONLY:
             # full runs also write the r-numbered artifact directly (the
             # driver-scraped BENCH_r07.json landed parsed:null — bench.py
-            # owns the file now). Round = max CORRECTNESS_r{N} on disk + 1
-            # (the driver writes correctness at END of round), overridable
-            # via SPARK_GRAFT_ROUND. Subset (SPARK_GRAFT_ONLY) runs skip it
-            # so a family re-measure never clobbers the full record.
+            # owns the file now). Round source of truth is the tracked
+            # ROUND file (bumped once at the start of each round) — the
+            # old max-CORRECTNESS+1 rule flipped the round the moment the
+            # driver wrote CORRECTNESS_r{N} at END of round, stranding the
+            # post-round sf0.1 run under next round's name (round-8
+            # verdict, What's wrong #5). SPARK_GRAFT_ROUND still overrides;
+            # CORRECTNESS inference remains only as a last-ditch fallback.
+            # Subset (SPARK_GRAFT_ONLY) runs skip the r-numbered write so a
+            # family re-measure never clobbers the full record.
             try:
                 import glob as _glob
                 import re as _re
 
                 env_r = os.environ.get("SPARK_GRAFT_ROUND")
+                round_file = os.path.join(repo, "ROUND")
                 if env_r:
                     rnd = int(env_r)
+                elif os.path.exists(round_file):
+                    with open(round_file) as rf:
+                        rnd = int(rf.read().strip())
                 else:
                     seen = [
                         int(m.group(1))
@@ -363,9 +376,12 @@ def main() -> None:
             except OSError as e:
                 print(f"# summary file write failed: {e}", file=sys.stderr, flush=True)
         print(line, flush=True)
-        if floor_failures:
+        if floor_failures and loop_completed:
             # the record above is complete — but a recall-floor violation
-            # must fail the run loudly, not wait for a judge to read it
+            # must fail the run loudly, not wait for a judge to read it.
+            # Only when no exception is propagating: sys.exit here would
+            # otherwise swallow the original traceback of a mid-loop crash
+            # (the crash already exits non-zero on its own).
             sys.exit(1)
 
 

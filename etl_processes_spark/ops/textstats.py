@@ -319,60 +319,81 @@ def repetition_stats(
     Shape: gram fractions are per-row array expressions (no shuffle); the
     token mode needs a two-level aggregation — groupBy(doc, token) then
     groupBy(doc) — both partial-agg'd, keyed by doc, so skew is bounded by
-    the longest single document. A synthetic row key (__rid) preserves
-    per-row semantics under duplicate ids, like quality_features.
+    the longest single document. ONLY (id, row-key, token) rides the
+    exploded shuffle: the six per-row array stats used to be carried on
+    every exploded token row and aggregated with F.first(), which at sf100
+    was a 60.7 GB spill (the corpus's whole token stream x 6 doubles);
+    they now take a separate one-row-per-doc aggregate and join back by
+    the doc key — token-stream shuffle payload is just the token.
+
+    Row identity is the DETERMINISTIC (id, xxhash64(text)) pair, like
+    quality_features / text_analysis_features — a task retry can never
+    re-key a row (monotonically_increasing_id could, duplicating or
+    dropping aggregate groups when a lost partition recomputes). The
+    price, identical to the siblings: exact (id, text) duplicate rows
+    collapse into ONE output row with single-copy values — token counts
+    are an exact multiple of the group's source-row multiplicity, so
+    dividing by it recovers per-copy stats exactly.
 
     The token array is CHECKPOINTED before the five size/gram consumers:
     higher-order functions are interpreted (not codegen'd) and Catalyst
     does NOT common-subexpression-eliminate them across consumers, so
     deriving every stat straight from the text re-ran the full
     tokenize+gram pipeline per column (measured 12.7s -> 0.9s at sf0.1)."""
+    from etl_processes_spark.partitioning import track_checkpoint
+
     toks = F.coalesce(tokens_expr(text_col), F.array().cast("array<string>"))
-    toks_frame = widen(df, per_mb=2.0).select(
-        F.col(id_col),
-        F.monotonically_increasing_id().alias("__rid"),
-        toks.alias("__toks"),
-    ).localCheckpoint(eager=False)
+    toks_frame = track_checkpoint(
+        widen(df, per_mb=2.0).select(
+            F.col(id_col),
+            F.xxhash64(F.col(text_col).cast("string")).alias("__rid"),
+            toks.alias("__toks"),
+        ).localCheckpoint(eager=False)
+    )
     g2 = grams_from_tokens_expr(F.col("__toks"), 2)
     g3 = grams_from_tokens_expr(F.col("__toks"), 3)
-    base = toks_frame.select(
-        F.col(id_col),
-        F.col("__rid"),
-        F.col("__toks"),
-        F.size("__toks").cast("double").alias("__n"),
-        F.size(g2).cast("double").alias("__t2"),
-        F.size(F.array_distinct(g2)).cast("double").alias("__d2"),
-        F.size(g3).cast("double").alias("__t3"),
-        F.size(F.array_distinct(g3)).cast("double").alias("__d3"),
+    # per-row array stats (pure row-wise expressions), collapsed to one row
+    # per (id, text-hash) group; __m = source-row multiplicity of the group
+    stats = (
+        toks_frame.select(
+            F.col(id_col),
+            F.col("__rid"),
+            F.size("__toks").cast("double").alias("__n"),
+            F.size(g2).cast("double").alias("__t2"),
+            F.size(F.array_distinct(g2)).cast("double").alias("__d2"),
+            F.size(g3).cast("double").alias("__t3"),
+            F.size(F.array_distinct(g3)).cast("double").alias("__d3"),
+        )
+        .groupBy(id_col, "__rid")
+        .agg(
+            F.first("__n").alias("__n"),
+            F.first("__t2").alias("__t2"),
+            F.first("__d2").alias("__d2"),
+            F.first("__t3").alias("__t3"),
+            F.first("__d3").alias("__d3"),
+            F.count(F.lit(1)).cast("double").alias("__m"),
+        )
     )
-    tok = base.select(
-        id_col, "__rid", "__n", "__t2", "__d2", "__t3", "__d3",
-        F.explode_outer("__toks").alias("__t"),
+    # token mode: the exploded stream carries ONLY the group key + token
+    tok = toks_frame.select(
+        id_col, "__rid", F.explode_outer("__toks").alias("__t")
     )
-    per_tok = tok.groupBy("__rid", "__t").agg(
-        F.first(id_col).alias(id_col),
-        F.first("__n").alias("__n"),
-        F.first("__t2").alias("__t2"),
-        F.first("__d2").alias("__d2"),
-        F.first("__t3").alias("__t3"),
-        F.first("__d3").alias("__d3"),
+    per_tok = tok.groupBy(id_col, "__rid", "__t").agg(
         F.count("__t").cast("double").alias("__cnt"),
     )
-    per_doc = per_tok.groupBy("__rid").agg(
-        F.first(id_col).alias(id_col),
-        F.first("__n").alias("__n"),
-        F.first("__t2").alias("__t2"),
-        F.first("__d2").alias("__d2"),
-        F.first("__t3").alias("__t3"),
-        F.first("__d3").alias("__d3"),
-        F.max("__cnt").alias("__top"),
+    per_doc = per_tok.groupBy(id_col, "__rid").agg(
+        F.max("__cnt").alias("__topm"),
         F.count("__t").cast("double").alias("__dtok"),
     )
+    joined = stats.join(per_doc, [id_col, "__rid"])
     n = F.col("__n")
-    top_frac = F.when(n > 0, F.col("__top") / n).otherwise(F.lit(0.0))
+    # per-token counts are multiplied by the group's multiplicity; the max
+    # inherits the same factor, so dividing by __m recovers the per-copy
+    # top count (distinct-token and array stats are multiplicity-invariant)
+    top_frac = F.when(n > 0, (F.col("__topm") / F.col("__m")) / n).otherwise(F.lit(0.0))
     dup2 = F.when(F.col("__t2") > 0, 1.0 - F.col("__d2") / F.col("__t2")).otherwise(F.lit(0.0))
     dup3 = F.when(F.col("__t3") > 0, 1.0 - F.col("__d3") / F.col("__t3")).otherwise(F.lit(0.0))
-    return per_doc.select(
+    return joined.select(
         F.col(id_col),
         n.cast("long").alias("n_tokens"),
         F.round(F.when(n > 0, F.col("__dtok") / n).otherwise(F.lit(0.0)), ndigits).alias(

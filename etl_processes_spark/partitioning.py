@@ -94,16 +94,91 @@ def release_checkpoint(df: DataFrame) -> bool:
     otherwise reclaimed only when the ContextCleaner GCs the RDD) — but the
     checkpointed plan is a LogicalRDD whose underlying RDD we can unpersist
     directly. Returns True when the blocks were released, False when the
-    frame isn't checkpoint-backed (or internals moved); never raises.
+    frame isn't checkpoint-backed (plan isn't a LogicalRDD, or its RDD was
+    never marked persistent, or internals moved); never raises.
+
+    The unpersist is BLOCKING: the disk-pressure use case (a composed
+    pipeline releasing a superseded stage at 100 TB) needs the blocks gone
+    before the next stage's disk demand arrives — a non-blocking release
+    races it (and made the block-accounting test flaky, round-8 verdict).
+
+    The released frame is permanently unusable afterwards — its lineage was
+    truncated at the checkpoint and the blocks are gone; any further action
+    on it (or a frame derived from it) fails. Release only frames every
+    consumer is done with.
 
     Callers that pin large intermediate state (the memoized ingest corpus
-    state, the stage profiler's boundary checkpoints) use this so release
-    happens when they decide, not when two garbage collectors agree."""
+    state, the stage profiler's boundary checkpoints, the training
+    pipeline's stage boundaries) use this so release happens when they
+    decide, not when two garbage collectors agree."""
     try:
-        df._jdf.queryExecution().optimizedPlan().rdd().unpersist(False)
+        plan = df._jdf.queryExecution().optimizedPlan()
+        if plan.getClass().getSimpleName() != "LogicalRDD":
+            return False
+        rdd = plan.rdd()
+        lvl = rdd.getStorageLevel()
+        if not (lvl.useMemory() or lvl.useDisk()):
+            # StorageLevel.NONE: a LogicalRDD that was never persisted
+            # (e.g. a frame built straight from an RDD) has nothing to free
+            return False
+        rdd.unpersist(True)
         return True
     except Exception:
         return False
+
+
+# --- checkpoint tracking -----------------------------------------------
+# Operators that internally localCheckpoint wide intermediate streams
+# (posting lists, token windows, CC edge lists, IVF cells) register those
+# frames here when a collector is active. A composed pipeline opens a
+# collector around each stage, then — once the stage's OUTPUT is
+# materialized — releases everything the stage pinned internally. Without
+# this, a multi-stage flow retains every stage's full-corpus block set
+# until job end: at sf100 that exhausted the disk the corpus itself needed
+# (round-8 `e2e_training_pipeline_full` died on ENOSPC).
+#
+# A plain module-level stack: pipelines are driver-side single-threaded
+# plan construction (the concurrent parts of this codebase — validation's
+# per-column jobs — never construct checkpoints). Not re-entrancy-safe
+# across threads, documented as such.
+
+_CKPT_COLLECTORS: list[list[DataFrame]] = []
+
+
+def track_checkpoint(df: DataFrame) -> DataFrame:
+    """Register a checkpoint-backed frame with the innermost active
+    collector (no-op when none is active). Returns df for chaining."""
+    if _CKPT_COLLECTORS:
+        _CKPT_COLLECTORS[-1].append(df)
+    return df
+
+
+class collect_checkpoints:
+    """Context manager: collect every checkpoint-backed frame registered
+    via ``track_checkpoint`` inside the block. The caller releases them
+    (``release_collected``) once their downstream consumer is materialized
+    — releasing earlier would break the very job that materializes it."""
+
+    def __enter__(self) -> list[DataFrame]:
+        lst: list[DataFrame] = []
+        _CKPT_COLLECTORS.append(lst)
+        self._lst = lst
+        return lst
+
+    def __exit__(self, *exc) -> None:
+        got = _CKPT_COLLECTORS.pop()
+        assert got is self._lst
+
+
+def release_collected(frames: list[DataFrame]) -> int:
+    """Release every tracked checkpoint in ``frames`` (idempotent — frames
+    that were never materialized or already released are skipped by
+    release_checkpoint's own checks). Returns the number released."""
+    n = 0
+    while frames:
+        if release_checkpoint(frames.pop()):
+            n += 1
+    return n
 
 
 def widen(df: DataFrame, min_factor: int = 2, per_mb: float | None = None) -> DataFrame:

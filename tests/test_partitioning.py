@@ -188,7 +188,20 @@ def test_release_checkpoint_frees_blocks_and_rejects_plain_frames(spark):
     pinned = _storage_used()
     assert pinned > base  # the checkpoint actually holds blocks
     assert release_checkpoint(ck) is True
-    assert _storage_used() <= base  # and release actually frees them
+    after = _storage_used()
+    # the checkpoint's blocks are gone (release is now BLOCKING, so no
+    # poll needed) — but the test's own jobs leave a few KB of broadcast
+    # blocks above the pre-test baseline, so assert the BULK of the pinned
+    # delta was freed rather than exact return-to-baseline (round-8 advice:
+    # the <= base form failed on ~13 KB of residual broadcasts)
+    assert after - base < 0.1 * (pinned - base)
 
     plain = spark.range(10)
     assert release_checkpoint(plain) is False
+
+    # a LogicalRDD that was never persisted (frame built straight from an
+    # RDD) must also report False — there is nothing to free
+    rdd_frame = spark.createDataFrame(
+        spark.sparkContext.parallelize([(1, "a"), (2, "b")]), "id long, s string"
+    )
+    assert release_checkpoint(rdd_frame) is False

@@ -133,9 +133,27 @@ def test_repetition_stats_duplicate_ids(spark):
         [(7, "a a a a a a"), (7, "a b c d e f")], ["doc_id", "text"]
     )
     out = repetition_stats(df, "doc_id", "text").collect()
-    assert len(out) == 2  # one row per input row, even under id collision
+    assert len(out) == 2  # distinct texts stay separate, even under id collision
     fracs = sorted(r["top_token_frac"] for r in out)
     assert fracs == [round(1 / 6, 6), 1.0]  # outputs are rounded to 6dp
+
+
+def test_repetition_stats_exact_duplicate_rows_collapse(spark):
+    """Exact (id, text) duplicate rows collapse to ONE output row with
+    SINGLE-COPY values (the deterministic xxhash64 row key, same semantics
+    as quality_features / text_analysis_features) — per-token counts are
+    divided by the group multiplicity, so top_token_frac is per-copy."""
+    from etl_processes_spark.ops.textstats import repetition_stats
+
+    df = spark.createDataFrame(
+        [(9, "a a b"), (9, "a a b"), (9, "a a b")], ["doc_id", "text"]
+    )
+    out = repetition_stats(df, "doc_id", "text").collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_tokens"] == 3
+    assert abs(r["top_token_frac"] - round(2 / 3, 6)) < 1e-9  # not 6/3
+    assert abs(r["distinct_token_ratio"] - round(2 / 3, 6)) < 1e-9
 
 
 # ---------------------------------------------------------------------------
