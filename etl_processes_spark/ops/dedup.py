@@ -27,7 +27,7 @@ from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from etl_processes_spark.partitioning import widen
+from etl_processes_spark.partitioning import track_checkpoint, widen
 
 
 def _ckpt_wide(df: DataFrame) -> DataFrame:
@@ -36,8 +36,15 @@ def _ckpt_wide(df: DataFrame) -> DataFrame:
     instead of the deserialized default — ~3-5× smaller on heap, evictable
     to disk under pressure, and far gentler on GC. The deserialized default
     OOM'd a 48 g heap holding the 260 M-row duplicate-window stream while
-    32 explode tasks allocated against it (sf100 measured)."""
-    return df.localCheckpoint(eager=False, storageLevel=StorageLevel.MEMORY_AND_DISK)
+    32 explode tasks allocated against it (sf100 measured).
+
+    Registered with the active checkpoint collector (when one is open):
+    composed pipelines release these full-corpus block sets as soon as the
+    consuming stage has materialized — keeping every stage's streams pinned
+    to job end exhausted the disk at sf100 (round-8 ENOSPC)."""
+    return track_checkpoint(
+        df.localCheckpoint(eager=False, storageLevel=StorageLevel.MEMORY_AND_DISK)
+    )
 
 # ---------------------------------------------------------------------------
 # normalization / shingling (shared, expression-only)
@@ -451,7 +458,7 @@ def _jaccard_pairs_prefix(sh: DataFrame, threshold: float, ndigits: int) -> Data
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
-    cand = cand.localCheckpoint(eager=False)  # feeds the id set AND the verify join
+    cand = track_checkpoint(cand.localCheckpoint(eager=False))  # feeds the id set AND the verify join
     cand_ids = (
         cand.select(F.col("id_a").alias("id"))
         .union(cand.select(F.col("id_b").alias("id")))
@@ -592,7 +599,7 @@ def minhash_lsh_pairs(
     # corpus, so this skips shingling ~everything twice more; AQE broadcasts
     # the id list at runtime when it is small); the checkpoint stops the
     # a/b joins re-deriving them.
-    cand = cand.localCheckpoint(eager=False)
+    cand = track_checkpoint(cand.localCheckpoint(eager=False))
     cand_ids = (
         cand.select(F.explode(F.array("id_a", "id_b")).alias("id")).distinct()
     )
@@ -602,6 +609,7 @@ def minhash_lsh_pairs(
         .select("id", shingles_expr("__txt", k).alias("shs"))
         .localCheckpoint(eager=False)
     )
+    sets = track_checkpoint(sets)
     a = sets.select(F.col("id").alias("id_a"), F.col("shs").alias("shs_a"))
     b = sets.select(F.col("id").alias("id_b"), F.col("shs").alias("shs_b"))
     joined = cand.join(a, "id_a").join(b, "id_b")
@@ -670,6 +678,8 @@ def connected_components(
     # branches over the same (expensive) pair pipeline materializes it
     # twice — Spark has no cross-branch subplan reuse — so the reversal is
     # derived from the checkpoint, not recomputed
+    from etl_processes_spark.partitioning import release_checkpoint
+
     edges = pairs.select(F.col(src).alias("s"), F.col(dst).alias("d"))
     edges = edges.localCheckpoint(eager=True)
     # size the iteration's shuffle to the edge count (post-checkpoint count is
@@ -677,10 +687,15 @@ def connected_components(
     # of paying 32-task scheduling per round; huge graphs keep full width
     n_edges = edges.count()
     if 2 * n_edges <= driver_max_edges:
-        return _cc_driver_union_find(edges)
+        out = _cc_driver_union_find(edges)
+        # the result lives on the driver now (createDataFrame) — the edge
+        # checkpoint's blocks are dead weight the moment toPandas returned
+        release_checkpoint(edges)
+        return out
     und = edges.union(edges.select(F.col("d").alias("s"), F.col("s").alias("d")))
     npart = max(1, min(edges.rdd.getNumPartitions(), 2 * n_edges // 100_000 + 1))
     und = und.repartition(npart, "s").localCheckpoint(eager=True)
+    release_checkpoint(edges)  # und is self-contained; edges superseded
     nodes = und.select(F.col("s").alias("node")).distinct()
     if initial_labels is None:
         labels = nodes.withColumn("label", F.col("node"))
@@ -721,17 +736,23 @@ def connected_components(
         # labels only ever decrease, so an unchanged label-sum IS the
         # fixpoint — one small aggregate instead of a join + count per round
         s = jumped.agg(F.sum("label")).collect()[0][0]
+        release_checkpoint(labels)  # superseded by the materialized jumped
         labels = jumped
         if s == prev_sum:
             converged = True
             break
         prev_sum = s
+    release_checkpoint(und)  # the result depends only on the final labels
     if not converged:
         raise RuntimeError(
             f"connected_components did not reach the label fixpoint within "
             f"{max_iterations} iterations — components may be split; raise "
             f"max_iterations (graph diameter exceeds 2^{max_iterations})"
         )
+    # the final labels checkpoint must outlive this call (the returned frame
+    # reads it) — register it so a composed pipeline can free it once the
+    # consuming stage has materialized
+    track_checkpoint(labels)
     return labels.select("node", F.col("label").alias("cluster_id"))
 
 
@@ -1135,7 +1156,7 @@ def near_dup_incremental(
     batch_sigs, batch_buckets = minhash_index(
         new_docs, id_col, text_col, num_hashes, bands, k
     )
-    batch_buckets = batch_buckets.localCheckpoint(eager=False)
+    batch_buckets = track_checkpoint(batch_buckets.localCheckpoint(eager=False))
 
     cand_corpus = (
         batch_buckets.join(
@@ -1384,6 +1405,7 @@ def edit_distance_pairs(
         .withColumn("len", F.length("s"))
         .localCheckpoint(eager=False)  # shared by both routes + verify joins
     )
+    base = track_checkpoint(base)
     l_short = q * (d + 1) - 1  # longest length with a vacuous overlap bound
 
     # -- short route: pairs whose longer string is <= l_short ----------------

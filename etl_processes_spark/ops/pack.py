@@ -95,7 +95,9 @@ def pack_documents(
     # branches below (local cumsum + per-shard prefix) must observe the SAME
     # boundaries, which exchange-reuse usually — but not contractually —
     # guarantees. The lazy checkpoint makes it hold by construction.
-    sh = sh.localCheckpoint(eager=False)
+    from etl_processes_spark.partitioning import track_checkpoint
+
+    sh = track_checkpoint(sh.localCheckpoint(eager=False))
     w_local = (
         Window.partitionBy("__shard")
         .orderBy(F.col("__ord"), F.col(id_col))

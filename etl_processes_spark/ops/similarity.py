@@ -585,7 +585,9 @@ def _fit_and_assign_cells(
     cells = widen(corpus.select(id_col, vec_col), per_mb=assign_per_mb).mapInPandas(
         assign, schema=assign_schema
     )
-    return cells.localCheckpoint(eager=False), n_centroids
+    from etl_processes_spark.partitioning import track_checkpoint
+
+    return track_checkpoint(cells.localCheckpoint(eager=False)), n_centroids
 
 
 def _cell_pair_scan(

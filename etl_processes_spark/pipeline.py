@@ -87,6 +87,7 @@ def run_training_data_pipeline(
     semantic_vec_col: str = "embedding",
     shuffle_seed: int | None = None,
     stage_hook=None,
+    manage_storage: bool | None = None,
 ) -> DataFrame:
     """The LLM training-data assembly flow, composed from the extension
     operators — what a user runs over raw documents before tokenization:
@@ -141,182 +142,227 @@ def run_training_data_pipeline(
     next stage. The per-stage profiler (tools/profile_e2e.py) passes an
     eager-checkpoint-and-time hook so each stage's wall time is attributed
     cleanly (a later stage can't silently recompute an earlier one); None
-    (default) adds nothing to the plan."""
+    (default) adds nothing to the plan.
+
+    ``manage_storage`` (default: on exactly when no ``stage_hook`` is
+    passed): the pipeline's own storage lifecycle. Several stages pin
+    full-corpus localCheckpoint block sets internally (span-dedup token
+    windows, CC edge lists, SemDeDup cells, posting streams); left alone,
+    every stage's set stays pinned until job end — at sf100 the FULL
+    config exhausted the disk the corpus itself needed (round-8 ENOSPC).
+    With management on, each stage boundary is eagerly checkpointed
+    (serialized MEMORY_AND_DISK) and, once that materializes, everything
+    the stage pinned internally — plus the previous boundary — is
+    released (blocking). A boundary is only taken when there is something
+    to release, so cheap stages add no serialization pass. Results are
+    value-identical either way; callers that pass their own ``stage_hook``
+    (the profiler) own the lifecycle instead unless they opt back in."""
+    from pyspark import StorageLevel
     from pyspark.sql import functions as F
 
     from etl_processes_spark.ops.dedup import dedup_clusters
     from etl_processes_spark.ops.pack import pack_documents, stratified_sample
     from etl_processes_spark.ops.textstats import text_analysis_features
+    from etl_processes_spark.partitioning import (
+        collect_checkpoints,
+        release_checkpoint,
+        release_collected,
+    )
+
+    manage = manage_storage if manage_storage is not None else stage_hook is None
+    _tracked: list[DataFrame] = []
+    _prev_boundary: list[DataFrame] = []
 
     def _h(stage: str, frame: DataFrame) -> DataFrame:
+        if manage and (_tracked or _prev_boundary):
+            # materialize the boundary FIRST (self-contained LogicalRDD),
+            # then free what it supersedes: the stage's internal checkpoint
+            # blocks and the boundary it consumed. Serialized blocks — the
+            # deserialized default was a round-7 sf100 OOM class.
+            frame = frame.localCheckpoint(
+                eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK
+            )
+            release_collected(_tracked)
+            while _prev_boundary:
+                release_checkpoint(_prev_boundary.pop())
+            _prev_boundary.append(frame)
         return stage_hook(stage, frame) if stage_hook is not None else frame
 
-    if line_dedup_max_df is not None:
-        from etl_processes_spark.ops.dedup import line_dedup
+    _scope = collect_checkpoints() if manage else None
+    if _scope is not None:
+        _tracked = _scope.__enter__()
+    try:
+        if line_dedup_max_df is not None:
+            from etl_processes_spark.ops.dedup import line_dedup
 
-        cleaned = line_dedup(
-            docs, id_col, text_col, sep=line_sep, max_doc_freq=line_dedup_max_df
-        )
-        extra = [c for c in docs.columns if c not in (id_col, text_col)]
-        docs = (
-            cleaned.filter(F.col("n_lines_kept") > 0)
-            .select(id_col, F.col("clean_text").alias(text_col))
-            .join(docs.select(id_col, *extra), id_col)
-            if extra
-            else cleaned.filter(F.col("n_lines_kept") > 0).select(
+            cleaned = line_dedup(
+                docs, id_col, text_col, sep=line_sep, max_doc_freq=line_dedup_max_df
+            )
+            extra = [c for c in docs.columns if c not in (id_col, text_col)]
+            docs = (
+                cleaned.filter(F.col("n_lines_kept") > 0)
+                .select(id_col, F.col("clean_text").alias(text_col))
+                .join(docs.select(id_col, *extra), id_col)
+                if extra
+                else cleaned.filter(F.col("n_lines_kept") > 0).select(
+                    id_col, F.col("clean_text").alias(text_col)
+                )
+            )
+            docs = _h("line_dedup", docs)
+
+        if span_dedup_k is not None:
+            from etl_processes_spark.ops.dedup import remove_duplicate_spans
+
+            despanned = remove_duplicate_spans(
+                docs, id_col, text_col, k=span_dedup_k, min_df=span_dedup_min_df
+            )
+            extra = [c for c in docs.columns if c not in (id_col, text_col)]
+            despanned = despanned.filter(F.col("n_tokens_kept") > 0).select(
                 id_col, F.col("clean_text").alias(text_col)
             )
-        )
-        docs = _h("line_dedup", docs)
-
-    if span_dedup_k is not None:
-        from etl_processes_spark.ops.dedup import remove_duplicate_spans
-
-        despanned = remove_duplicate_spans(
-            docs, id_col, text_col, k=span_dedup_k, min_df=span_dedup_min_df
-        )
-        extra = [c for c in docs.columns if c not in (id_col, text_col)]
-        despanned = despanned.filter(F.col("n_tokens_kept") > 0).select(
-            id_col, F.col("clean_text").alias(text_col)
-        )
-        docs = (
-            despanned.join(docs.select(id_col, *extra), id_col)
-            if extra
-            else despanned
-        )
-        docs = _h("span_dedup", docs)
-
-    clusters = dedup_clusters(
-        docs, id_col, text_col, threshold=near_dup_threshold, max_df=max_df
-    )  # output keyed by id_col (see dedup_clusters)
-    losers = clusters.filter(F.col(id_col) != F.col("cluster_id")).select(id_col)
-    kept = _h("cluster_dedup", docs.join(losers, id_col, "left_anti"))
-
-    if semantic_embeddings is not None:
-        from etl_processes_spark.ops.similarity import semantic_dedup
-
-        # restrict to ids still alive after lexical dedup BEFORE computing
-        # components: otherwise a component whose min-id representative was
-        # already removed (or has no doc row) loses ALL its members — the
-        # survivor must be a doc that actually remains in the corpus
-        live_emb = semantic_embeddings.join(
-            kept.select(id_col), id_col, "left_semi"
-        )
-        sem_losers = (
-            semantic_dedup(
-                live_emb, id_col, semantic_vec_col,
-                threshold=semantic_threshold, seed=seed,
+            docs = (
+                despanned.join(docs.select(id_col, *extra), id_col)
+                if extra
+                else despanned
             )
-            .filter(~F.col("keep"))
-            .select(id_col)
-        )
-        kept = _h("semantic_dedup", kept.join(sem_losers, id_col, "left_anti"))
+            docs = _h("span_dedup", docs)
 
-    if eval_df is not None:
-        from etl_processes_spark.ops.decontaminate import decontaminate
+        clusters = dedup_clusters(
+            docs, id_col, text_col, threshold=near_dup_threshold, max_df=max_df
+        )  # output keyed by id_col (see dedup_clusters)
+        losers = clusters.filter(F.col(id_col) != F.col("cluster_id")).select(id_col)
+        kept = _h("cluster_dedup", docs.join(losers, id_col, "left_anti"))
 
-        kept = _h(
-            "decontaminate",
-            decontaminate(
-                kept, eval_df, id_col, text_col,
-                k=contamination_k, threshold=contamination_threshold,
-            ),
-        )
-    if filter_repetitive:
-        from etl_processes_spark.ops.textstats import repetition_stats
+        if semantic_embeddings is not None:
+            from etl_processes_spark.ops.similarity import semantic_dedup
 
-        flagged = (
-            repetition_stats(kept, id_col, text_col)
-            .filter(F.col("repetitive"))
-            .select(id_col)
-        )
-        kept = _h("repetition_filter", kept.join(flagged, id_col, "left_anti"))
-    if scrub_pii:
-        from etl_processes_spark.ops.textstats import pii_clean_expr
-
-        kept = kept.withColumn(text_col, pii_clean_expr(text_col))
-
-    # lang-ID + token count + quality score come from ONE fused tokenize →
-    # explode → aggregate pass (text_analysis_features): the old
-    # column-composition form re-ran the interpreted tokenize pipeline
-    # ~10× per row (HOFs are never CSE'd) and still paid an id-keyed join
-    # for quality_features. The text column rides through the aggregate as
-    # a grouping key — one corpus shuffle total, text shipped once.
-    scored = text_analysis_features(
-        kept, id_col, text_col, extra_rowwise={text_col: F.col(text_col)}
-    ).select(id_col, text_col, "pred_lang", "n_tokens", "quality_score")
-    filtered = scored.filter(
-        F.col("pred_lang").isin(*langs) & (F.col("quality_score") >= min_quality)
-    ).select(id_col, text_col, "pred_lang", "quality_score", "n_tokens")
-    filtered = _h("score_filter", filtered)
-    if min_logprob is not None:
-        from etl_processes_spark.ops.textstats import unigram_logprob_score
-
-        # the LM-build pass re-reads the corpus subtree; persist so the
-        # dedup/scoring work above isn't executed once per downstream job
-        filtered = filtered.persist()
-        lm = unigram_logprob_score(filtered, id_col, text_col)
-        filtered = _h(
-            "lm_floor",
-            filtered.join(lm, id_col).filter(
-                F.col("unigram_logprob") >= min_logprob
-            ),
-        )
-    if per_lang_cap is not None:
-        filtered = stratified_sample(filtered, "pred_lang", per_lang_cap, id_col, seed)
-    if mixture_alpha is not None:
-        from etl_processes_spark.ops.pack import mixture_rates, mixture_sample
-
-        rates = mixture_rates(filtered, "pred_lang", alpha=mixture_alpha)
-        filtered = mixture_sample(filtered, "pred_lang", rates, id_col, seed=seed)
-    pack_key = id_col
-    if chunk_tokens is not None:
-        from etl_processes_spark.ops.pack import chunk_documents
-
-        chunks = chunk_documents(
-            filtered, id_col, text_col, chunk_tokens, chunk_stride
-        ).select(
-            id_col, "chunk_id",
-            F.col("chunk_text").alias(text_col),
-            F.col("n_tokens").alias("__chunk_tokens"),
-        )
-        # chunks inherit the doc's metadata (one id-keyed join); the packer
-        # needs a single unique ordered key — 15 bits of chunk index keeps
-        # the composite bigint ordered by (doc, chunk) and collision-free
-        # for any doc under 32768 chunks (16.7M tokens at the default size)
-        meta_cols = [c for c in filtered.columns if c not in (text_col, "n_tokens")]
-        filtered = (
-            chunks.join(filtered.select(*meta_cols), id_col)
-            .withColumn("n_tokens", F.col("__chunk_tokens"))
-            .withColumn(
-                "__seq_key", F.col(id_col) * 32768 + F.col("chunk_id")
+            # restrict to ids still alive after lexical dedup BEFORE computing
+            # components: otherwise a component whose min-id representative was
+            # already removed (or has no doc row) loses ALL its members — the
+            # survivor must be a doc that actually remains in the corpus
+            live_emb = semantic_embeddings.join(
+                kept.select(id_col), id_col, "left_semi"
             )
-            .drop("__chunk_tokens")
-        )
-        filtered = _h("chunk", filtered)
-        pack_key = "__seq_key"
-    if pack_budget is None:
-        out = filtered
-    else:
-        # filtered feeds BOTH the packer and the final join — persist so the
-        # dedup/scoring/sampling subtree executes once, not twice
-        filtered = filtered.persist()
-        packed = pack_documents(filtered, pack_key, "n_tokens", pack_budget)
-        out = _h(
-            "pack",
-            filtered.join(
-                packed.select(pack_key, "bin_id", "offset_in_bin"), pack_key
-            ),
-        )
-    if shuffle_seed is not None:
-        from etl_processes_spark.ops.pack import shuffle_deterministic
+            sem_losers = (
+                semantic_dedup(
+                    live_emb, id_col, semantic_vec_col,
+                    threshold=semantic_threshold, seed=seed,
+                )
+                .filter(~F.col("keep"))
+                .select(id_col)
+            )
+            kept = _h("semantic_dedup", kept.join(sem_losers, id_col, "left_anti"))
 
-        # rank on pack_key: when chunking is on, id_col repeats across
-        # chunks and equal ranks would make the order nondeterministic
-        out = shuffle_deterministic(out, pack_key, seed=shuffle_seed).drop(
-            "shuffle_rank"
-        )
-    return out.drop("__seq_key")
+        if eval_df is not None:
+            from etl_processes_spark.ops.decontaminate import decontaminate
+
+            kept = _h(
+                "decontaminate",
+                decontaminate(
+                    kept, eval_df, id_col, text_col,
+                    k=contamination_k, threshold=contamination_threshold,
+                ),
+            )
+        if filter_repetitive:
+            from etl_processes_spark.ops.textstats import repetition_stats
+
+            flagged = (
+                repetition_stats(kept, id_col, text_col)
+                .filter(F.col("repetitive"))
+                .select(id_col)
+            )
+            kept = _h("repetition_filter", kept.join(flagged, id_col, "left_anti"))
+        if scrub_pii:
+            from etl_processes_spark.ops.textstats import pii_clean_expr
+
+            kept = kept.withColumn(text_col, pii_clean_expr(text_col))
+
+        # lang-ID + token count + quality score come from ONE fused tokenize →
+        # explode → aggregate pass (text_analysis_features): the old
+        # column-composition form re-ran the interpreted tokenize pipeline
+        # ~10× per row (HOFs are never CSE'd) and still paid an id-keyed join
+        # for quality_features. The text column rides through the aggregate as
+        # a grouping key — one corpus shuffle total, text shipped once.
+        scored = text_analysis_features(
+            kept, id_col, text_col, extra_rowwise={text_col: F.col(text_col)}
+        ).select(id_col, text_col, "pred_lang", "n_tokens", "quality_score")
+        filtered = scored.filter(
+            F.col("pred_lang").isin(*langs) & (F.col("quality_score") >= min_quality)
+        ).select(id_col, text_col, "pred_lang", "quality_score", "n_tokens")
+        filtered = _h("score_filter", filtered)
+        if min_logprob is not None:
+            from etl_processes_spark.ops.textstats import unigram_logprob_score
+
+            # the LM-build pass re-reads the corpus subtree; persist so the
+            # dedup/scoring work above isn't executed once per downstream job
+            filtered = filtered.persist()
+            lm = unigram_logprob_score(filtered, id_col, text_col)
+            filtered = _h(
+                "lm_floor",
+                filtered.join(lm, id_col).filter(
+                    F.col("unigram_logprob") >= min_logprob
+                ),
+            )
+        if per_lang_cap is not None:
+            filtered = stratified_sample(filtered, "pred_lang", per_lang_cap, id_col, seed)
+        if mixture_alpha is not None:
+            from etl_processes_spark.ops.pack import mixture_rates, mixture_sample
+
+            rates = mixture_rates(filtered, "pred_lang", alpha=mixture_alpha)
+            filtered = mixture_sample(filtered, "pred_lang", rates, id_col, seed=seed)
+        pack_key = id_col
+        if chunk_tokens is not None:
+            from etl_processes_spark.ops.pack import chunk_documents
+
+            chunks = chunk_documents(
+                filtered, id_col, text_col, chunk_tokens, chunk_stride
+            ).select(
+                id_col, "chunk_id",
+                F.col("chunk_text").alias(text_col),
+                F.col("n_tokens").alias("__chunk_tokens"),
+            )
+            # chunks inherit the doc's metadata (one id-keyed join); the packer
+            # needs a single unique ordered key — 15 bits of chunk index keeps
+            # the composite bigint ordered by (doc, chunk) and collision-free
+            # for any doc under 32768 chunks (16.7M tokens at the default size)
+            meta_cols = [c for c in filtered.columns if c not in (text_col, "n_tokens")]
+            filtered = (
+                chunks.join(filtered.select(*meta_cols), id_col)
+                .withColumn("n_tokens", F.col("__chunk_tokens"))
+                .withColumn(
+                    "__seq_key", F.col(id_col) * 32768 + F.col("chunk_id")
+                )
+                .drop("__chunk_tokens")
+            )
+            filtered = _h("chunk", filtered)
+            pack_key = "__seq_key"
+        if pack_budget is None:
+            out = filtered
+        else:
+            # filtered feeds BOTH the packer and the final join — persist so the
+            # dedup/scoring/sampling subtree executes once, not twice
+            filtered = filtered.persist()
+            packed = pack_documents(filtered, pack_key, "n_tokens", pack_budget)
+            out = _h(
+                "pack",
+                filtered.join(
+                    packed.select(pack_key, "bin_id", "offset_in_bin"), pack_key
+                ),
+            )
+        if shuffle_seed is not None:
+            from etl_processes_spark.ops.pack import shuffle_deterministic
+
+            # rank on pack_key: when chunking is on, id_col repeats across
+            # chunks and equal ranks would make the order nondeterministic
+            out = shuffle_deterministic(out, pack_key, seed=shuffle_seed).drop(
+                "shuffle_rank"
+            )
+        return out.drop("__seq_key")
+    finally:
+        # a leaked collector scope would swallow every later
+        # track_checkpoint registration into a dead list — always pop
+        if _scope is not None:
+            _scope.__exit__(None, None, None)
 
 
 def run_incremental_ingest(

@@ -521,3 +521,47 @@ def test_weighted_sample_excludes_nonpositive(spark):
     )
     got = {r["k"] for r in weighted_sample(df, "w", 10, "k").collect()}
     assert got == {"a"}
+
+
+def test_training_pipeline_manage_storage_releases_and_matches(spark):
+    """The pipeline's built-in storage lifecycle (manage_storage, default on
+    when no stage_hook): stage-internal localCheckpoint block sets and
+    superseded boundaries are RELEASED as the flow constructs — at sf100 the
+    unmanaged full config died on ENOSPC holding every stage's blocks to job
+    end. Results must be value-identical to the unmanaged plan."""
+    from etl_processes_spark.pipeline import run_training_data_pipeline
+
+    span = "copy of the shared boilerplate passage that repeats everywhere"
+    rows = [
+        (i, f"document number {i} talks about the weather in town today " + span)
+        for i in range(12)
+    ] + [
+        (100 + i, f"unique essay {i} on the art of cooking fine meals for friends")
+        for i in range(6)
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    def n_pinned() -> int:
+        return spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+
+    kwargs = dict(
+        min_quality=0.0, langs=("en",), pack_budget=32,
+        near_dup_threshold=0.5, span_dedup_k=4, span_dedup_min_df=3,
+        filter_repetitive=True,
+    )
+    base_u = n_pinned()
+    out_plain = run_training_data_pipeline(spark, docs, manage_storage=False, **kwargs)
+    rows_plain = sorted(map(tuple, out_plain.collect()))
+    pinned_unmanaged = n_pinned() - base_u
+    assert pinned_unmanaged >= 3  # the flow really does pin internal state
+
+    base_m = n_pinned()
+    out_managed = run_training_data_pipeline(spark, docs, **kwargs)
+    rows_managed = sorted(map(tuple, out_managed.collect()))
+    pinned_managed = n_pinned() - base_m
+
+    assert rows_managed == rows_plain  # boundaries change nothing
+    # everything except the final boundary (an ancestor of the returned
+    # frame) must have been released during construction
+    assert pinned_managed < pinned_unmanaged
+    assert pinned_managed <= 2
