@@ -1502,7 +1502,7 @@ def ann_cosine_ivf_pq(
     seed: int = 42,
     ndigits: int = 6,
     refine: int | str | None = "auto",
-    target_recall: float = 0.9,
+    target_recall: float = 0.95,
     n_rows: int | None = None,
 ) -> DataFrame:
     """IVF-PQ search: each query ADC-scores ONLY the PQ codes in its
@@ -1525,7 +1525,11 @@ def ann_cosine_ivf_pq(
     with a corpus-scaled multiple (_auto_refine), and ``n_probe`` calibrated
     on the fit sample against sqrt(``target_recall``) — the probe stage and
     the ADC+refine stage multiply, so each targets the square root of the
-    end-to-end goal."""
+    end-to-end goal. The default target is 0.95, NOT 0.9: the calibration
+    is tight enough that a 0.9 target lands almost exactly at 0.90-0.91
+    end-to-end (measured sf1: probe-all 0.97 x refine-all 0.94 ≈ 0.91
+    combined), under the 0.92 recall floor the benchmark enforces for the
+    refined lines; 0.95 measured 0.97+ across sf0.1-sf100."""
     spark = corpus.sparkSession
     if refine == "auto" or n_probe is None:
         n = n_rows

@@ -176,8 +176,16 @@ def text_analysis_features(
     aggregate.
 
     ``extra_rowwise``: name → Column of additional row-wise expressions
-    (e.g. URL-curation columns) carried through the aggregate as grouping
-    keys — callers get their columns back without a join.
+    (e.g. URL-curation columns, or the text itself for pipelines that need
+    it downstream) returned alongside the features. These do NOT ride the
+    token aggregate: a grouping key is hashed and memcmp'd on EVERY
+    exploded token row, so a document-sized extra (the pipeline passes the
+    full text) made the aggregate O(len²) per doc — the CPU wall that was
+    ~60% of the composed sf100 pipeline (score_filter 397-465s). Extras
+    take a separate one-row-per-group first() pass over the SOURCE rows
+    (no explosion) and join back on the deterministic (id, xxhash64(text))
+    key; the join reuses the extras side's hash partitioning, so the text
+    still ships through exactly one shuffle.
 
     Row identity through the aggregate is DETERMINISTIC: the grouping key is
     (id, xxhash64(text), …), not a monotonically_increasing_id — so task
@@ -201,11 +209,8 @@ def text_analysis_features(
         .cast("double")
         .alias("__alpha"),
         bpe_ish_token_count_expr(text_col).alias("__bpe"),
-        *[v.alias(f"__x_{k}") for k, v in extra.items()],
     )
-    keys = [id_col, "__rid", "__nchars_i", "__alpha", "__bpe"] + [
-        f"__x_{k}" for k in extra
-    ]
+    keys = [id_col, "__rid", "__nchars_i", "__alpha", "__bpe"]
     tok = base.select(
         *keys,
         # size(null)/filter(null) propagate NULL in the expression forms —
@@ -269,8 +274,9 @@ def text_analysis_features(
     for lang in reversed(LANG_ORDER):
         pred = F.when(hit[lang] == best, F.lit(lang)).otherwise(pred)
     pred = F.when(best == 0, F.lit("und")).otherwise(pred)
-    return agg.select(
+    feats = agg.select(
         F.col(id_col),
+        F.col("__rid"),
         F.when(F.col("__tnull"), F.lit(-1))
         .otherwise(F.col("__cnt"))
         .cast("int")
@@ -279,12 +285,37 @@ def text_analysis_features(
         F.col("__nchars_i").alias("n_chars_measured"),
         pred.alias("pred_lang"),
         best.cast("long").alias("lang_score"),
-        *[F.col(f"__x_{k}").alias(k) for k in extra],
         F.round(len_score, ndigits).alias("len_score"),
         F.round(alpha_ratio, ndigits).alias("alpha_ratio"),
         F.round(stop_ratio, ndigits).alias("stopword_ratio"),
         F.round(mean_tok_len, ndigits).alias("mean_token_len"),
         F.round(score, ndigits).alias("quality_score"),
+    )
+    if not extra:
+        return feats.drop("__rid")
+    # extras pass: one row per (id, text-hash) group over the SOURCE rows —
+    # no token explosion, so the string payload is touched once per row,
+    # not once per token. first() is deterministic here: every row of a
+    # group carries identical extra values (they are row-wise functions of
+    # the grouped (id, text) pair).
+    extras_frame = (
+        widen(df, per_mb=2.0)
+        .select(
+            F.col(id_col),
+            F.xxhash64(s).alias("__rid"),
+            *[v.alias(f"__x_{k}") for k, v in extra.items()],
+        )
+        .groupBy(id_col, "__rid")
+        .agg(*[F.first(f"__x_{k}").alias(f"__x_{k}") for k in extra])
+    )
+    out_cols = [c for c in feats.columns if c != "__rid"]
+    # column order matches the fused form: extras sit after lang_score
+    head = ["n_tokens", "n_tokens_bpe", "n_chars_measured", "pred_lang", "lang_score"]
+    return feats.join(extras_frame, [id_col, "__rid"]).select(
+        F.col(id_col),
+        *head,
+        *[F.col(f"__x_{k}").alias(k) for k in extra],
+        *[c for c in out_cols if c != id_col and c not in head],
     )
 
 
