@@ -281,8 +281,9 @@ def run_training_data_pipeline(
         # explode → aggregate pass (text_analysis_features): the old
         # column-composition form re-ran the interpreted tokenize pipeline
         # ~10× per row (HOFs are never CSE'd) and still paid an id-keyed join
-        # for quality_features. The text column rides through the aggregate as
-        # a grouping key — one corpus shuffle total, text shipped once.
+        # for quality_features. The text column is requested via extra_rowwise,
+        # which ships it through ONE row-keyed shuffle (never the exploded
+        # token aggregate, where a document-sized grouping key is O(len²)/doc).
         scored = text_analysis_features(
             kept, id_col, text_col, extra_rowwise={text_col: F.col(text_col)}
         ).select(id_col, text_col, "pred_lang", "n_tokens", "quality_score")
