@@ -172,9 +172,10 @@ def run_training_data_pipeline(
     manage = manage_storage if manage_storage is not None else stage_hook is None
     _tracked: list[DataFrame] = []
     _prev_boundary: list[DataFrame] = []
+    _persisted: list[DataFrame] = []
 
     def _h(stage: str, frame: DataFrame) -> DataFrame:
-        if manage and (_tracked or _prev_boundary):
+        if manage and (_tracked or _prev_boundary or _persisted):
             # materialize the boundary FIRST (self-contained LogicalRDD),
             # then free what it supersedes: the stage's internal checkpoint
             # blocks and the boundary it consumed. Serialized blocks — the
@@ -182,6 +183,15 @@ def run_training_data_pipeline(
             frame = frame.localCheckpoint(
                 eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK
             )
+            # caches FIRST, and blocking: a .persist() on (a descendant of)
+            # the previous boundary registers an InMemoryRelation that the
+            # cache manager substitutes into that boundary's optimizedPlan —
+            # release_checkpoint would then see InMemoryRelation instead of
+            # LogicalRDD and silently skip it, leaking BOTH the cache and
+            # the superseded boundary to job end (a full-corpus block set
+            # each at sf100; found as 3-not-1 surviving pinned RDDs)
+            while _persisted:
+                _persisted.pop().unpersist(True)
             release_collected(_tracked)
             while _prev_boundary:
                 release_checkpoint(_prev_boundary.pop())
@@ -296,7 +306,10 @@ def run_training_data_pipeline(
 
             # the LM-build pass re-reads the corpus subtree; persist so the
             # dedup/scoring work above isn't executed once per downstream job
+            # (registered for release at the next boundary when managing)
             filtered = filtered.persist()
+            if manage:
+                _persisted.append(filtered)
             lm = unigram_logprob_score(filtered, id_col, text_col)
             filtered = _h(
                 "lm_floor",
@@ -342,7 +355,12 @@ def run_training_data_pipeline(
         else:
             # filtered feeds BOTH the packer and the final join — persist so the
             # dedup/scoring/sampling subtree executes once, not twice
+            # (released at the pack boundary when managing — left pinned it
+            # held a full-corpus cache AND blocked the previous boundary's
+            # release via the cache manager's InMemoryRelation substitution)
             filtered = filtered.persist()
+            if manage:
+                _persisted.append(filtered)
             packed = pack_documents(filtered, pack_key, "n_tokens", pack_budget)
             out = _h(
                 "pack",
