@@ -267,6 +267,16 @@ def main() -> None:
                     telemetry[name] = {
                         "shuffle_write_mb": best_tele[0], "spill_mb": best_tele[1]
                     }
+                # host-capacity canary: this sandbox's VISIBLE CPU count
+                # fluctuates mid-session (observed nproc 9 → 32 within one
+                # round-9 session) — a REPEATS=1 line measured during a
+                # constrained window reads ~2-3× slow with nothing wrong in
+                # the plan. Recording the count per line turns "unattributed
+                # regression" into a one-field read for the next round.
+                try:
+                    telemetry.setdefault(name, {})["cpus_visible"] = os.cpu_count()
+                except Exception:
+                    pass
                 if name in ("incremental_ingest", "ingest_batch"):
                     # the memoized corpus-state tables exist to be shared
                     # across this query's repeats ONLY — pinned checkpoint
