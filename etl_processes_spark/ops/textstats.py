@@ -347,30 +347,31 @@ def repetition_stats(
       - repetitive: dup_3gram_frac >= max_dup_3gram OR
         top_token_frac >= max_top_token
 
-    Shape: gram fractions are per-row array expressions (no shuffle); the
-    token mode needs a two-level aggregation — groupBy(doc, token) then
-    groupBy(doc) — both partial-agg'd, keyed by doc, so skew is bounded by
-    the longest single document. ONLY (id, row-key, token) rides the
-    exploded shuffle: the six per-row array stats used to be carried on
-    every exploded token row and aggregated with F.first(), which at sf100
-    was a 60.7 GB spill (the corpus's whole token stream x 6 doubles);
-    they now take a separate one-row-per-doc aggregate and join back by
-    the doc key — token-stream shuffle payload is just the token.
+    Shape: ENTIRELY row-wise — per-doc stats are functions of one document,
+    so no token ever crosses the wire. The token mode (most-frequent-token
+    count, distinct-token count) used to be a two-level aggregation over the
+    exploded token stream; even with the payload slimmed to (doc-key, token)
+    that shuffled+sort-aggregated the corpus's whole token stream (~1G rows,
+    11-28 GB spill at sf100 depending on memory pressure). Both stats are
+    array expressions instead: distinct count is size(array_distinct(toks));
+    the top-token count is the longest run in array_sort(toks), folded with
+    a SCALAR-accumulator aggregate() (O(n log n) per row, accumulator is a
+    3-field struct so there is no per-step array copy). The only shuffle
+    left is the duplicate-row collapse — eight doubles per source row.
 
     Row identity is the DETERMINISTIC (id, xxhash64(text)) pair, like
     quality_features / text_analysis_features — a task retry can never
     re-key a row (monotonically_increasing_id could, duplicating or
-    dropping aggregate groups when a lost partition recomputes). The
-    price, identical to the siblings: exact (id, text) duplicate rows
-    collapse into ONE output row with single-copy values — token counts
-    are an exact multiple of the group's source-row multiplicity, so
-    dividing by it recovers per-copy stats exactly.
+    dropping aggregate groups when a lost partition recomputes). Exact
+    (id, text) duplicate rows collapse into ONE output row; with every
+    stat computed per-copy row-wise, no multiplicity normalization is
+    needed (the values are identical across copies by construction).
 
-    The token array is CHECKPOINTED before the five size/gram consumers:
-    higher-order functions are interpreted (not codegen'd) and Catalyst
-    does NOT common-subexpression-eliminate them across consumers, so
-    deriving every stat straight from the text re-ran the full
-    tokenize+gram pipeline per column (measured 12.7s -> 0.9s at sf0.1)."""
+    The token array is CHECKPOINTED before the multi-expression stats
+    select: higher-order functions are interpreted (not codegen'd) and
+    Catalyst does NOT common-subexpression-eliminate them across consumer
+    expressions, so deriving every stat straight from the text re-ran the
+    full tokenize pipeline per column (measured 12.7s -> 0.9s at sf0.1)."""
     from etl_processes_spark.partitioning import track_checkpoint
 
     toks = F.coalesce(tokens_expr(text_col), F.array().cast("array<string>"))
@@ -383,8 +384,25 @@ def repetition_stats(
     )
     g2 = grams_from_tokens_expr(F.col("__toks"), 2)
     g3 = grams_from_tokens_expr(F.col("__toks"), 3)
-    # per-row array stats (pure row-wise expressions), collapsed to one row
-    # per (id, text-hash) group; __m = source-row multiplicity of the group
+    # longest run of equal tokens in the sorted array == occurrence count of
+    # the most frequent token; null-safe <=> handles the null initial prev
+    top_expr = F.expr(
+        """aggregate(
+             array_sort(__toks),
+             named_struct('prev', cast(null as string),
+                          'run', cast(0 as bigint),
+                          'best', cast(0 as bigint)),
+             (acc, t) -> named_struct(
+                 'prev', t,
+                 'run', IF(t <=> acc.prev, acc.run + 1, cast(1 as bigint)),
+                 'best', greatest(acc.best,
+                                  IF(t <=> acc.prev, acc.run + 1,
+                                     cast(1 as bigint)))),
+             acc -> acc.best)"""
+    ).cast("double")
+    # all stats are per-copy row-wise expressions; the groupBy collapses
+    # exact (id, text) duplicate rows to one output row (first() reads
+    # identical values in every copy of a group)
     stats = (
         toks_frame.select(
             F.col(id_col),
@@ -394,6 +412,8 @@ def repetition_stats(
             F.size(F.array_distinct(g2)).cast("double").alias("__d2"),
             F.size(g3).cast("double").alias("__t3"),
             F.size(F.array_distinct(g3)).cast("double").alias("__d3"),
+            F.size(F.array_distinct("__toks")).cast("double").alias("__dtok"),
+            top_expr.alias("__top"),
         )
         .groupBy(id_col, "__rid")
         .agg(
@@ -402,29 +422,15 @@ def repetition_stats(
             F.first("__d2").alias("__d2"),
             F.first("__t3").alias("__t3"),
             F.first("__d3").alias("__d3"),
-            F.count(F.lit(1)).cast("double").alias("__m"),
+            F.first("__dtok").alias("__dtok"),
+            F.first("__top").alias("__top"),
         )
     )
-    # token mode: the exploded stream carries ONLY the group key + token
-    tok = toks_frame.select(
-        id_col, "__rid", F.explode_outer("__toks").alias("__t")
-    )
-    per_tok = tok.groupBy(id_col, "__rid", "__t").agg(
-        F.count("__t").cast("double").alias("__cnt"),
-    )
-    per_doc = per_tok.groupBy(id_col, "__rid").agg(
-        F.max("__cnt").alias("__topm"),
-        F.count("__t").cast("double").alias("__dtok"),
-    )
-    joined = stats.join(per_doc, [id_col, "__rid"])
     n = F.col("__n")
-    # per-token counts are multiplied by the group's multiplicity; the max
-    # inherits the same factor, so dividing by __m recovers the per-copy
-    # top count (distinct-token and array stats are multiplicity-invariant)
-    top_frac = F.when(n > 0, (F.col("__topm") / F.col("__m")) / n).otherwise(F.lit(0.0))
+    top_frac = F.when(n > 0, F.col("__top") / n).otherwise(F.lit(0.0))
     dup2 = F.when(F.col("__t2") > 0, 1.0 - F.col("__d2") / F.col("__t2")).otherwise(F.lit(0.0))
     dup3 = F.when(F.col("__t3") > 0, 1.0 - F.col("__d3") / F.col("__t3")).otherwise(F.lit(0.0))
-    return joined.select(
+    return stats.select(
         F.col(id_col),
         n.cast("long").alias("n_tokens"),
         F.round(F.when(n > 0, F.col("__dtok") / n).otherwise(F.lit(0.0)), ndigits).alias(
