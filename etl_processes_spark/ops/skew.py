@@ -33,9 +33,17 @@ def _row_salt(n_buckets: int) -> Column:
     common hot-key shape: dup-heavy corpora, key-only projections) still
     spread across all buckets; hashing the row's columns would send every
     duplicate to ONE bucket, reproducing exactly the skew being mitigated.
-    Salt values vary with physical layout, but they only steer load
-    placement: join/aggregate RESULTS are salt-invariant by construction
-    (pinned by tests)."""
+
+    TASK-RETRY SAFETY (why monotonically_increasing_id is fine HERE and was
+    a bug in repetition_stats): a retried/recomputed task may assign
+    different salt values to the same rows, but salt never reaches a result
+    — salted_join drops it after the join (every salt matches the exploded
+    small side identically), and two_phase_count sums the per-(key,salt)
+    partials back to per-key, so any partition of rows into buckets yields
+    the same totals. A retry shifts LOAD PLACEMENT only; join/aggregate
+    RESULTS are salt-invariant by construction (pinned by tests). Using MII
+    as a row IDENTITY key (what repetition_stats once did) is the unsafe
+    pattern, because there the value itself survives into the output."""
     return F.abs(F.xxhash64(F.monotonically_increasing_id())) % n_buckets
 
 

@@ -156,6 +156,33 @@ def test_repetition_stats_exact_duplicate_rows_collapse(spark):
     assert abs(r["distinct_token_ratio"] - round(2 / 3, 6)) < 1e-9
 
 
+def test_repetition_stats_kernels_identical(spark):
+    """The vectorized Arrow kernel (default) and the pure-Catalyst
+    expression fold must be value-identical on every row — edge docs
+    (empty, 1-token, 2-token, all-same, punctuation-only) plus a real
+    corpus slice."""
+    from etl_processes_spark.ops.textstats import repetition_stats
+
+    edge = spark.createDataFrame(
+        [
+            (0, "a a a a"),
+            (1, "a b c d"),
+            (2, "a b"),
+            (3, ""),
+            (4, "x"),
+            (5, "?!.,;"),
+            (6, "the the cat the the cat the"),
+            (7, None),
+        ],
+        ["doc_id", "text"],
+    )
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    for df in (edge, docs):
+        a = repetition_stats(df, "doc_id", "text", kernel="arrow").orderBy("doc_id")
+        e = repetition_stats(df, "doc_id", "text", kernel="expr").orderBy("doc_id")
+        assert a.collect() == e.collect()
+
+
 # ---------------------------------------------------------------------------
 # pii_scrub
 # ---------------------------------------------------------------------------
