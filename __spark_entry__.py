@@ -1046,10 +1046,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     def q_repetition_stats(spark, sf):
-        # Gopher-style intra-doc repetition signals over the documents table
+        # Gopher-style intra-doc repetition signals over the documents table.
+        # Two labeled parts: 'base' = the plain corpus; 'dupfix' = the corpus
+        # with a slice of EXACT (id, text) duplicate rows AND a slice of
+        # id-COLLISION rows (same id, different text) unioned in. The engine
+        # collapses exact duplicates to one output row (deterministic
+        # (id, xxhash64(text)) key) while id-collisions stay separate rows —
+        # the dupfix part pins that semantics against its DuckDB twin
+        # (DISTINCT (doc_id, text) collapse), so a change in duplicate
+        # handling on EITHER side breaks the hash (round-9 verdict ask #3;
+        # testdata ids are unique, so the base part alone could never catch
+        # it). Bench comparability: bench_components() overrides this slot
+        # with the plain-corpus workload.
         from etl_processes_spark.ops.textstats import repetition_stats
 
-        return repetition_stats(_t(spark, sf, "documents"), "doc_id", "text", ndigits=ND)
+        d = _t(spark, sf, "documents")
+        s = d.filter(F.col("doc_id") % 97 == 0)
+        dup_in = d.unionByName(s).unionByName(
+            s.withColumn("text", F.concat(F.col("text"), F.lit(" zz zz zz zz")))
+        )
+        base = repetition_stats(d, "doc_id", "text", ndigits=ND)
+        dup = repetition_stats(dup_in, "doc_id", "text", ndigits=ND)
+        return base.select(F.lit("base").alias("part"), "*").unionByName(
+            dup.select(F.lit("dupfix").alias("part"), "*")
+        )
 
     def q_pii_scrub(spark, sf):
         # PII redaction gate: synthesize a deterministic PII-bearing text
@@ -1673,6 +1693,16 @@ def bench_components() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         d = _t(spark, sf, "documents")
         return text_analysis_features(d, "doc_id", "text", ndigits=ND)
 
+    def c_repetition_stats(spark, sf):
+        # plain-corpus workload: the GATE adds a duplicate-row fixture part
+        # (round-10), which would double the measured input — this override
+        # keeps the bench line comparable with rounds 1-9.
+        from etl_processes_spark.ops.textstats import repetition_stats
+
+        return repetition_stats(
+            _t(spark, sf, "documents"), "doc_id", "text", ndigits=ND
+        )
+
     def c_pack_documents(spark, sf):
         d = _t(spark, sf, "documents").select("doc_id", "n_chars")
         return pack_documents(d, "doc_id", "n_chars", budget=4096)
@@ -1927,6 +1957,7 @@ def bench_components() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ingest_state_build": c_ingest_state_build,
         "ingest_batch": c_ingest_batch,
         "text_analysis": c_text_analysis,
+        "repetition_stats": c_repetition_stats,
         "pack_documents": c_pack_documents,
         "dedup_exact": c_dedup_exact,
         "line_dedup": c_line_dedup,
@@ -3670,12 +3701,27 @@ SELECT doc_id,
 FROM corp GROUP BY doc_id
 """
 
-    # repetition_stats: gram fractions from list expressions, token mode via
-    # two-level aggregation — mirrors ops/textstats.repetition_stats exactly
+    # repetition_stats: ENTIRELY row-wise list expressions, mirroring the
+    # engine's per-doc Arrow kernel — top-token count is the max per-token
+    # occurrence over the row's own distinct tokens (no cross-row token
+    # aggregation, so id-collision rows can never bleed into each other).
+    # Two parts: 'base' = plain corpus; 'dupfix' = corpus + exact-duplicate
+    # slice + id-collision slice, collapsed by DISTINCT (doc_id, text) —
+    # the twin of the engine's (id, xxhash64(text)) duplicate-row collapse.
     # (repetitive uses the UNROUNDED fractions, like the Spark side)
     sql["repetition_stats"] = f"""
-WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
-m AS (SELECT doc_id, t, len(t) AS n,
+WITH dupin AS (
+  SELECT 'base' AS part, doc_id, text FROM documents
+  UNION ALL
+  SELECT 'dupfix' AS part, doc_id, text FROM (
+    SELECT doc_id, text FROM documents
+    UNION ALL SELECT doc_id, text FROM documents WHERE doc_id % 97 = 0
+    UNION ALL SELECT doc_id, text || ' zz zz zz zz' FROM documents WHERE doc_id % 97 = 0
+  )
+),
+collapsed AS (SELECT DISTINCT part, doc_id, text FROM dupin),
+toks AS (SELECT part, doc_id, {_TOKS} AS t FROM collapsed),
+m AS (SELECT part, doc_id, t, len(t) AS n,
              CASE WHEN len(t) >= 2
                   THEN list_transform(range(1, len(t)), i -> array_to_string(t[i:i+1], ' '))
                   ELSE [] END AS g2,
@@ -3683,26 +3729,27 @@ m AS (SELECT doc_id, t, len(t) AS n,
                   THEN list_transform(range(1, len(t) - 1), i -> array_to_string(t[i:i+2], ' '))
                   ELSE [] END AS g3
       FROM toks),
-s AS (SELECT doc_id, n, len(g2) AS t2, len(list_distinct(g2)) AS d2,
-             len(g3) AS t3, len(list_distinct(g3)) AS d3
-      FROM m),
-tk AS (SELECT doc_id, unnest(t) AS tok FROM m),
-cnt AS (SELECT doc_id, tok, count(*) AS c FROM tk GROUP BY 1, 2),
-top AS (SELECT doc_id, max(c) AS topc, count(*) AS dtok FROM cnt GROUP BY 1)
-SELECT s.doc_id,
+s AS (SELECT part, doc_id, n, len(g2) AS t2, len(list_distinct(g2)) AS d2,
+             len(g3) AS t3, len(list_distinct(g3)) AS d3,
+             len(list_distinct(t)) AS dtok,
+             coalesce(list_max(list_transform(list_distinct(t),
+                                              u -> len(list_filter(t, x -> x = u)))),
+                      0) AS topc
+      FROM m)
+SELECT part, doc_id,
        CAST(n AS BIGINT) AS n_tokens,
-       round(CASE WHEN n > 0 THEN CAST(coalesce(dtok, 0) AS DOUBLE) / n ELSE 0.0 END, 6)
+       round(CASE WHEN n > 0 THEN CAST(dtok AS DOUBLE) / n ELSE 0.0 END, 6)
            AS distinct_token_ratio,
-       round(CASE WHEN n > 0 THEN CAST(coalesce(topc, 0) AS DOUBLE) / n ELSE 0.0 END, 6)
+       round(CASE WHEN n > 0 THEN CAST(topc AS DOUBLE) / n ELSE 0.0 END, 6)
            AS top_token_frac,
        round(CASE WHEN t2 > 0 THEN 1.0 - CAST(d2 AS DOUBLE) / t2 ELSE 0.0 END, 6)
            AS dup_2gram_frac,
        round(CASE WHEN t3 > 0 THEN 1.0 - CAST(d3 AS DOUBLE) / t3 ELSE 0.0 END, 6)
            AS dup_3gram_frac,
        ((CASE WHEN t3 > 0 THEN 1.0 - CAST(d3 AS DOUBLE) / t3 ELSE 0.0 END) >= 0.5
-        OR (CASE WHEN n > 0 THEN CAST(coalesce(topc, 0) AS DOUBLE) / n ELSE 0.0 END) >= 0.3)
+        OR (CASE WHEN n > 0 THEN CAST(topc AS DOUBLE) / n ELSE 0.0 END) >= 0.3)
            AS repetitive
-FROM s LEFT JOIN top USING (doc_id)
+FROM s
 """
 
     # pii_scrub: both engines synthesize the IDENTICAL PII-bearing text from

@@ -565,3 +565,59 @@ def test_training_pipeline_manage_storage_releases_and_matches(spark):
     # frame) must have been released during construction
     assert pinned_managed < pinned_unmanaged
     assert pinned_managed <= 2
+
+
+def test_training_pipeline_stage_hook_with_managed_storage(spark):
+    """Passing a stage_hook normally hands the storage lifecycle to the
+    caller — but a hook consumer can OPT BACK IN with manage_storage=True
+    (round-9 verdict ask #7). The composition must hold: the hook sees
+    every stage boundary AFTER the managed eager checkpoint (so its frame
+    is a self-contained LogicalRDD it can act on, e.g. count it), whatever
+    the hook returns feeds the next stage, released boundaries never break
+    a later stage, and results stay value-identical to the unhooked
+    managed and unmanaged runs."""
+    from etl_processes_spark.pipeline import run_training_data_pipeline
+
+    span = "copy of the shared boilerplate passage that repeats everywhere"
+    rows = [
+        (i, f"document number {i} talks about the weather in town today " + span)
+        for i in range(12)
+    ] + [
+        (100 + i, f"unique essay {i} on the art of cooking fine meals for friends")
+        for i in range(6)
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    kwargs = dict(
+        min_quality=0.0, langs=("en",), pack_budget=32,
+        near_dup_threshold=0.5, span_dedup_k=4, span_dedup_min_df=3,
+        filter_repetitive=True,
+    )
+
+    def n_pinned() -> int:
+        return spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+
+    plain = sorted(
+        map(tuple, run_training_data_pipeline(
+            spark, docs, manage_storage=False, **kwargs
+        ).collect())
+    )
+
+    seen: list[tuple[str, int]] = []
+
+    def hook(stage, frame):
+        # an eager consumer: counting here recomputes nothing when the
+        # boundary was checkpointed by the managed lifecycle first
+        seen.append((stage, frame.count()))
+        return frame
+
+    base = n_pinned()
+    out = run_training_data_pipeline(
+        spark, docs, stage_hook=hook, manage_storage=True, **kwargs
+    )
+    got = sorted(map(tuple, out.collect()))
+    pinned = n_pinned() - base
+
+    assert got == plain
+    assert len(seen) >= 4  # the hook really fired at the stage boundaries
+    assert all(n >= 0 for _, n in seen)
+    assert pinned <= 2  # boundaries still released with a hook present

@@ -524,3 +524,39 @@ def test_text_analysis_features_extra_rowwise(spark):
     assert rows[0]["src_upper"] == "U0" and rows[0]["flag"] is False
     assert rows[1]["src_upper"] == "U1" and rows[1]["flag"] is True
     assert rows[1]["pred_lang"] == "fr"
+
+
+def test_text_analysis_family_duplicate_semantics(spark):
+    """The whole text-stats family shares ONE duplicate-row contract
+    (the deterministic (id, xxhash64(text)) key): exact (id, text)
+    duplicate rows collapse to a single output row with per-copy values;
+    id-collision rows (same id, different text) stay separate. Pinned here
+    for quality_features and text_analysis_features (repetition_stats has
+    its own pin above, plus the dupfix gate part in __spark_entry__)."""
+    from etl_processes_spark.ops.textstats import (
+        quality_features,
+        text_analysis_features,
+    )
+
+    plain = spark.createDataFrame(
+        [(1, "the cat sat"), (1, "a dog ran far"), (2, "le chat les dans")],
+        "doc_id long, text string",
+    )
+    dup = spark.createDataFrame(
+        [
+            (1, "the cat sat"),
+            (1, "the cat sat"),        # exact duplicate → collapses
+            (1, "a dog ran far"),      # id collision → separate row
+            (2, "le chat les dans"),
+            (2, "le chat les dans"),   # exact duplicate → collapses
+        ],
+        "doc_id long, text string",
+    )
+    for fn in (quality_features, text_analysis_features):
+        a = sorted(
+            map(tuple, fn(plain, "doc_id", "text").collect())
+        )
+        b = sorted(
+            map(tuple, fn(dup, "doc_id", "text").collect())
+        )
+        assert a == b, fn.__name__
