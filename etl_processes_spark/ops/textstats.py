@@ -31,9 +31,25 @@ def token_count_expr(c: str | Column) -> Column:
 
 def bpe_ish_token_count_expr(c: str | Column) -> Column:
     """A BPE-ish upper bound: words + digit runs + punctuation marks each
-    count as a token (regexp_count is available in both Spark and DuckDB)."""
-    col = (F.col(c) if isinstance(c, str) else c).cast("string")
-    return F.regexp_count(F.lower(col), F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]"))
+    count as a token. Semantically regexp_count(lower(x),
+    '[a-z]+|[0-9]+|[^a-z0-9\\s]') — the DuckDB oracle twin keeps that one
+    spelling — but decomposed (round-10, measured value-identical on the
+    full sf10 corpus and 2.4× faster): the ordered alternation is two
+    simple-class run counts plus one-per-char punctuation matches, so the
+    punct term drops to pure translate() char arithmetic (chars that are
+    neither [a-z0-9] nor ASCII \\s — Java \\s is ASCII-only, exactly the 6
+    chars below) and only the cheap single-class regexes remain."""
+    low = F.lower((F.col(c) if isinstance(c, str) else c).cast("string"))
+    alnum_cnt = F.length(low) - F.length(
+        F.translate(low, "abcdefghijklmnopqrstuvwxyz0123456789", "")
+    )
+    ws_cnt = F.length(low) - F.length(F.translate(low, " \t\n\x0b\f\r", ""))
+    punct = F.length(low) - alnum_cnt - ws_cnt
+    return (
+        F.regexp_count(low, F.lit("[a-z]+"))
+        + F.regexp_count(low, F.lit("[0-9]+"))
+        + punct
+    )
 
 
 def token_count(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -96,6 +112,79 @@ STOPWORDS = (
     "with", "as", "at", "by", "be",
 )
 
+# one Arrow struct per doc: everything quality scoring + language ID need
+# from the token stream, in a single vectorized pass
+_TOKEN_STATS_SCHEMA = (
+    "cnt double, stop double, toklen double, "
+    + ", ".join(f"hit_{lang} double" for lang in LANG_MARKERS)
+)
+
+
+def _token_stats_batch(toks_values) -> "pd.DataFrame":
+    """Vectorized per-doc token stats for one Arrow batch of token arrays:
+    token count, stopword hits, total token length, per-language marker
+    hits. Replaces the posexplode → hash-aggregate form (round-10): the
+    exploded stream paid 5 isin probes + a group-hash per TOKEN row and was
+    the composed pipeline's CPU wall (score_filter, ~60% of sf100 e2e).
+    Here the whole batch flattens into ONE token array, membership runs as
+    hash-based pandas isin over the flat array, and per-doc sums come from
+    cumulative-sum differences at the row boundaries — O(total tokens) in
+    C, no per-row Python beyond the flatten loop. Integer cumsums are
+    int64-exact. Null/empty token arrays yield all-zero rows (the callers'
+    JVM-side null flag reproduces the legacy size(NULL) = -1 outputs)."""
+    import numpy as np
+    import pandas as pd
+
+    n = len(toks_values)
+    seg = np.zeros(n + 1, dtype=np.int64)
+    parts = []
+    for i, t in enumerate(toks_values):
+        k = 0 if t is None else len(t)
+        seg[i + 1] = seg[i] + k
+        if k:
+            parts.append(t)
+    out = {"cnt": (seg[1:] - seg[:-1]).astype(np.float64)}
+    per_tok: dict[str, "np.ndarray"] = {}
+    if parts:
+        fs = pd.Series(np.concatenate(parts))
+        per_tok["toklen"] = fs.str.len().to_numpy(dtype=np.int64)
+        per_tok["stop"] = fs.isin(STOPWORDS).to_numpy(dtype=np.int64)
+        for lang, m in LANG_MARKERS.items():
+            per_tok[f"hit_{lang}"] = fs.isin(m).to_numpy(dtype=np.int64)
+    for name in ("stop", "toklen", *(f"hit_{lang}" for lang in LANG_MARKERS)):
+        if parts:
+            cs = np.concatenate(([0], np.cumsum(per_tok[name])))
+            out[name] = (cs[seg[1:]] - cs[seg[:-1]]).astype(np.float64)
+        else:
+            out[name] = np.zeros(n)
+    return pd.DataFrame(out)[
+        ["cnt", "stop", "toklen", *(f"hit_{lang}" for lang in LANG_MARKERS)]
+    ]
+
+
+def _token_stats_udf():
+    return F.pandas_udf(
+        lambda s: _token_stats_batch(s.to_numpy()), _TOKEN_STATS_SCHEMA
+    )
+
+
+_ALNUM_SPACE = "abcdefghijklmnopqrstuvwxyz0123456789 "
+
+
+def alpha_chars_expr(s: Column) -> Column:
+    """Count of [a-z0-9 ] chars in lower(s), as a double. Value-identical
+    to length(regexp_replace(lower(s), '[^a-z0-9 ]', '')) — the oracle
+    twin keeps that spelling — but computed as length minus a translate()
+    deletion: translate is a per-char table lookup, no regex engine and no
+    rebuilt string. The regexp_replace form was the single hottest
+    expression in the composed pipeline's score stage (28-30s of the ~30s
+    sf10 text_analysis line; round-10 measurement). NULL propagates
+    identically (length(NULL) = NULL)."""
+    low = F.lower(s)
+    return (F.length(low) - F.length(F.translate(low, _ALNUM_SPACE, ""))).cast(
+        "double"
+    )
+
 
 def quality_features(df: DataFrame, id_col: str, text_col: str, ndigits: int = 6) -> DataFrame:
     """Per-doc quality features + a composite score in [0, 1]:
@@ -105,35 +194,38 @@ def quality_features(df: DataFrame, id_col: str, text_col: str, ndigits: int = 6
       - mean_token_len
       score = 0.4*len_score + 0.3*alpha_ratio + 0.3*min(stopword_ratio*5, 1)
     All expressible identically in DuckDB (the oracle twin)."""
-    # Token-level stats run as a codegen'd explode + hash aggregate (one
-    # doc-keyed shuffle) rather than array-lambda expressions: higher-order
-    # functions evaluate interpreted in Spark and dominated this query's
-    # runtime (~5 s → <1 s on 5k docs); the agg form also partial-aggregates
-    # map-side at scale. Row identity is the DETERMINISTIC (id, text-hash)
-    # pair (retry-safe — see text_analysis_features); exact (id, text)
-    # duplicate rows collapse to one output row with single-copy values
-    # (every sum divided by the group's source-row multiplicity).
+    # Token-level stats come from the vectorized Arrow kernel — one batch
+    # pass over the token arrays (round-10; the posexplode + hash-aggregate
+    # form before it paid 5 isin probes + a group hash per TOKEN row, and
+    # the array-lambda form before THAT evaluated interpreted). Row identity
+    # is the DETERMINISTIC (id, text-hash) pair (retry-safe — see
+    # text_analysis_features); exact (id, text) duplicate rows collapse to
+    # one output row with single-copy values (the kernel computes per-copy
+    # stats row-wise, so first() reads identical values in every copy).
     s = (F.col(text_col)).cast("string")
+    kern = _token_stats_udf()
     base = widen(df, per_mb=2.0).select(
         F.col(id_col),
         F.xxhash64(s).alias("__rid"),
-        tokens_expr(text_col).alias("__toks"),
+        kern(tokens_expr(text_col)).alias("__s"),
         F.length(s).cast("double").alias("__n_chars"),
-        F.length(F.regexp_replace(F.lower(s), r"[^a-z0-9 ]", "")).cast("double").alias("__alpha"),
+        alpha_chars_expr(s).alias("__alpha"),
     )
-    tok = base.select(
-        id_col, "__rid", "__n_chars", "__alpha",
-        F.posexplode_outer("__toks").alias("__pos", "__t"),
-    )
-    m = F.sum(
-        F.when(F.col("__pos").isNull() | (F.col("__pos") == 0), 1).otherwise(0)
-    )
-    agg = tok.groupBy("__rid", id_col, "__n_chars", "__alpha").agg(
-        (F.count("__t") / m).alias("__n_tok"),
-        (F.sum(F.when(F.col("__t").isin(*STOPWORDS), 1).otherwise(0)) / m)
-        .cast("double").alias("__stop"),
-        (F.sum(F.coalesce(F.length("__t"), F.lit(0))) / m)
-        .cast("double").alias("__toklen"),
+    agg = (
+        base.select(
+            id_col, "__rid", "__n_chars", "__alpha",
+            F.col("__s.cnt").alias("__n_tok"),
+            F.col("__s.stop").alias("__stop"),
+            F.col("__s.toklen").alias("__toklen"),
+        )
+        .groupBy("__rid", id_col)
+        .agg(
+            F.first("__n_chars").alias("__n_chars"),
+            F.first("__alpha").alias("__alpha"),
+            F.first("__n_tok").alias("__n_tok"),
+            F.first("__stop").alias("__stop"),
+            F.first("__toklen").alias("__toklen"),
+        )
     )
     n_tok, n_chars = F.col("__n_tok"), F.col("__n_chars")
     len_score = F.least(n_tok / F.lit(100.0), F.lit(1.0))
@@ -164,91 +256,81 @@ def text_analysis_features(
 ) -> DataFrame:
     """Fused text-analysis pass: token counts + language ID + quality
     features (+ optional caller row-wise columns) in ONE tokenize →
-    explode → hash aggregate. Value-identical to
+    Arrow-kernel → collapse pass. Value-identical to
     token_count ⋈ lang_id ⋈ quality_features, but without the two id-keyed
     join shuffles and — the real cost — without re-evaluating the
     interpreted tokenize pipeline per consumer: higher-order functions are
     never subexpression-eliminated, so the column-composition form
     (token_count_expr + 4 _marker_hits + the argmax when-chain referencing
-    every score twice) re-tokenizes each row ~12×. Here tokens_expr runs
-    once, the exploded stream partial-aggregates map-side (one row per doc
-    reaches the shuffle), and marker/stopword hits are branches of the same
-    aggregate.
+    every score twice) re-tokenizes each row ~12×. tokens_expr runs once
+    JVM-side; every token-level stat (count, stopword hits, token-length
+    sum, 4 marker hits) comes from the vectorized `_token_stats_batch`
+    Arrow kernel in one batch pass. History of this hot path: the round-7
+    posexplode → hash-aggregate form partial-aggregated map-side but paid
+    5 isin probes + a group hash per TOKEN row — ~60% of the composed
+    sf100 pipeline (score_filter 397-465s, round-8 attribution); the
+    round-10 kernel removes the explosion entirely (same family win as
+    repetition_stats: 16× at sf10 on that operator).
 
     ``extra_rowwise``: name → Column of additional row-wise expressions
     (e.g. URL-curation columns, or the text itself for pipelines that need
-    it downstream) returned alongside the features. These do NOT ride the
-    token aggregate: a grouping key is hashed and memcmp'd on EVERY
-    exploded token row, so a document-sized extra (the pipeline passes the
-    full text) made the aggregate O(len²) per doc — the CPU wall that was
-    ~60% of the composed sf100 pipeline (score_filter 397-465s). Extras
-    take a separate one-row-per-group first() pass over the SOURCE rows
-    (no explosion) and join back on the deterministic (id, xxhash64(text))
-    key; the join reuses the extras side's hash partitioning, so the text
-    still ships through exactly one shuffle.
+    it downstream) returned alongside the features. With no token
+    explosion they ride the SAME select — no extras join; each row's
+    payload crosses the single collapse shuffle once, exactly like before.
 
-    Row identity through the aggregate is DETERMINISTIC: the grouping key is
-    (id, xxhash64(text), …), not a monotonically_increasing_id — so task
+    Row identity through the collapse is DETERMINISTIC: the grouping key
+    is (id, xxhash64(text)), not a monotonically_increasing_id — so task
     retries / speculative re-execution can never re-key a row (a
     nondeterministic id can duplicate or drop aggregate rows when a lost
-    partition is recomputed). The price: rows that are exact (id, text)
-    duplicates collapse into ONE output row — with SINGLE-COPY values, not
-    doubled counts: each source row contributes exactly one pos-0 (or
-    null-pos) row to the exploded stream, so dividing every sum by that
-    multiplicity recovers per-copy stats exactly."""
+    partition is recomputed). Rows that are exact (id, text) duplicates
+    collapse into ONE output row with SINGLE-COPY values: the kernel
+    computes per-copy stats row-wise, so first() reads identical values in
+    every copy of a group."""
     from etl_processes_spark.ops.dedup import tokens_expr
 
     s = F.col(text_col).cast("string")
     extra = dict(extra_rowwise or {})
+    kern = _token_stats_udf()
+    toks = tokens_expr(text_col)
     base = widen(df, per_mb=2.0).select(
         F.col(id_col),
         F.xxhash64(s).alias("__rid"),
-        tokens_expr(text_col).alias("__toks"),
-        F.length(s).alias("__nchars_i"),
-        F.length(F.regexp_replace(F.lower(s), r"[^a-z0-9 ]", ""))
-        .cast("double")
-        .alias("__alpha"),
-        bpe_ish_token_count_expr(text_col).alias("__bpe"),
-    )
-    keys = [id_col, "__rid", "__nchars_i", "__alpha", "__bpe"]
-    tok = base.select(
-        *keys,
         # size(null)/filter(null) propagate NULL in the expression forms —
-        # the flag reproduces that for null text (count() alone would give 0)
-        F.col("__toks").isNull().alias("__tnull"),
-        F.posexplode_outer("__toks").alias("__pos", "__t"),
+        # the flag reproduces that for null text (the kernel yields zeros)
+        toks.isNull().alias("__tnull"),
+        kern(toks).alias("__s"),
+        F.length(s).alias("__nchars_i"),
+        alpha_chars_expr(s).alias("__alpha"),
+        bpe_ish_token_count_expr(text_col).alias("__bpe"),
+        *[v.alias(f"__x_{k}") for k, v in extra.items()],
     )
-    agg = tok.groupBy(*keys, "__tnull").agg(
-        F.count("__t").alias("__cnt"),
-        # multiplicity of this (id, text) group: exactly one pos==0 (or
-        # null-pos, for null/empty token arrays) row per SOURCE row
-        F.sum(
-            F.when(F.col("__pos").isNull() | (F.col("__pos") == 0), 1).otherwise(0)
-        ).alias("__m"),
-        F.sum(F.when(F.col("__t").isin(*STOPWORDS), 1).otherwise(0))
-        .cast("double")
-        .alias("__stop_raw"),
-        F.sum(F.coalesce(F.length("__t"), F.lit(0)))
-        .cast("double")
-        .alias("__toklen_raw"),
+    flat_cols = [
+        F.col("__s.cnt").alias("__cnt"),
+        F.col("__s.stop").alias("__stop"),
+        F.col("__s.toklen").alias("__toklen"),
         *[
-            F.sum(F.when(F.col("__t").isin(*m), 1).otherwise(0)).alias(f"__hit_raw_{lang}")
-            for lang, m in LANG_MARKERS.items()
-        ],
-    )
-    # normalize every token-level sum back to single-copy values (exact:
-    # duplicate rows contribute identical token multisets, so each sum is an
-    # exact multiple of __m; __m >= 1 always)
-    agg = agg.select(
-        *keys,
-        "__tnull",
-        (F.col("__cnt") / F.col("__m")).alias("__cnt"),
-        (F.col("__stop_raw") / F.col("__m")).alias("__stop"),
-        (F.col("__toklen_raw") / F.col("__m")).alias("__toklen"),
-        *[
-            (F.col(f"__hit_raw_{lang}") / F.col("__m")).cast("long").alias(f"__hit_{lang}")
+            F.col(f"__s.hit_{lang}").cast("long").alias(f"__hit_{lang}")
             for lang in LANG_MARKERS
         ],
+    ]
+    agg = (
+        base.select(
+            id_col, "__rid", "__tnull", "__nchars_i", "__alpha", "__bpe",
+            *flat_cols,
+            *[F.col(f"__x_{k}") for k in extra],
+        )
+        .groupBy(id_col, "__rid")
+        .agg(
+            *[
+                F.first(c).alias(c)
+                for c in (
+                    "__tnull", "__nchars_i", "__alpha", "__bpe",
+                    "__cnt", "__stop", "__toklen",
+                    *(f"__hit_{lang}" for lang in LANG_MARKERS),
+                    *(f"__x_{k}" for k in extra),
+                )
+            ]
+        )
     )
     n_tok = F.col("__cnt").cast("double")
     n_chars = F.col("__nchars_i").cast("double")
@@ -290,33 +372,20 @@ def text_analysis_features(
         F.round(stop_ratio, ndigits).alias("stopword_ratio"),
         F.round(mean_tok_len, ndigits).alias("mean_token_len"),
         F.round(score, ndigits).alias("quality_score"),
+        # extras rode the same collapse (first() is deterministic: every
+        # row of a group carries identical extra values — they are
+        # row-wise functions of the grouped (id, text) pair); column order
+        # matches the historical fused form: extras sit after lang_score
+        *[F.col(f"__x_{k}").alias(k) for k in extra],
     )
     if not extra:
         return feats.drop("__rid")
-    # extras pass: one row per (id, text-hash) group over the SOURCE rows —
-    # no token explosion, so the string payload is touched once per row,
-    # not once per token. first() is deterministic here: every row of a
-    # group carries identical extra values (they are row-wise functions of
-    # the grouped (id, text) pair).
-    extras_frame = (
-        widen(df, per_mb=2.0)
-        .select(
-            F.col(id_col),
-            F.xxhash64(s).alias("__rid"),
-            *[v.alias(f"__x_{k}") for k, v in extra.items()],
-        )
-        .groupBy(id_col, "__rid")
-        .agg(*[F.first(f"__x_{k}").alias(f"__x_{k}") for k in extra])
-    )
-    out_cols = [c for c in feats.columns if c != "__rid"]
-    # column order matches the fused form: extras sit after lang_score
     head = ["n_tokens", "n_tokens_bpe", "n_chars_measured", "pred_lang", "lang_score"]
-    return feats.join(extras_frame, [id_col, "__rid"]).select(
-        F.col(id_col),
-        *head,
-        *[F.col(f"__x_{k}").alias(k) for k in extra],
-        *[c for c in out_cols if c != id_col and c not in head],
-    )
+    tail = [
+        c for c in feats.columns
+        if c not in (id_col, "__rid", *head, *extra)
+    ]
+    return feats.select(F.col(id_col), *head, *extra, *tail)
 
 
 # ---------------------------------------------------------------------------
