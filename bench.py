@@ -237,6 +237,43 @@ def main() -> None:
 
     telemetry: dict[str, dict] = {}
 
+    # Two host-health instruments beyond cpus_visible (round-10): the
+    # visible CPU count stayed 32 through a session whose unchanged lines
+    # drifted 1.2-4x with huge intra-pair variance — os.cpu_count() cannot
+    # see hypervisor steal or co-tenant pressure. (a) steal/busy% of the
+    # whole host over each repeat's window, from /proc/stat deltas;
+    # (b) a fixed single-thread CPU canary (1e6 xxhash-ish ops) per line —
+    # a pure-compute number comparable across rounds independent of Spark.
+    def _stat_snap() -> list[int] | None:
+        try:
+            with open("/proc/stat") as f:
+                return [int(x) for x in f.readline().split()[1:9]]
+        except Exception:
+            return None
+
+    def _stat_delta(a, b) -> tuple[float, float] | None:
+        # -> (steal_pct, busy_pct) of total host time in the window
+        if a is None or b is None:
+            return None
+        d = [y - x for x, y in zip(a, b)]
+        tot = sum(d)
+        if tot <= 0:
+            return None
+        idle = d[3] + d[4]
+        return round(100 * d[7] / tot, 2), round(100 * (tot - idle) / tot, 2)
+
+    def _cpu_canary_ms() -> float | None:
+        try:
+            import hashlib
+
+            t0 = time.perf_counter()
+            h = b"spark-graft"
+            for _ in range(20000):
+                h = hashlib.md5(h).digest()
+            return round((time.perf_counter() - t0) * 1000, 2)
+        except Exception:
+            return None
+
     prepare = {}
     try:
         prepare = entrymod.bench_prepare()
@@ -273,12 +310,18 @@ def main() -> None:
                     # window during the measured repeat can't hide behind a
                     # post-hoc full-capacity sample (round-9 advice).
                     c_pre = os.cpu_count() or 0
+                    stat_pre = _stat_snap()
                     pre_stage = _max_stage_id()
                     t0 = time.time()
                     df = fn(spark, SF_DIR)
                     df.write.mode("overwrite").format("noop").save()
                     reps.append(round(time.time() - t0, 3))
                     cpus.append(min(c_pre, os.cpu_count() or 0))
+                    sd = _stat_delta(stat_pre, _stat_snap())
+                    if sd is not None:
+                        telemetry.setdefault(name, {}).setdefault(
+                            "steal_busy_pct", []
+                        ).append(sd)
                     if reps[-1] < best:
                         best = reps[-1]
                         best_tele = _metrics_since(pre_stage)
@@ -286,13 +329,16 @@ def main() -> None:
                         n = df.count()  # untimed, informational
                 repeats[name] = reps
                 if best_tele is not None:
-                    telemetry[name] = {
-                        "shuffle_write_mb": best_tele[0], "spill_mb": best_tele[1]
-                    }
+                    telemetry.setdefault(name, {}).update(
+                        shuffle_write_mb=best_tele[0], spill_mb=best_tele[1]
+                    )
                 # one sample per repeat, index-aligned with repeats[name];
                 # the sample for the best (reported) repeat is what
                 # adjudicates a slow line.
                 telemetry.setdefault(name, {})["cpus_visible"] = cpus
+                canary = _cpu_canary_ms()
+                if canary is not None:
+                    telemetry[name]["cpu_canary_ms"] = canary
                 if name in ("incremental_ingest", "ingest_batch"):
                     # the memoized corpus-state tables exist to be shared
                     # across this query's repeats ONLY — pinned checkpoint
