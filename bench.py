@@ -1,6 +1,9 @@
 """Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
-/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]. Prints exactly TWO stdout
+lines: the full JSON record
 {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+then a compact totals-only JSON line (the driver's scrape keeps the last
+2000 chars — the compact line always survives the truncation).
 
 Query set = the engine's representative workload: profiling core, synthetic
 generation, dedup (exact + MinHash LSH), similarity top-k, text analysis,
@@ -22,6 +25,27 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # a 60M-row query 3x buys nothing): comma-separated query names, repeat count
 ONLY = {q for q in os.environ.get("SPARK_GRAFT_ONLY", "").split(",") if q}
 REPEATS = int(os.environ.get("SPARK_GRAFT_REPEATS", "3"))
+# per-line repeat override, e.g. "dedup_clusters_minhash=2,salted_join_agg=2":
+# an sf100 session can afford repeat PAIRS on the contested lines without
+# paying 2x on the whole 54-line suite (round-10 verdict ask #1/#2 — the
+# REPEATS=1 sf100 run left four regressions unadjudicatable).
+REPEATS_FOR: dict[str, int] = {}
+for _tok in os.environ.get("SPARK_GRAFT_REPEATS_FOR", "").split(","):
+    if "=" in _tok:
+        _k, _v = _tok.split("=", 1)
+        REPEATS_FOR[_k.strip()] = int(_v)
+
+# Diagnostic lines (round-10 verdict ask #4): these three time DELIBERATE
+# worst-case regimes (exact sort-path percentiles; the t=0.06 all-candidate
+# inverted scan; exact-edge CC) whose 27-327 GB sf100 spills are by design —
+# the rename makes the artifact self-describing without SCALING.md open.
+# Values map the self-describing bench-line name -> the callable's name;
+# the `renamed` field in the output JSON keeps cross-round tooling keyed.
+DIAGNOSTIC_ALIASES = {
+    "numeric_profile_exact_sort": "numeric_profile_exact",
+    "ngram_jaccard_exact_scan": "ngram_jaccard_pairs",
+    "dedup_clusters_exact_edges": "dedup_clusters",
+}
 
 
 def main() -> None:
@@ -49,23 +73,23 @@ def main() -> None:
     # comparable with BENCH_r01/r02.
     qs = {**entrymod.queries(), **entrymod.bench_components()}
     bench_queries = [
-        "numeric_profile",        # production path (numeric_profile_df)
-        "numeric_profile_exact",  # certified exact-DECIMAL gate workload
+        "numeric_profile",             # production path (numeric_profile_df)
+        "numeric_profile_exact_sort",  # diagnostic: exact-DECIMAL sort path
         "datetime_profile",
         "cat_profile",
         "infer_predicates",
         "synthesize_orders",
         "dedup_exact",
         "dedup_incremental",
-        "dedup_clusters",
-        "dedup_clusters_minhash",
+        "dedup_clusters_exact_edges",  # diagnostic: exact t=0.06 edge scan
+        "dedup_clusters_minhash",      # the production 100 TB route
         # incremental ingest, split (round-7 verdict): the one-time corpus
         # state build and the steady-state per-batch cost are different
         # numbers — the combined line overstated per-batch by the whole
         # build at REPEATS=1
         "ingest_state_build",
         "ingest_batch",
-        "ngram_jaccard_pairs",
+        "ngram_jaccard_exact_scan",  # diagnostic: sum(df^2) envelope stress
         "ngram_jaccard_prefix",
         "minhash_lsh_pairs",
         "edit_distance_pairs",
@@ -242,8 +266,12 @@ def main() -> None:
     # drifted 1.2-4x with huge intra-pair variance — os.cpu_count() cannot
     # see hypervisor steal or co-tenant pressure. (a) steal/busy% of the
     # whole host over each repeat's window, from /proc/stat deltas;
-    # (b) a fixed single-thread CPU canary (1e6 xxhash-ish ops) per line —
-    # a pure-compute number comparable across rounds independent of Spark.
+    # (b) a fixed single-thread CPU canary (20,000 chained md5 digests,
+    # ~8 ms on an unloaded core) — a pure-compute number comparable across
+    # rounds independent of Spark, recorded both as a point sample per line
+    # (cpu_canary_ms) and sampled every 2 s ACROSS each timing window
+    # (canary_window_ms; round-10 ask #8 — a point sample cannot catch
+    # sustained drift inside the windows).
     def _stat_snap() -> list[int] | None:
         try:
             with open("/proc/stat") as f:
@@ -263,6 +291,9 @@ def main() -> None:
         return round(100 * d[7] / tot, 2), round(100 * (tot - idle) / tot, 2)
 
     def _cpu_canary_ms() -> float | None:
+        # fixed single-thread workload: 20,000 chained md5 digests (~8 ms on
+        # an unloaded core) — a pure-compute number comparable across rounds
+        # independent of Spark.
         try:
             import hashlib
 
@@ -274,6 +305,49 @@ def main() -> None:
         except Exception:
             return None
 
+    class _CanarySampler:
+        """Sustained-throughput canary (round-10 verdict ask #8): the point
+        canary sampled AFTER a line's repeats missed sustained host drift
+        inside the timing windows. This runs the same 8 ms canary every
+        ``interval`` seconds on a daemon thread ACROSS each timing window
+        (the main thread is blocked in py4j with the GIL released, so the
+        sample measures real host throughput, not GIL contention); per-window
+        [min, median, max, n] lands in the telemetry dict. Overhead: one
+        8 ms burst / 2 s on one of 32 CPUs (~0.4% of one core)."""
+
+        def __init__(self, interval: float = 2.0) -> None:
+            import threading
+
+            self.samples: list[float] = []
+            self._stop = threading.Event()
+            self._t = threading.Thread(target=self._run, daemon=True)
+            self._interval = interval
+
+        def _run(self) -> None:
+            while not self._stop.is_set():
+                ms = _cpu_canary_ms()
+                if ms is not None:
+                    self.samples.append(ms)
+                self._stop.wait(self._interval)
+
+        def start(self) -> "_CanarySampler":
+            self._t.start()
+            return self
+
+        def stop(self) -> list[float] | None:
+            # -> [min, median, max, n] or None if the window was too short
+            self._stop.set()
+            try:
+                self._t.join(timeout=5)
+            except Exception:
+                pass
+            if not self.samples:
+                return None
+            import statistics
+
+            s = self.samples
+            return [min(s), round(statistics.median(s), 2), max(s), len(s)]
+
     prepare = {}
     try:
         prepare = entrymod.bench_prepare()
@@ -281,7 +355,11 @@ def main() -> None:
         pass
 
     if ONLY:
-        bench_queries = [q for q in bench_queries if q in ONLY]
+        # accept both the self-describing bench-line names and the callable
+        # names (pre-rename), so existing subset invocations keep working
+        rev = {v: k for k, v in DIAGNOSTIC_ALIASES.items()}
+        only = ONLY | {rev[q] for q in ONLY if q in rev}
+        bench_queries = [q for q in bench_queries if q in only]
     loop_completed = False  # a crash mid-loop must keep ITS traceback: the
     # finally block below must not replace an in-flight exception with
     # SystemExit just because a recall floor also failed (round-8 advice)
@@ -289,17 +367,18 @@ def main() -> None:
         for name in bench_queries:
             best, n = float("inf"), 0
             try:
-                fn = qs[name]  # inside the try: a renamed query must not
+                cname = DIAGNOSTIC_ALIASES.get(name, name)
+                fn = qs[cname]  # inside the try: a renamed query must not
                 # abort the loop and silently drop every later entry
-                if name in prepare:
+                if cname in prepare:
                     # untimed setup (e.g. the memoized ingest corpus state,
                     # measured separately as ingest_state_build) — so even a
                     # REPEATS=1 scale run times only the steady-state cost
-                    prepare[name](spark, SF_DIR)
+                    prepare[cname](spark, SF_DIR)
                 reps: list[float] = []
                 cpus: list[int] = []
                 best_tele: tuple[float, float] | None = None
-                for rep in range(REPEATS):
+                for rep in range(REPEATS_FOR.get(name, REPEATS)):
                     _reclaim()
                     # host-capacity canary: this sandbox's VISIBLE CPU count
                     # fluctuates mid-session (observed nproc 9 → 32 within
@@ -312,16 +391,25 @@ def main() -> None:
                     c_pre = os.cpu_count() or 0
                     stat_pre = _stat_snap()
                     pre_stage = _max_stage_id()
+                    sampler = _CanarySampler().start()
                     t0 = time.time()
                     df = fn(spark, SF_DIR)
                     df.write.mode("overwrite").format("noop").save()
                     reps.append(round(time.time() - t0, 3))
+                    win = sampler.stop()
                     cpus.append(min(c_pre, os.cpu_count() or 0))
                     sd = _stat_delta(stat_pre, _stat_snap())
                     if sd is not None:
                         telemetry.setdefault(name, {}).setdefault(
                             "steal_busy_pct", []
                         ).append(sd)
+                    if win is not None:
+                        # sustained canary: [min, median, max, n] of the 8 ms
+                        # single-thread burst sampled every 2 s INSIDE this
+                        # repeat's timing window; index-aligned with repeats
+                        telemetry.setdefault(name, {}).setdefault(
+                            "canary_window_ms", []
+                        ).append(win)
                     if reps[-1] < best:
                         best = reps[-1]
                         best_tele = _metrics_since(pre_stage)
@@ -334,12 +422,16 @@ def main() -> None:
                     )
                 # one sample per repeat, index-aligned with repeats[name];
                 # the sample for the best (reported) repeat is what
-                # adjudicates a slow line.
+                # adjudicates a slow line. cpus_visible changed shape to a
+                # per-repeat list in round 10 — cpus_min keeps a scalar field
+                # for tooling that compares across rounds (round-10 advice).
                 telemetry.setdefault(name, {})["cpus_visible"] = cpus
+                if cpus:
+                    telemetry[name]["cpus_min"] = min(cpus)
                 canary = _cpu_canary_ms()
                 if canary is not None:
                     telemetry[name]["cpu_canary_ms"] = canary
-                if name in ("incremental_ingest", "ingest_batch"):
+                if cname in ("incremental_ingest", "ingest_batch"):
                     # the memoized corpus-state tables exist to be shared
                     # across this query's repeats ONLY — pinned checkpoint
                     # blocks (~7 GB at sf10) degrade every later query
@@ -382,6 +474,13 @@ def main() -> None:
         }
         if errors:
             out["errors"] = errors
+        # cross-round key map: bench-line name -> the name rounds <=10 used
+        out["renamed"] = {
+            k: v for k, v in DIAGNOSTIC_ALIASES.items() if k in timings
+        }
+        out["diagnostic_lines"] = sorted(
+            k for k in DIAGNOSTIC_ALIASES if k in timings
+        )
         out["recall_floors"] = RECALL_FLOORS
         if floor_failures:
             out["recall_floor_failures"] = floor_failures
@@ -447,12 +546,38 @@ def main() -> None:
                 print(f"# summary written to {out_path}", file=sys.stderr, flush=True)
             except OSError as e:
                 print(f"# summary file write failed: {e}", file=sys.stderr, flush=True)
-        # the ONLY stdout write of the whole process (fd 1 was redirected to
-        # stderr at startup): the driver's scrape sees exactly one line.
+        # stdout contract, third iteration (round-10 verdict ask #3): the
+        # full summary line above is ~15 KB with telemetry and the driver's
+        # scrape keeps only the LAST 2000 chars — three rounds of
+        # parsed:null. So the full line goes out first (for any reader that
+        # takes the first/whole line), and a COMPACT totals-only line
+        # (<2000 chars: metric, value, sf, n_queries, errors, worst line,
+        # where the full record lives) is the FINAL stdout line — it fits
+        # entirely inside a 2000-char tail, whichever way the scrape reads.
+        def _sec(v):
+            return v if isinstance(v, (int, float)) else (
+                v.get("sec") if isinstance(v, dict) else None
+            )
+
+        scored = [(k, _sec(v)) for k, v in timings.items() if _sec(v) is not None]
+        compact = {
+            "metric": out["metric"],
+            "value": out["value"],
+            "unit": "sec",
+            "sf": out["sf"],
+            "n_queries": len(timings),
+            "errors": errors,
+            "detail_file": out_paths[-1],
+        }
+        if scored:
+            wname, wsec = max(scored, key=lambda kv: kv[1])
+            compact["worst"] = {"query": wname, "sec": wsec}
         try:
             os.write(real_stdout, (line + "\n").encode())
+            os.write(real_stdout, (json.dumps(compact) + "\n").encode())
         except OSError:
             print(line, file=sys.stderr, flush=True)
+            print(json.dumps(compact), file=sys.stderr, flush=True)
         if floor_failures and loop_completed:
             # the record above is complete — but a recall-floor violation
             # must fail the run loudly, not wait for a judge to read it.

@@ -30,6 +30,20 @@ from pyspark.sql import functions as F
 from etl_processes_spark.partitioning import track_checkpoint, widen
 
 
+def _stage_log(msg: str) -> None:
+    """Opt-in stage attribution (``SPARK_GRAFT_STAGE_LOG=1``): wall timings
+    of the eager materialization points inside composed operators, printed
+    to stderr so a bench line's cost can be attributed to its stages
+    without changing any plan (round-10 verdict ask #6 — the
+    dedup_clusters_minhash sf100 regression had a byte-identical plan, so
+    the next instrument down is per-stage wall)."""
+    import os
+    import sys
+
+    if os.environ.get("SPARK_GRAFT_STAGE_LOG"):
+        print(f"# stage {msg}", file=sys.stderr, flush=True)
+
+
 def _ckpt_wide(df: DataFrame) -> DataFrame:
     """Lazy localCheckpoint for WIDE posting/window streams (hundreds of
     millions of narrow rows at sf100): SERIALIZED memory+disk blocks
@@ -347,7 +361,25 @@ def ngram_jaccard_pairs(
     ).select("id", md5_long_expr("shingle").alias("h"))
     sh = _ckpt_wide(sh)  # scan+shingle+md5 runs ONCE, in parallel
     if max_df is not None:
-        freq = sh.groupBy("h").agg(F.count(F.lit(1)).alias("__df"))
+        freq = _ckpt_wide(sh.groupBy("h").agg(F.count(F.lit(1)).alias("__df")))
+        # no-silent-caps: the cap's drop volume is LOGGED, not implied — at
+        # scale the dropped sum(df·(df−1)/2) is exactly the candidate-pair
+        # mass the cap saves (the df-capped semantics themselves are
+        # certified by the oracle gate, which mirrors max_df in SQL). One
+        # tiny agg over the checkpointed freq frame; the same blocks feed
+        # the keep-filter join below, so the groupBy still runs once.
+        d = freq.filter(F.col("__df") > max_df).agg(
+            F.count(F.lit(1)).alias("b"),
+            F.sum(F.col("__df") * (F.col("__df") - 1) / 2).alias("p"),
+        ).first()
+        if d["b"]:
+            import sys
+
+            print(
+                f"# ngram_jaccard_pairs: max_df={max_df} dropped {d['b']} "
+                f"shingle buckets (~{int(d['p'])} candidate pairs avoided)",
+                file=sys.stderr, flush=True,
+            )
         sh = sh.join(freq.filter(F.col("__df") <= max_df).select("h"), "h")
         sh = _ckpt_wide(sh)
     if mode == "prefix":
@@ -678,16 +710,24 @@ def connected_components(
     # branches over the same (expensive) pair pipeline materializes it
     # twice — Spark has no cross-branch subplan reuse — so the reversal is
     # derived from the checkpoint, not recomputed
+    import time as _time
+
     from etl_processes_spark.partitioning import release_checkpoint
 
+    t0 = _time.time()
     edges = pairs.select(F.col(src).alias("s"), F.col(dst).alias("d"))
     edges = edges.localCheckpoint(eager=True)
     # size the iteration's shuffle to the edge count (post-checkpoint count is
     # a cheap cached scan): tiny dup graphs iterate in one partition instead
     # of paying 32-task scheduling per round; huge graphs keep full width
     n_edges = edges.count()
+    # the eager checkpoint materializes the WHOLE upstream pair pipeline, so
+    # this first mark is the edge-GENERATION cost, not CC's own
+    _stage_log(f"cc.edge_materialize n_edges={n_edges} {_time.time() - t0:.1f}s")
     if 2 * n_edges <= driver_max_edges:
+        t1 = _time.time()
         out = _cc_driver_union_find(edges)
+        _stage_log(f"cc.driver_union_find {_time.time() - t1:.1f}s")
         # the result lives on the driver now (createDataFrame) — the edge
         # checkpoint's blocks are dead weight the moment toPandas returned
         release_checkpoint(edges)
@@ -711,7 +751,8 @@ def connected_components(
     labels = labels.localCheckpoint(eager=True)
     prev_sum = None
     converged = False
-    for _ in range(max_iterations):
+    for _it in range(max_iterations):
+        t_it = _time.time()
         nbr = (
             und.join(labels.withColumnRenamed("node", "s"), "s")
             .groupBy(F.col("d").alias("node"))
@@ -736,6 +777,7 @@ def connected_components(
         # labels only ever decrease, so an unchanged label-sum IS the
         # fixpoint — one small aggregate instead of a join + count per round
         s = jumped.agg(F.sum("label")).collect()[0][0]
+        _stage_log(f"cc.iter {_it} label_sum={s} {_time.time() - t_it:.1f}s")
         release_checkpoint(labels)  # superseded by the materialized jumped
         labels = jumped
         if s == prev_sum:

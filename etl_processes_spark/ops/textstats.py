@@ -420,6 +420,15 @@ def _rep_stats_batch(toks_values) -> "pd.DataFrame":
             continue
         out["n"][i] = n
         codes, uniq = pd.factorize(toks)
+        if codes.min() < 0:
+            # factorize encodes null elements as -1, which would poison the
+            # bincount/shifted-code arithmetic below. tokens_expr never emits
+            # null tokens (it filters empties), so this is a contract check,
+            # not a reachable path (round-10 advice).
+            raise ValueError(
+                "_rep_stats_batch: null token in input array — tokens_expr "
+                "guarantees non-null tokens; fix the caller, not this kernel"
+            )
         m = len(uniq)
         out["dtok"][i] = m
         out["top"][i] = np.bincount(codes).max()
@@ -498,6 +507,10 @@ def repetition_stats(
         Catalyst does not CSE higher-order functions across the seven
         consumer expressions (re-deriving re-ran tokenize per column:
         12.7s -> 0.9s at sf0.1)."""
+    if kernel not in ("arrow", "expr"):
+        # a typo ("Arrow") must not silently fall through to the ~16x-slower
+        # expression path (round-10 advice)
+        raise ValueError(f"kernel must be 'arrow' or 'expr', got {kernel!r}")
     toks = F.coalesce(tokens_expr(text_col), F.array().cast("array<string>"))
     base_cols = [
         F.col(id_col),

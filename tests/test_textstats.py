@@ -183,6 +183,18 @@ def test_repetition_stats_kernels_identical(spark):
         assert a.collect() == e.collect()
 
 
+def test_repetition_stats_rejects_unknown_kernel(spark):
+    """A kernel typo ("Arrow") must raise, not silently take the ~16x-slower
+    expression path (round-10 advice)."""
+    import pytest
+
+    from etl_processes_spark.ops.textstats import repetition_stats
+
+    df = spark.createDataFrame([(0, "a b")], ["doc_id", "text"])
+    with pytest.raises(ValueError, match="kernel"):
+        repetition_stats(df, "doc_id", "text", kernel="Arrow")
+
+
 # ---------------------------------------------------------------------------
 # pii_scrub
 # ---------------------------------------------------------------------------
