@@ -616,11 +616,29 @@ def pii_clean_expr(
     c: str | Column, email_token: str = "<EMAIL>", phone_token: str = "<PHONE>"
 ) -> Column:
     """The redaction as a composable Column expression — pipelines apply it
-    in-place (withColumn) instead of paying an id-keyed join."""
+    in-place (withColumn) instead of paying an id-keyed join.
+
+    Each regex pass is pre-gated on a cheap literal ``contains`` probe: the
+    email pattern cannot match without an '@' and the phone pattern cannot
+    match without a '-', but Java regex still pays a greedy
+    consume-and-backtrack attempt at nearly every position of every
+    non-matching document (the email pattern's leading [A-Za-z0-9._%+-]+
+    matches almost anywhere). Real corpora are mostly PII-free — the
+    documents table has literally zero '@' — so the gate turns the common
+    case into one memchr-style scan. NULL text stays NULL (``when`` on a
+    NULL probe falls through to the otherwise branch, which returns s)."""
     s = (F.col(c) if isinstance(c, str) else c).cast("string")
-    return F.regexp_replace(
-        F.regexp_replace(s, EMAIL_PATTERN, email_token), PHONE_PATTERN, phone_token
-    )
+    cleaned = F.when(
+        s.contains("@"), F.regexp_replace(s, EMAIL_PATTERN, email_token)
+    ).otherwise(s)
+    # the phone probe tests the RAW text, not `cleaned`: probing `cleaned`
+    # would splice the whole email-replace subtree into the probe (Catalyst
+    # has no cross-expression CSE outside codegen subexpr elimination), and
+    # it is sound — email replacement never INTRODUCES a '-' (the token has
+    # none), so a dash-free raw text stays dash-free after cleaning
+    return F.when(
+        s.contains("-"), F.regexp_replace(cleaned, PHONE_PATTERN, phone_token)
+    ).otherwise(cleaned)
 
 
 def pii_scrub(
@@ -636,11 +654,20 @@ def pii_scrub(
     scan, codegen'd, no shuffle; the match/replace work is what widen
     spreads for narrow inputs."""
     s = F.col(text_col).cast("string")
+    # counts get the same contains() pre-gate as the replacements (see
+    # pii_clean_expr): the no-'@' / no-'-' common case never runs a regex.
+    # `length(s) * 0` keeps the NULL contract — NULL text yields NULL
+    # counts exactly like the ungated regexp_count did, 0 otherwise.
+    zero = (F.length(s) * 0).cast("int")
     return widen(df, per_mb=2.0).select(
         F.col(id_col),
         pii_clean_expr(text_col, email_token, phone_token).alias("clean_text"),
-        F.regexp_count(s, F.lit(EMAIL_PATTERN)).alias("n_emails"),
-        F.regexp_count(s, F.lit(PHONE_PATTERN)).alias("n_phones"),
+        F.when(s.contains("@"), F.regexp_count(s, F.lit(EMAIL_PATTERN)))
+        .otherwise(zero)
+        .alias("n_emails"),
+        F.when(s.contains("-"), F.regexp_count(s, F.lit(PHONE_PATTERN)))
+        .otherwise(zero)
+        .alias("n_phones"),
     )
 
 
@@ -1005,12 +1032,32 @@ def token_heavy_hitters(
     return heavy_hitters(toks, "token", min_share=min_share, ndigits=ndigits)
 
 
+def _tf_pairs_batch(toks_values) -> "pd.Series":
+    """Per-doc (token, tf) pairs for one Arrow batch of token arrays —
+    factorize + bincount, the same C-speed hash path as _rep_stats_batch.
+    Emitting the DISTINCT-token counts row-wise removes the widest shuffle
+    of the tf-idf plan (the (doc, token) occurrence stream)."""
+    import numpy as np
+    import pandas as pd
+
+    out = []
+    for toks in toks_values:
+        if toks is None or len(toks) == 0:
+            out.append([])
+            continue
+        codes, uniq = pd.factorize(toks)
+        cnt = np.bincount(codes)
+        out.append(list(zip(uniq.tolist(), cnt.tolist())))
+    return pd.Series(out)
+
+
 def tfidf_top_terms(
     df: DataFrame,
     id_col: str,
     text_col: str,
     k: int = 3,
     min_token_len: int = 1,
+    kernel: str = "expr",
 ) -> DataFrame:
     """Top-``k`` most DISTINCTIVE terms per document: rank tokens by
     tf/df — term frequency in the doc over corpus document frequency
@@ -1021,16 +1068,50 @@ def tfidf_top_terms(
     ranking ties on libm's last ulp). Ties break on the token, so the
     result is fully deterministic. Returns (id, rank, token, tf, df).
 
-    Plan: explode → tf agg on (doc, token) → df agg on token → join →
-    per-doc top-k window. All aggs partial-agg'd; the window sort is
-    bounded per doc. At 100 TB the (doc, token) agg is the dominant
-    shuffle — the same one any tf computation pays."""
+    PRECONDITION: ``id_col`` is unique (one row per document), the shared
+    doc-id contract (see ngram_jaccard_pairs). The arrow kernel computes tf
+    per ROW; rows duplicating an id would keep separate tf rows where the
+    expr path's groupBy would merge them.
+
+    Plan, ``kernel="expr"`` (DEFAULT — measured faster): explode → tf agg
+    on (doc, token) → df agg on token → join → per-doc top-k window. All
+    aggs partial-agg'd; the window sort is bounded per doc. At 100 TB the
+    (doc, token) agg is the dominant shuffle — the same one any tf
+    computation pays, and partial map-side aggregation already collapses it
+    to ~distinct pairs before the exchange.
+
+    ``kernel="arrow"``: per-doc (token, tf) pairs from one vectorized
+    pandas_udf (factorize + bincount) → explode distinct pairs — tf becomes
+    row-wise and the occurrence stream never shuffles. Kept as a pinned
+    value-identical alternative, but it MEASURED SLOWER at sf10 (14.7s vs
+    11.5s warm best-of-2, round 11): unlike repetition_stats — where the
+    kernel replaced an interpreted expression fold — the baseline here is
+    codegen'd explode + hash-agg with map-side partial aggregation, and
+    shipping the whole token stream through Arrow to Python costs more than
+    the exchange it saves. The expr default is the keep decision."""
     from pyspark.sql import Window
 
-    toks = df.select(
-        F.col(id_col).alias("id"), F.explode(tokens_expr(text_col)).alias("token")
-    ).filter(F.length("token") >= min_token_len)
-    tf = toks.groupBy("id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    if kernel not in ("arrow", "expr"):
+        raise ValueError(f"kernel must be 'arrow' or 'expr', got {kernel!r}")
+    if kernel == "arrow":
+        tok_arr = F.coalesce(tokens_expr(text_col), F.array().cast("array<string>"))
+        if min_token_len > 1:
+            tok_arr = F.filter(tok_arr, lambda t: F.length(t) >= min_token_len)
+        kern = F.pandas_udf(
+            lambda s: _tf_pairs_batch(s.to_numpy()),
+            "array<struct<token:string,tf:long>>",
+        )
+        tf = (
+            widen(df, per_mb=2.0)
+            .select(F.col(id_col).alias("id"), kern(tok_arr).alias("__p"))
+            .select("id", F.explode("__p").alias("p"))
+            .select("id", F.col("p.token").alias("token"), F.col("p.tf").alias("tf"))
+        )
+    else:
+        toks = df.select(
+            F.col(id_col).alias("id"), F.explode(tokens_expr(text_col)).alias("token")
+        ).filter(F.length("token") >= min_token_len)
+        tf = toks.groupBy("id", "token").agg(F.count(F.lit(1)).alias("tf"))
     dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     w = Window.partitionBy("id").orderBy(
         F.desc(F.col("tf").cast("double") / F.col("df")), F.asc("token")

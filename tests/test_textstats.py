@@ -183,6 +183,64 @@ def test_repetition_stats_kernels_identical(spark):
         assert a.collect() == e.collect()
 
 
+def test_tfidf_kernels_identical(spark):
+    """The Arrow tf kernel (default) and the explode→groupBy expression
+    path must produce identical (id, rank, token, tf, df) rows — edge docs
+    plus a real corpus slice, and the min_token_len filter."""
+    from etl_processes_spark.ops.textstats import tfidf_top_terms
+
+    edge = spark.createDataFrame(
+        [
+            (0, "aa bb aa cc aa"),
+            (1, "bb cc dd"),
+            (2, ""),
+            (3, None),
+            (4, "x yy zzz x yy x"),
+        ],
+        ["doc_id", "text"],
+    )
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    for df, mtl in ((edge, 1), (edge, 2), (docs, 1)):
+        a = tfidf_top_terms(df, "doc_id", "text", k=3, min_token_len=mtl,
+                            kernel="arrow").orderBy("id", "rank")
+        e = tfidf_top_terms(df, "doc_id", "text", k=3, min_token_len=mtl,
+                            kernel="expr").orderBy("id", "rank")
+        assert a.collect() == e.collect()
+    import pytest
+
+    with pytest.raises(ValueError, match="kernel"):
+        tfidf_top_terms(edge, "doc_id", "text", kernel="Arrow")
+
+
+def test_pii_scrub_pregate_null_and_tokenless(spark):
+    """The contains() pre-gate must preserve the exact ungated semantics:
+    NULL text → NULL clean_text and NULL counts; text without '@'/'-' →
+    zero counts, text unchanged; PII-bearing text still redacted+counted."""
+    from etl_processes_spark.ops.textstats import pii_scrub
+
+    df = spark.createDataFrame(
+        [
+            (0, None),
+            (1, "no pii here at all"),
+            (2, "mail a.b@example.com and c@d.io"),
+            (3, "call 12-345-678-9012 now"),
+            (4, "dash-only, no phone shape"),
+        ],
+        ["id", "text"],
+    )
+    rows = {r["id"]: r for r in pii_scrub(df, "id", "text").collect()}
+    assert rows[0]["clean_text"] is None
+    assert rows[0]["n_emails"] is None and rows[0]["n_phones"] is None
+    assert rows[1]["clean_text"] == "no pii here at all"
+    assert rows[1]["n_emails"] == 0 and rows[1]["n_phones"] == 0
+    assert rows[2]["clean_text"] == "mail <EMAIL> and <EMAIL>"
+    assert rows[2]["n_emails"] == 2
+    assert rows[3]["clean_text"] == "call <PHONE> now"
+    assert rows[3]["n_phones"] == 1
+    assert rows[4]["clean_text"] == "dash-only, no phone shape"
+    assert rows[4]["n_phones"] == 0
+
+
 def test_repetition_stats_rejects_unknown_kernel(spark):
     """A kernel typo ("Arrow") must raise, not silently take the ~16x-slower
     expression path (round-10 advice)."""
