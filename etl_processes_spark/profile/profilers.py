@@ -643,8 +643,14 @@ def exact_percentiles_distributed(
     for pid, rns in need.items():
         cond = cond | ((F.col("pid") == pid) & F.col("rn").isin(rns))
     w = Window.partitionBy("pid").orderBy("v")
+    # Only the ≤2·|qs| range partitions that own a flank rank are sorted:
+    # without the pid pre-filter the row_number stage re-shuffles and sorts
+    # EVERY partition of the column just to keep ≤2 rows from each of ~6 —
+    # at sf100 that is ~75 range sorts where 6 suffice (row_number within a
+    # pid is unaffected by dropping other pids, so values are identical).
     picked = (
-        ranged.withColumn("rn", F.row_number().over(w))
+        ranged.filter(F.col("pid").isin([int(p) for p in need]))
+        .withColumn("rn", F.row_number().over(w))
         .filter(cond)
         .select("pid", "rn", "v")
         .collect()
