@@ -3744,8 +3744,14 @@ m AS (SELECT part, doc_id, t, len(t) AS n,
 s AS (SELECT part, doc_id, n, len(g2) AS t2, len(list_distinct(g2)) AS d2,
              len(g3) AS t3, len(list_distinct(g3)) AS d3,
              len(list_distinct(t)) AS dtok,
-             coalesce(list_max(list_transform(list_distinct(t),
-                                              u -> len(list_filter(t, x -> x = u)))),
+             -- top-token count via a correlated unnest+count subquery:
+             -- O(n) hash-group per doc instead of the O(n*m) per-row
+             -- list_filter scan per distinct token (round-10 advice), and
+             -- still row-wise isolated (each subquery sees only this row's
+             -- t, so id-collision rows cannot bleed into each other)
+             coalesce((SELECT max(cnt)
+                       FROM (SELECT count(*) AS cnt
+                             FROM (SELECT unnest(m.t) AS x) GROUP BY x)),
                       0) AS topc
       FROM m)
 SELECT part, doc_id,
