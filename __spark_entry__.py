@@ -1545,6 +1545,8 @@ def bench_components() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return ngram_jaccard_pairs(
             _t(spark, sf, "documents"), "doc_id", "text",
             k=3, threshold=0.06, max_df=100, ndigits=ND,
+            log_dropped=True,  # the bench line keeps its no-silent-caps
+            # drop log; library callers stay lazy (round-11 advice)
         )
 
     def c_ngram_prefix(spark, sf):

@@ -321,6 +321,7 @@ def ngram_jaccard_pairs(
     max_df: int | None = None,
     ndigits: int = 6,
     mode: str = "auto",
+    log_dropped: bool | None = None,
 ) -> DataFrame:
     """All pairs (id_a < id_b) with Jaccard(shingleset_a, shingleset_b) >=
     threshold. Exact; the self-join is on the shingle key (inverted index),
@@ -368,18 +369,28 @@ def ngram_jaccard_pairs(
         # certified by the oracle gate, which mirrors max_df in SQL). One
         # tiny agg over the checkpointed freq frame; the same blocks feed
         # the keep-filter join below, so the groupBy still runs once.
-        d = freq.filter(F.col("__df") > max_df).agg(
-            F.count(F.lit(1)).alias("b"),
-            F.sum(F.col("__df") * (F.col("__df") - 1) / 2).alias("p"),
-        ).first()
-        if d["b"]:
-            import sys
+        # OPT-IN (log_dropped=True, or SPARK_GRAFT_STAGE_LOG like _stage_log
+        # when unset): the diagnostic is an eager action — running it at
+        # plan-CONSTRUCTION time would break laziness for every library
+        # caller that builds the plan without executing it (round-11
+        # advice). The bench diagnostic line passes log_dropped=True.
+        import os
 
-            print(
-                f"# ngram_jaccard_pairs: max_df={max_df} dropped {d['b']} "
-                f"shingle buckets (~{int(d['p'])} candidate pairs avoided)",
-                file=sys.stderr, flush=True,
-            )
+        if log_dropped or (
+            log_dropped is None and os.environ.get("SPARK_GRAFT_STAGE_LOG")
+        ):
+            d = freq.filter(F.col("__df") > max_df).agg(
+                F.count(F.lit(1)).alias("b"),
+                F.sum(F.col("__df") * (F.col("__df") - 1) / 2).alias("p"),
+            ).first()
+            if d["b"]:
+                import sys
+
+                print(
+                    f"# ngram_jaccard_pairs: max_df={max_df} dropped {d['b']} "
+                    f"shingle buckets (~{int(d['p'])} candidate pairs avoided)",
+                    file=sys.stderr, flush=True,
+                )
         sh = sh.join(freq.filter(F.col("__df") <= max_df).select("h"), "h")
         sh = _ckpt_wide(sh)
     if mode == "prefix":

@@ -626,7 +626,24 @@ def pii_clean_expr(
     matches almost anywhere). Real corpora are mostly PII-free — the
     documents table has literally zero '@' — so the gate turns the common
     case into one memchr-style scan. NULL text stays NULL (``when`` on a
-    NULL probe falls through to the otherwise branch, which returns s)."""
+    NULL probe falls through to the otherwise branch, which returns s).
+
+    The phone pre-gate probes the RAW text (see inline note), which is
+    sound only while the email replacement cannot INTRODUCE a dash — so a
+    dash-bearing ``email_token`` (e.g. '<EMAIL-REDACTED>') is rejected up
+    front rather than silently skipping phone redaction in digit-adjacent
+    edge cases ('@' in ``phone_token`` rejected for symmetry)."""
+    if "-" in email_token:
+        raise ValueError(
+            f"email_token must not contain '-' (got {email_token!r}): the "
+            "phone pre-gate probes the raw text for '-', which is only "
+            "sound if email replacement never introduces one"
+        )
+    if "@" in phone_token:
+        raise ValueError(
+            f"phone_token must not contain '@' (got {phone_token!r}): "
+            "replacement tokens must not reintroduce probe literals"
+        )
     s = (F.col(c) if isinstance(c, str) else c).cast("string")
     cleaned = F.when(
         s.contains("@"), F.regexp_replace(s, EMAIL_PATTERN, email_token)

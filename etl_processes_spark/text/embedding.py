@@ -11,11 +11,12 @@ same deterministic function; the "vocabulary" (for k-NN decode) is the
 distinct token set of the profiled entries.
 
 Scale design: vectorisation is an Arrow-batched pandas_udf (no per-row Python
-dispatch); per-dimension moments use posexplode + groupBy(dim) (shuffles d
-small rows per input partition thanks to partial agg); covariance is a
-distributed Gramian (Σ x·xᵀ tree-aggregated as a d²-length array column), so
-raw n×d vectors are NEVER collected (unlike Latanova_v1.py:223-224 which
-retains the full matrix in the stats dict). Generation draws z ~ N(0, I) with
+dispatch); per-dimension moments come from one Arrow powersum pass;
+per-dimension exact medians from histogram-bracketed distributed selection
+(no posexplode — the explode+sort-agg route spilled 27.2 GB at sf100);
+covariance is a distributed Gramian (Σ x·xᵀ tree-aggregated as a d²-length
+array column), so raw n×d vectors are NEVER collected (unlike
+Latanova_v1.py:223-224 which retains the full matrix in the stats dict). Generation draws z ~ N(0, I) with
 a per-row-id-seeded RNG inside mapInPandas (deterministic under any
 partitioning) and applies the driver-computed Cholesky factor.
 """
@@ -199,33 +200,246 @@ def embed_entries(df: DataFrame, c: str, vector_size: int = VECTOR_SIZE) -> Data
 # ---------------------------------------------------------------------------
 
 
-def _medians(vec_df: DataFrame) -> np.ndarray:
-    """Per-dimension exact medians (the one statistic that needs a sort) via
-    posexplode + groupBy(dim)."""
-    exploded = vec_df.select(F.posexplode("__vec").alias("dim", "x"))
-    agg = exploded.groupBy("dim").agg(F.median("x").alias("median")).orderBy("dim").collect()
-    return np.array([r["median"] for r in agg])
+def _medians(
+    vec_df: DataFrame,
+    d: int,
+    n: int,
+    mn: np.ndarray,
+    mx: np.ndarray,
+    bins: int = 1024,
+    per_dim_cap: int = 16384,
+    max_levels: int = 6,
+    merge_partitions: int = 8,
+) -> np.ndarray:
+    """Per-dimension EXACT medians by histogram-bracketed distributed
+    selection — the 100 TB path (round-11 verdict ask #2). The previous
+    route (posexplode + groupBy(dim).median) exploded every vector into d
+    rows and sort-aggregated them: n·d shuffled rows, 27.2 GB spill at
+    sf100 (5 M docs × 128 dims = 640 M rows), linear in corpus size. This
+    version never explodes and never shuffles anything proportional to n —
+    it re-scans the already-persisted ``__vec`` column with Arrow kernels:
+
+    1. HISTOGRAM pass: each partition bins its values per dim over the
+       global [mn, mx] range into one d·bins int64 array (a single
+       np.bincount per Arrow batch); partials merge through one
+       ``merge_partitions``-way stage, so the driver receives O(d·bins),
+       never O(n). Cumulative counts locate, per dim, the bin(s) holding
+       the two flank ranks floor/ceil((n-1)/2) and the EXACT count of
+       values below them — exact because the bin index
+       clip(floor((x-lo)·inv)) is weakly monotone in x under IEEE
+       rounding (subtraction of a constant, multiplication by a positive
+       constant, and floor each preserve order), so every value in a
+       lower bin sorts ≤ every value in the target bin.
+    2. REFINE (only when a dim's bracket still holds > per_dim_cap
+       values, i.e. n ≳ bins·per_dim_cap ≈ 16 M rows): re-histogram
+       inside the bracket. Bracket membership is the CHAIN of bin-index
+       predicates from prior levels (recomputed per batch), never a float
+       range filter — the chain is deterministic, so below-counts stay
+       exact across levels. Dims that stop shrinking (point masses) or
+       whose bracket width degenerates go terminal instead of looping.
+    3. COLLECT pass: bracketed values come back as per-partition
+       (value, count) uniques — a point-mass dim collapses to one pair,
+       so a half-constant dim cannot blow up the driver — and the driver
+       selects the two flank ranks per dim and interpolates with Spark
+       Percentile's exact ``lower*(1-f) + higher*f`` expression.
+
+    Constant dims (mn == mx) resolve immediately. The result is
+    BIT-IDENTICAL to F.median over the posexploded rows (pinned by
+    test_text_embedding.py::test_medians_matches_spark_median, including
+    point masses, negatives, and odd/even n)."""
+    if n <= 0:
+        return np.full(d, np.nan)
+    import math
+
+    mn = np.asarray(mn, dtype=np.float64)
+    mx = np.asarray(mx, dtype=np.float64)
+    k = (n - 1) * 0.5
+    r_lo, r_hi, frac = math.floor(k), math.ceil(k), (n - 1) * 0.5 - math.floor(k)
+
+    med = np.where(mx == mn, mn, np.nan)
+    const = mx == mn
+    terminal = const.copy()  # const dims never enter the selection
+    cnt_below = np.zeros(d, dtype=np.int64)
+    cnt_in = np.full(d, n, dtype=np.int64)
+    cur_lo, cur_hi = mn.copy(), mx.copy()
+    offsets = np.arange(d, dtype=np.int64) * bins
+
+    # each level: (lo, inv, t0, t1) arrays of shape (d,). A value x is in
+    # dim j's bracket iff clip(floor((x-lo_j)·inv_j), 0, bins-1) ∈
+    # [t0_j, t1_j] at EVERY level. inv=0 ⇒ idx=0 for every finite x, so
+    # (t0=0, t1=bins-1) is a vacuous pass-through for dims not refined at
+    # that level and (t0=1, t1=0) an always-empty exclusion for const dims.
+    levels: list[tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]] = []
+
+    def _bin_idx(X: np.ndarray, lo: np.ndarray, inv: np.ndarray) -> np.ndarray:
+        return np.clip(
+            np.floor((X - lo[None, :]) * inv[None, :]), 0, bins - 1
+        ).astype(np.int64)
+
+    def _mask(X: np.ndarray, lvls) -> np.ndarray:
+        m = np.ones(X.shape, dtype=bool)
+        for lo, inv, t0, t1 in lvls:
+            idx = _bin_idx(X, lo, inv)
+            m &= (idx >= t0[None, :]) & (idx <= t1[None, :])
+        return m
+
+    hist_schema = T.StructType([T.StructField("h", T.ArrayType(T.LongType()))])
+
+    def _histogram(lvls, lo_k, inv_k) -> np.ndarray:
+        def part(batches):
+            H = np.zeros(d * bins, dtype=np.int64)
+            seen = False
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                X = np.stack(pdf["__vec"].to_numpy()).astype(np.float64)
+                m = _mask(X, lvls)
+                flat = (_bin_idx(X, lo_k, inv_k) + offsets[None, :])[m]
+                if flat.size:
+                    H += np.bincount(flat, minlength=d * bins)
+                seen = True
+            if seen:
+                yield pd.DataFrame({"h": [H.tolist()]})
+
+        def merge(batches):
+            acc = None
+            for pdf in batches:
+                for h in pdf["h"]:
+                    v = np.asarray(h, dtype=np.int64)
+                    acc = v if acc is None else acc + v
+            if acc is not None:
+                yield pd.DataFrame({"h": [acc.tolist()]})
+
+        partial = vec_df.select("__vec").mapInPandas(part, schema=hist_schema)
+        merged = partial.repartition(merge_partitions).mapInPandas(
+            merge, schema=hist_schema
+        )
+        rows = merged.toPandas()
+        if rows.empty:
+            return np.zeros((d, bins), dtype=np.int64)
+        return np.sum(
+            np.stack([np.asarray(h, dtype=np.int64) for h in rows["h"]]), axis=0
+        ).reshape(d, bins)
+
+    while len(levels) < max_levels:
+        refining = np.nonzero(~terminal & (cnt_in > per_dim_cap))[0]
+        if refining.size:
+            width = cur_hi - cur_lo
+            with np.errstate(divide="ignore"):
+                inv_all = bins / width
+            bad = ~np.isfinite(inv_all[refining]) | (width[refining] <= 0)
+            terminal[refining[bad]] = True
+            refining = refining[~bad]
+        if refining.size == 0:
+            break
+        lo_k = cur_lo.copy()
+        inv_k = np.zeros(d)
+        inv_k[refining] = inv_all[refining]
+        H = _histogram(levels, lo_k, inv_k)
+        t0 = np.zeros(d, dtype=np.int64)
+        t1 = np.full(d, bins - 1, dtype=np.int64)
+        if not levels:  # level 0 also excludes the constant dims
+            t0[const], t1[const] = 1, 0
+        for j in refining:
+            cum = np.cumsum(H[j])
+            b0 = int(np.searchsorted(cum, (r_lo - cnt_below[j]) + 1))
+            b1 = int(np.searchsorted(cum, (r_hi - cnt_below[j]) + 1))
+            below_add = int(cum[b0 - 1]) if b0 > 0 else 0
+            new_cnt = int(cum[b1]) - below_add
+            if new_cnt >= cnt_in[j]:  # point mass: no shrink possible
+                terminal[j] = True
+            t0[j], t1[j] = b0, b1
+            cnt_below[j] += below_add
+            cnt_in[j] = new_cnt
+            w = width[j] / bins
+            cur_lo[j] = lo_k[j] + b0 * w
+            cur_hi[j] = lo_k[j] + (b1 + 1) * w
+        levels.append((lo_k, inv_k, t0, t1))
+    if not levels and const.any():
+        # no histogram ran (tiny n) but const dims still need excluding
+        t0 = np.zeros(d, dtype=np.int64)
+        t1 = np.full(d, bins - 1, dtype=np.int64)
+        t0[const], t1[const] = 1, 0
+        levels.append((mn.copy(), np.zeros(d), t0, t1))
+
+    coll_schema = T.StructType(
+        [
+            T.StructField("dim", T.IntegerType()),
+            T.StructField("u", T.ArrayType(T.DoubleType())),
+            T.StructField("c", T.ArrayType(T.LongType())),
+        ]
+    )
+
+    def coll(batches):
+        per_dim: dict[int, list[np.ndarray]] = {}
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.stack(pdf["__vec"].to_numpy()).astype(np.float64)
+            m = _mask(X, levels)
+            for j in np.nonzero(m.any(axis=0))[0]:
+                per_dim.setdefault(int(j), []).append(X[m[:, j], j])
+        rows: dict[str, list] = {"dim": [], "u": [], "c": []}
+        for j, chunks in per_dim.items():
+            u, c = np.unique(np.concatenate(chunks), return_counts=True)
+            rows["dim"].append(j)
+            rows["u"].append(u.tolist())
+            rows["c"].append(c.tolist())
+        if rows["dim"]:
+            yield pd.DataFrame(rows)
+
+    collected = vec_df.select("__vec").mapInPandas(coll, schema=coll_schema).toPandas()
+    merged_counts: dict[int, dict[float, int]] = {}
+    for _, row in collected.iterrows():
+        acc = merged_counts.setdefault(int(row["dim"]), {})
+        for u, c in zip(row["u"], row["c"]):
+            acc[float(u)] = acc.get(float(u), 0) + int(c)
+    for j in np.nonzero(~const)[0]:
+        items = sorted(merged_counts.get(int(j), {}).items())
+        total = sum(c for _, c in items)
+        if total != cnt_in[j]:  # exactness invariant — never silently wrong
+            raise AssertionError(
+                f"median selection dim {j}: bracket count {total} != "
+                f"histogram count {int(cnt_in[j])}"
+            )
+        cum = 0
+        l_lo, l_hi = r_lo - int(cnt_below[j]), r_hi - int(cnt_below[j])
+        v_lo = v_hi = None
+        for v, c in items:
+            if v_lo is None and cum + c > l_lo:
+                v_lo = v
+            if cum + c > l_hi:
+                v_hi = v
+                break
+            cum += c
+        # lower*(1-f) + higher*f: Spark Percentile's exact IEEE expression
+        med[j] = v_lo * (1.0 - frac) + v_hi * frac
+    return med
 
 
-_POWERSUM_FIELDS = ("s1", "s2", "s3", "s4", "gram")
+_POWERSUM_FIELDS = ("s1", "s2", "s3", "s4", "gram", "mn", "mx")
 
 
 def _powersums_and_gram(vec_df: DataFrame, d: int, merge_partitions: int = 8):
     """One pass, Arrow-batched end to end: per partition the vectors are
     stacked into an (n_i, d) matrix and reduced to [n, Σx, Σx², Σx³, Σx⁴,
-    XᵀX] — matrix ops, no per-row Python and no RDD/Row deserialization
-    (this replaces an .rdd.mapPartitions + treeReduce that paid a Python Row
-    loop per vector). Partition partials are then merged through ONE
-    repartition(merge_partitions) Arrow stage, so the driver receives at
-    most merge_partitions accumulators (O(d²) each) regardless of input
-    partition count — the same ingress bound treeReduce gave (collect() of
-    raw partials would ship ~1 GB at 2000 partitions, d=256)."""
+    XᵀX, min, max] — matrix ops, no per-row Python and no RDD/Row
+    deserialization (this replaces an .rdd.mapPartitions + treeReduce that
+    paid a Python Row loop per vector). Partition partials are then merged
+    through ONE repartition(merge_partitions) Arrow stage, so the driver
+    receives at most merge_partitions accumulators (O(d²) each) regardless
+    of input partition count — the same ingress bound treeReduce gave
+    (collect() of raw partials would ship ~1 GB at 2000 partitions, d=256).
+    Per-dim min/max ride along for free (two O(d) reductions on an already
+    stacked matrix) — they seed _medians' histogram brackets, so the
+    median selection needs no extra range-discovery pass."""
+    _SUM = ("s1", "s2", "s3", "s4", "gram")
     schema = T.StructType(
         [T.StructField("n", T.LongType())]
         + [T.StructField(f, T.ArrayType(T.DoubleType())) for f in _POWERSUM_FIELDS]
     )
 
-    def _acc_frame(n, s1, s2, s3, s4, gram):
+    def _acc_frame(n, s1, s2, s3, s4, gram, mn, mx):
         return pd.DataFrame(
             {
                 "n": [n],
@@ -233,7 +447,9 @@ def _powersums_and_gram(vec_df: DataFrame, d: int, merge_partitions: int = 8):
                 "s2": [s2.tolist()],
                 "s3": [s3.tolist()],
                 "s4": [s4.tolist()],
-                "gram": [gram.ravel().tolist()],
+                "gram": [np.asarray(gram).ravel().tolist()],
+                "mn": [mn.tolist()],
+                "mx": [mx.tolist()],
             }
         )
 
@@ -244,6 +460,8 @@ def _powersums_and_gram(vec_df: DataFrame, d: int, merge_partitions: int = 8):
         s3 = np.zeros(d)
         s4 = np.zeros(d)
         gram = np.zeros((d, d))
+        mn = np.full(d, np.inf)
+        mx = np.full(d, -np.inf)
         for pdf in batches:
             if len(pdf) == 0:
                 continue
@@ -255,19 +473,30 @@ def _powersums_and_gram(vec_df: DataFrame, d: int, merge_partitions: int = 8):
             s3 += (X2 * X).sum(axis=0)
             s4 += (X2 * X2).sum(axis=0)
             gram += X.T @ X
+            np.minimum(mn, X.min(axis=0), out=mn)
+            np.maximum(mx, X.max(axis=0), out=mx)
         if n:
-            yield _acc_frame(n, s1, s2, s3, s4, gram)
+            yield _acc_frame(n, s1, s2, s3, s4, gram, mn, mx)
 
     def merge(batches):
         n = 0
-        acc = None
+        acc: dict[str, np.ndarray] | None = None
         for pdf in batches:
             for _, row in pdf.iterrows():
                 n += int(row["n"])
-                vals = [np.asarray(row[f], dtype=np.float64) for f in _POWERSUM_FIELDS]
-                acc = vals if acc is None else [a + v for a, v in zip(acc, vals)]
+                vals = {
+                    f: np.asarray(row[f], dtype=np.float64)
+                    for f in _POWERSUM_FIELDS
+                }
+                if acc is None:
+                    acc = vals
+                else:
+                    for f in _SUM:
+                        acc[f] = acc[f] + vals[f]
+                    acc["mn"] = np.minimum(acc["mn"], vals["mn"])
+                    acc["mx"] = np.maximum(acc["mx"], vals["mx"])
         if acc is not None:
-            yield _acc_frame(n, acc[0], acc[1], acc[2], acc[3], acc[4])
+            yield _acc_frame(n, *(acc[f] for f in _POWERSUM_FIELDS))
 
     partial = vec_df.select("__vec").mapInPandas(part, schema=schema)
     merged = partial.repartition(merge_partitions).mapInPandas(merge, schema=schema)
@@ -276,9 +505,11 @@ def _powersums_and_gram(vec_df: DataFrame, d: int, merge_partitions: int = 8):
         return None
     n = int(rows["n"].sum())
     s1, s2, s3, s4, gram_flat = (
-        np.sum(np.stack(rows[f].to_numpy()), axis=0) for f in _POWERSUM_FIELDS
+        np.sum(np.stack(rows[f].to_numpy()), axis=0) for f in _SUM
     )
-    return n, s1, s2, s3, s4, gram_flat.reshape(d, d)
+    mn = np.min(np.stack(rows["mn"].to_numpy()), axis=0)
+    mx = np.max(np.stack(rows["mx"].to_numpy()), axis=0)
+    return n, s1, s2, s3, s4, gram_flat.reshape(d, d), mn, mx
 
 
 def _moments_from_powersums(n, s1, s2, s3, s4) -> np.ndarray:
@@ -321,14 +552,14 @@ def text_profile(
         sums = _powersums_and_gram(vec_df, d)
         if sums is None:
             return None
-        n, s1, s2, s3, s4, gram = sums
+        n, s1, s2, s3, s4, gram, mn, mx = sums
         mean_vec, std_vec, skew_vec, kurt_vec = _moments_from_powersums(n, s1, s2, s3, s4)
         cov = (
             (gram - n * np.outer(mean_vec, mean_vec)) / (n - 1)
             if n > 1
             else np.zeros((d, d))
         )
-        medians = _medians(vec_df) if compute_medians else None
+        medians = _medians(vec_df, d, n, mn, mx) if compute_medians else None
         # Vocabulary for k-NN decode: distinct tokens of the profiled text.
         vocab: list[str] = []
         if build_vocab:

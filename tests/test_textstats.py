@@ -184,8 +184,9 @@ def test_repetition_stats_kernels_identical(spark):
 
 
 def test_tfidf_kernels_identical(spark):
-    """The Arrow tf kernel (default) and the explode→groupBy expression
-    path must produce identical (id, rank, token, tf, df) rows — edge docs
+    """The Arrow tf kernel (kernel="arrow"; measured slower than the
+    default explode→groupBy expression path at sf10, so NOT the default)
+    must produce identical (id, rank, token, tf, df) rows — edge docs
     plus a real corpus slice, and the min_token_len filter."""
     from etl_processes_spark.ops.textstats import tfidf_top_terms
 
@@ -630,3 +631,19 @@ def test_text_analysis_family_duplicate_semantics(spark):
             map(tuple, fn(dup, "doc_id", "text").collect())
         )
         assert a == b, fn.__name__
+
+
+def test_pii_token_probe_literals_rejected():
+    """The phone pre-gate probes the RAW text for '-' — sound only while
+    the email replacement cannot introduce one. A dash-bearing email_token
+    (or '@'-bearing phone_token) is rejected up front instead of silently
+    skipping redaction in digit-adjacent edge cases (round-11 advice)."""
+    import pytest
+
+    from etl_processes_spark.ops.textstats import pii_clean_expr
+
+    with pytest.raises(ValueError, match="email_token"):
+        pii_clean_expr("text", email_token="<EMAIL-REDACTED>")
+    with pytest.raises(ValueError, match="phone_token"):
+        pii_clean_expr("text", phone_token="<PHONE@HOME>")
+    pii_clean_expr("text")  # defaults stay valid
