@@ -488,6 +488,29 @@ def main() -> None:
             out["repeats"] = repeats
         if telemetry:
             out["telemetry"] = telemetry
+            # suite-level ceilings, GENERATED from the telemetry dict rather
+            # than authored in prose (round-11 verdict ask #4: SCALING claimed
+            # a ~2.6 GB spill ceiling while the same round's artifact recorded
+            # 27.2 GB on a production line — a computed field makes that
+            # contradiction structurally impossible). max_spill = the largest
+            # per-line disk+memory spill of the best repeat; max_canary_median
+            # = the worst in-window host-throughput median (high ⇒ the host,
+            # not the plan, was slow during that line's windows).
+            spills = [
+                (k, t["spill_mb"]) for k, t in telemetry.items()
+                if isinstance(t.get("spill_mb"), (int, float))
+            ]
+            if spills:
+                wq, wmb = max(spills, key=lambda kv: kv[1])
+                out["max_spill"] = {"query": wq, "mb": wmb}
+            cms = [
+                (k, w[1])
+                for k, t in telemetry.items()
+                for w in t.get("canary_window_ms", [])
+            ]
+            if cms:
+                wq, wms = max(cms, key=lambda kv: kv[1])
+                out["max_canary_median"] = {"query": wq, "ms": wms}
         line = json.dumps(out)
         # The stdout line is the driver contract, but a scraped tail can
         # truncate (BENCH_r06.json landed with parsed:null and the headline
@@ -572,6 +595,9 @@ def main() -> None:
         if scored:
             wname, wsec = max(scored, key=lambda kv: kv[1])
             compact["worst"] = {"query": wname, "sec": wsec}
+        for fld in ("max_spill", "max_canary_median"):
+            if fld in out:
+                compact[fld] = out[fld]
         try:
             os.write(real_stdout, (line + "\n").encode())
             os.write(real_stdout, (json.dumps(compact) + "\n").encode())
