@@ -1075,6 +1075,7 @@ def tfidf_top_terms(
     k: int = 3,
     min_token_len: int = 1,
     kernel: str = "expr",
+    topk: str = "window",
 ) -> DataFrame:
     """Top-``k`` most DISTINCTIVE terms per document: rank tokens by
     tf/df — term frequency in the doc over corpus document frequency
@@ -1105,11 +1106,27 @@ def tfidf_top_terms(
     kernel replaced an interpreted expression fold — the baseline here is
     codegen'd explode + hash-agg with map-side partial aggregation, and
     shipping the whole token stream through Arrow to Python costs more than
-    the exchange it saves. The expr default is the keep decision."""
+    the exchange it saves. The expr default is the keep decision.
+
+    ``topk`` selects the per-doc top-k strategy:
+     - "window" (DEFAULT): row_number over (id, score desc, token) — a full
+       sort of the joined (id, token, tf, df) stream by id; the suite's
+       last remaining production sort spill at sf100 (~2.6 GB, round 11).
+     - "agg": collect_list(struct(-score, token, tf, df)) per id →
+       array_sort → slice(1, k) → posexplode. The full sort becomes an
+       ObjectHashAggregate with a per-doc in-memory sort (docs have
+       bounded distinct tokens), so nothing corpus-sized is ever
+       sort-spilled. Ordering is bit-identical: scores are positive
+       finite doubles, so negation is exactly order-reversing and the
+       (−score, token) struct sort equals the window's (score desc,
+       token asc); identity is test-pinned. See SCALING.md round-12 for
+       the measured keep-or-revert decision."""
     from pyspark.sql import Window
 
     if kernel not in ("arrow", "expr"):
         raise ValueError(f"kernel must be 'arrow' or 'expr', got {kernel!r}")
+    if topk not in ("window", "agg"):
+        raise ValueError(f"topk must be 'window' or 'agg', got {topk!r}")
     if kernel == "arrow":
         tok_arr = F.coalesce(tokens_expr(text_col), F.array().cast("array<string>"))
         if min_token_len > 1:
@@ -1130,6 +1147,37 @@ def tfidf_top_terms(
         ).filter(F.length("token") >= min_token_len)
         tf = toks.groupBy("id", "token").agg(F.count(F.lit(1)).alias("tf"))
     dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    if topk == "agg":
+        neg_score = -(F.col("tf").cast("double") / F.col("df"))
+        top = (
+            tf.join(dfreq, "token")
+            .groupBy("id")
+            .agg(
+                F.slice(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                neg_score.alias("ns"),
+                                F.col("token"),
+                                F.col("tf"),
+                                F.col("df"),
+                            )
+                        )
+                    ),
+                    1,
+                    k,
+                ).alias("__top")
+            )
+        )
+        return top.select(
+            "id", F.posexplode("__top").alias("pos", "p")
+        ).select(
+            "id",
+            (F.col("pos") + 1).cast("int").alias("rank"),
+            F.col("p.token").alias("token"),
+            F.col("p.tf").alias("tf"),
+            F.col("p.df").alias("df"),
+        )
     w = Window.partitionBy("id").orderBy(
         F.desc(F.col("tf").cast("double") / F.col("df")), F.asc("token")
     )

@@ -213,6 +213,36 @@ def test_tfidf_kernels_identical(spark):
         tfidf_top_terms(edge, "doc_id", "text", kernel="Arrow")
 
 
+def test_tfidf_topk_strategies_identical(spark):
+    """topk="agg" (collect_list→array_sort→slice; no corpus-wide window
+    sort) must produce exactly the default window strategy's rows —
+    schema, ranks, and tie-breaks included. Scores are positive finite
+    doubles, so the (−score, token) struct sort is order-identical to the
+    window's (score desc, token asc)."""
+    from etl_processes_spark.ops.textstats import tfidf_top_terms
+
+    edge = spark.createDataFrame(
+        [
+            (0, "aa bb aa cc aa"),
+            (1, "bb cc dd"),     # all-tie doc: rank order must fall to token
+            (2, ""),
+            (3, None),
+            (4, "x yy zzz x yy x"),
+        ],
+        ["doc_id", "text"],
+    )
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    for df, kk in ((edge, 2), (edge, 3), (docs, 3)):
+        w = tfidf_top_terms(df, "doc_id", "text", k=kk, topk="window").orderBy("id", "rank")
+        a = tfidf_top_terms(df, "doc_id", "text", k=kk, topk="agg").orderBy("id", "rank")
+        assert w.schema == a.schema
+        assert w.collect() == a.collect()
+    import pytest
+
+    with pytest.raises(ValueError, match="topk"):
+        tfidf_top_terms(edge, "doc_id", "text", topk="sort")
+
+
 def test_pii_scrub_pregate_null_and_tokenless(spark):
     """The contains() pre-gate must preserve the exact ungated semantics:
     NULL text → NULL clean_text and NULL counts; text without '@'/'-' →
