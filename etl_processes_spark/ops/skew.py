@@ -135,16 +135,24 @@ def salted_join(
     hot_keys = list(hot_keys or [])
     if not hot_keys:
         return big.join(small, key, how)
-    # split by hot-set membership: equi-join matches can only happen within
-    # the same class, so hot⋈hot ∪ rest⋈rest ≡ the plain join for every
-    # accepted join type (NULL keys go to rest — they match nothing but a
-    # left join must keep them)
+    # ONE conditional-salt join, not a hot ∪ rest branch pair: the split
+    # form scanned the big side TWICE (Spark shares no subtrees across
+    # union branches) and paid two joins. Salting only hot rows inside a
+    # single join is result-identical: is_hot is a function of the key, so
+    # both sides agree on which rows carry a real salt; non-hot rows join
+    # on the constant salt 0 exactly as an unsalted equi-join; a hot
+    # small-side row is exploded across every salt so each (big, small)
+    # pair still matches exactly once; NULL-keyed big rows take salt 0 and
+    # match nothing (kept by left joins, dropped by inner — unchanged).
+    # Certified by the oracle gate and the equivalence tests (round 12).
     is_hot = F.col(key).isin(hot_keys)
-    hot = _full_salt(big.filter(is_hot), small.filter(is_hot))
-    rest = big.filter(F.col(key).isNull() | ~is_hot).join(
-        small.filter(~is_hot), key, how
+    zero = F.array(F.lit(0).cast("long"))
+    all_salts = F.array(*[F.lit(i).cast("long") for i in range(salt_buckets)])
+    b_s = big.withColumn(
+        "__salt", F.when(is_hot, _row_salt(salt_buckets)).otherwise(F.lit(0).cast("long"))
     )
-    return hot.unionByName(rest)
+    s_s = small.withColumn("__salt", F.explode(F.when(is_hot, all_salts).otherwise(zero)))
+    return b_s.join(s_s, [key, "__salt"], how).drop("__salt")
 
 
 def two_phase_count(df: DataFrame, key: str, salt_buckets: int = 32) -> DataFrame:

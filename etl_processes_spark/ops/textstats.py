@@ -724,14 +724,20 @@ def winnowing_fingerprints(
     # computes the identical fingerprint set, so winnowing is hash-gated.
     # NULL text behaves like empty text (size(NULL)=NULL would otherwise
     # fail BOTH branch filters and silently drop the doc from the output).
-    short_fp = F.array(
-        md5_long_expr(F.coalesce(F.array_join(tokens_expr(text_col), " "), F.lit("")))
-    )
     base = widen(df, per_mb=2.0).select(F.col(id_col).alias("__id"), tokens_expr(text_col).alias("__toks"))
     # Docs with fewer than k tokens (including empty/NULL) keep the single
-    # whole-doc hash — same fallback as the classic formulation.
-    ntoks = F.coalesce(F.size(tokens_expr(text_col)), F.lit(0))
-    short = df.filter(ntoks < k).select(F.col(id_col), short_fp.alias("fingerprints"))
+    # whole-doc hash — same fallback as the classic formulation. Derived
+    # from ``base`` so the short branch tokenizes ONCE: the previous form
+    # filtered the RAW frame on tokens_expr and re-tokenized survivors in
+    # the projection — interpreted HOFs are never CSE'd, so that was two
+    # extra full-corpus tokenize passes for a typically tiny short set
+    # (round 12; array_join(__toks) ≡ array_join(tokens_expr(text))).
+    short = base.filter(F.coalesce(F.size("__toks"), F.lit(0)) < k).select(
+        F.col("__id").alias(id_col),
+        F.array(
+            md5_long_expr(F.coalesce(F.array_join("__toks", " "), F.lit("")))
+        ).alias("fingerprints"),
+    )
     toks = base.filter(F.coalesce(F.size("__toks"), F.lit(0)) >= k).select(
         "__id", F.posexplode("__toks").alias("pos", "tok")
     )

@@ -96,14 +96,19 @@ def gap_fill(
     Returns (key, bucket, value, filled) with filled=1 on generated rows.
 
     Plan: window ONLY the data rows (one key shuffle; per-key neighbour
-    values via running frames), then generate each inter-row gap's buckets
-    with a MAP-SIDE sequence explode whose fill value is computed inline
-    from the two attached neighbours. The generated rows — which can dwarf
-    the data (sparse series over a long span: measured 9.5M data rows →
-    105M output at sf10) — are never sorted, shuffled, or re-windowed; the
-    grid-union shape this replaces dragged all of them through two window
-    sorts (106 s → map-bound at sf10). The span is [min, max] of each key's
-    own data, so every gap is interior: both neighbours always exist."""
+    values via running frames), then ONE map-side sequence explode per data
+    row emits the row itself PLUS its trailing gap's buckets, with each fill
+    value computed inline from the two attached neighbours. The generated
+    rows — which can dwarf the data (sparse series over a long span:
+    measured 9.5M data rows → 105M output at sf10) — are never sorted,
+    shuffled, or re-windowed; the grid-union shape this replaced dragged all
+    of them through two window sorts (106 s → map-bound at sf10), and the
+    present ∪ gaps two-branch union that followed it still executed the
+    whole scan→resample→window subtree TWICE (Spark does not share subtrees
+    across union branches — round 12, plan-verified: 2 scans/2 aggs/9
+    Window nodes → 1 scan/1 agg/3 Window nodes). The span is [min, max] of
+    each key's own data, so every gap is interior: both neighbours always
+    exist."""
     if method not in ("linear", "ffill", "value", "none"):
         raise ValueError(f"unknown fill method {method!r}")
     b, v = F.col(bucket), F.col(value)
@@ -128,24 +133,30 @@ def gap_fill(
     # imputed, exactly like generated rows
     pv, nv = F.col("__pv"), F.col("__nv")
     pb, nb = F.col("__pb"), F.col("__nb")
-    rows = (
-        data.withColumn("__pv", F.last(value, ignorenulls=True).over(wprev))
-        .withColumn(
-            "__pb",
-            F.last(F.when(v.isNotNull(), b), ignorenulls=True).over(wprev),
-        )
-        .withColumn("__nv", F.last(value, ignorenulls=True).over(wnext))
-        .withColumn(
-            "__nb",
-            F.last(F.when(v.isNotNull(), b), ignorenulls=True).over(wnext),
-        )
-        # the gap after this row interpolates between this row's trailing
-        # neighbour (__pv/__pb — includes this row itself when present) and
-        # the NEXT row's leading neighbour, attached here so the explode
-        # below needs no further window or join
-        .withColumn("__gap_end", F.lead(bucket).over(word))
-        .withColumn("__gnv", F.lead("__nv").over(word))
-        .withColumn("__gnb", F.lead("__nb").over(word))
+    # all four neighbour columns in ONE select (not stacked withColumn):
+    # Catalyst extracts window expressions per Project, so four withColumn
+    # calls instantiate four Window operators where one select yields two
+    # (wprev and wnext share evaluation within their spec) — round 12
+    neighbours = data.select(
+        F.col(key),
+        b,
+        v.alias(value),
+        F.last(value, ignorenulls=True).over(wprev).alias("__pv"),
+        F.last(F.when(v.isNotNull(), b), ignorenulls=True).over(wprev).alias("__pb"),
+        F.last(value, ignorenulls=True).over(wnext).alias("__nv"),
+        F.last(F.when(v.isNotNull(), b), ignorenulls=True).over(wnext).alias("__nb"),
+    )
+    # the gap after this row interpolates between this row's trailing
+    # neighbour (__pv/__pb — includes this row itself when present) and
+    # the NEXT row's leading neighbour, attached here so the explode
+    # below needs no further window or join. Second layer because lead()
+    # consumes the first layer's outputs — one more Window node, same
+    # shuffle (identical partitioning/ordering).
+    rows = neighbours.select(
+        "*",
+        F.lead(bucket).over(word).alias("__gap_end"),
+        F.lead("__nv").over(word).alias("__gnv"),
+        F.lead("__nb").over(word).alias("__gnb"),
     )
 
     def _fill(g: Column, pv_: Column, pb_: Column, nv_: Column, nb_: Column) -> Column:
@@ -166,31 +177,41 @@ def gap_fill(
             return F.lit(float(fill_value))
         return F.lit(None).cast("double")
 
-    present = rows.select(
-        F.col(key),
-        b,
-        F.coalesce(v, _fill(b, pv, pb, nv, nb)).alias(value),
-        v.isNull().cast("int").alias("filled"),
-    )
+    # ONE explode emits the present row (g == b) and its trailing gap's
+    # buckets (b+1 .. gap_end-1) together — no present ∪ gaps union, so the
+    # scan→resample→window subtree executes once instead of twice. The last
+    # row of each key has __gap_end NULL: coalesce to b so its sequence is
+    # just [b]. Buckets are distinct per key post-resample, so gap_end > b
+    # always and the sequence is never empty or descending.
     g = F.col("__g")
-    gaps = (
-        rows.filter(F.col("__gap_end") > b + 1)
-        .select(
+    return (
+        rows.select(
             F.col(key),
+            v.alias(value),
             "__pv",
             "__pb",
+            "__nv",
+            "__nb",
             "__gnv",
             "__gnb",
-            F.explode(F.sequence(b + 1, F.col("__gap_end") - 1)).alias("__g"),
+            F.explode(
+                F.sequence(b, F.coalesce(F.col("__gap_end") - 1, b))
+            ).alias("__g"),
+            b.alias("__b"),
         )
         .select(
             F.col(key),
             g.alias(bucket),
-            _fill(g, pv, pb, F.col("__gnv"), F.col("__gnb")).alias(value),
-            F.lit(1).alias("filled"),
+            F.when(
+                g == F.col("__b"), F.coalesce(v, _fill(g, pv, pb, nv, nb))
+            )
+            .otherwise(_fill(g, pv, pb, F.col("__gnv"), F.col("__gnb")))
+            .alias(value),
+            F.when(g == F.col("__b"), v.isNull().cast("int"))
+            .otherwise(F.lit(1))
+            .alias("filled"),
         )
     )
-    return present.unionByName(gaps)
 
 
 def rolling_stats(
@@ -243,12 +264,21 @@ def rolling_stats(
     var = s2 / n - m * m
     std = F.sqrt(F.greatest(var, F.lit(0.0)))
     z = F.when(std > 0, (v.cast("double") - m) / std).otherwise(F.lit(0.0))
-    return (
-        df.withColumn("roll_mean", m)
-        .withColumn("roll_std", std)
-        .withColumn("roll_n", n.cast("long"))
-        .withColumn("zscore", z)
-        .withColumn("anomaly", (F.abs(z) > F.lit(float(z_threshold))).cast("int"))
+    # ONE select, not five stacked withColumn: Catalyst extracts window
+    # expressions per Project without merging across Projects, so the
+    # withColumn chain instantiated TEN Window operators (each output column
+    # re-deriving its own copies of the cumulative sums and lags — the same
+    # partition re-walked ten times); a single projection deduplicates the
+    # shared window expressions into two Window nodes (running frame + lag
+    # frame) over one sort. Values identical — same expressions, evaluated
+    # once (round 12, plan-verified 10 → 2).
+    return df.select(
+        "*",
+        m.alias("roll_mean"),
+        std.alias("roll_std"),
+        n.cast("long").alias("roll_n"),
+        z.alias("zscore"),
+        (F.abs(z) > F.lit(float(z_threshold))).cast("int").alias("anomaly"),
     )
 
 
