@@ -726,12 +726,14 @@ def winnowing_fingerprints(
     # fail BOTH branch filters and silently drop the doc from the output).
     base = widen(df, per_mb=2.0).select(F.col(id_col).alias("__id"), tokens_expr(text_col).alias("__toks"))
     # Docs with fewer than k tokens (including empty/NULL) keep the single
-    # whole-doc hash — same fallback as the classic formulation. Derived
-    # from ``base`` so the short branch tokenizes ONCE: the previous form
-    # filtered the RAW frame on tokens_expr and re-tokenized survivors in
-    # the projection — interpreted HOFs are never CSE'd, so that was two
-    # extra full-corpus tokenize passes for a typically tiny short set
-    # (round 12; array_join(__toks) ≡ array_join(tokens_expr(text))).
+    # whole-doc hash — same fallback as the classic formulation. Written
+    # against ``base`` for readability, but plan-identical to filtering the
+    # raw frame: CollapseProject + predicate pushdown re-inline __toks =
+    # tokens_expr(text) into both the Filter condition and the projection,
+    # so the HOF still evaluates twice on this branch either way (round 12,
+    # verified by diffing plans/r12/winnowing_fingerprints_{before,after} —
+    # identical modulo expr ids). Truly tokenizing once would need a
+    # materialization barrier (_ckpt_wide) — measured separately.
     short = base.filter(F.coalesce(F.size("__toks"), F.lit(0)) < k).select(
         F.col("__id").alias(id_col),
         F.array(

@@ -250,30 +250,48 @@ def rolling_stats(
     # grows). Same values as the direct frame aggregate, ~window× less work.
     word = Window.partitionBy(key).orderBy(order_col)
     wcum = word.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    cum1 = F.sum(vdec).over(wcum)
-    cum2 = F.sum(vdec * vdec).over(wcum)
-    cumn = F.count(vdec).over(wcum)
     zero1 = F.lit(0).cast(
         "decimal(38,6)"
     )  # Spark widens sum(decimal(18,6)) to (28,6); 38 covers any widening
     zero2 = F.lit(0).cast("decimal(38,12)")
-    s1 = (cum1 - F.coalesce(F.lag(cum1, window).over(word), zero1)).cast("double")
-    s2 = (cum2 - F.coalesce(F.lag(cum2, window).over(word), zero2)).cast("double")
-    n = (cumn - F.coalesce(F.lag(cumn, window).over(word), F.lit(0))).cast("double")
+    # MATERIALIZE the six window columns (3 running sums, then their 3
+    # lags), THEN derive mean/std/z/anomaly with plain arithmetic. Neither
+    # single-plan alternative evaluates each window function once:
+    #  - five stacked withColumn: Catalyst extracts window expressions per
+    #    Project without merging across Projects → TEN Window operators,
+    #    each output column re-deriving its own cumulative sums and lags;
+    #  - one select of the composed expressions: Catalyst does NOT
+    #    common-subexpression the repeated sum/lag occurrences inside
+    #    mean/var/z/anomaly — plan-verified 74 window expressions in one
+    #    Window node (z alone expands m and std which expand s1/s2/n), and
+    #    the sf10 interleaved A/B read it ~2× SLOWER than the stacked form.
+    # Two selects of ALIASED window columns pin exactly 6 window
+    # expressions across 2 Window nodes (running frame + lag frame, one
+    # sort — lag's spec matches the cum layer's, so no re-sort); the final
+    # arithmetic references the materialized attributes, so nothing
+    # re-expands. Values identical — same expression trees, evaluated once
+    # (round 12, plan-verified 10 Window/24 exprs → 2 Window/6 exprs).
+    cums = df.select(
+        "*",
+        F.sum(vdec).over(wcum).alias("__c1"),
+        F.sum(vdec * vdec).over(wcum).alias("__c2"),
+        F.count(vdec).over(wcum).alias("__cn"),
+    )
+    lagged = cums.select(
+        "*",
+        F.lag("__c1", window).over(word).alias("__l1"),
+        F.lag("__c2", window).over(word).alias("__l2"),
+        F.lag("__cn", window).over(word).alias("__ln"),
+    )
+    s1 = (F.col("__c1") - F.coalesce(F.col("__l1"), zero1)).cast("double")
+    s2 = (F.col("__c2") - F.coalesce(F.col("__l2"), zero2)).cast("double")
+    n = (F.col("__cn") - F.coalesce(F.col("__ln"), F.lit(0))).cast("double")
     m = s1 / n
     var = s2 / n - m * m
     std = F.sqrt(F.greatest(var, F.lit(0.0)))
     z = F.when(std > 0, (v.cast("double") - m) / std).otherwise(F.lit(0.0))
-    # ONE select, not five stacked withColumn: Catalyst extracts window
-    # expressions per Project without merging across Projects, so the
-    # withColumn chain instantiated TEN Window operators (each output column
-    # re-deriving its own copies of the cumulative sums and lags — the same
-    # partition re-walked ten times); a single projection deduplicates the
-    # shared window expressions into two Window nodes (running frame + lag
-    # frame) over one sort. Values identical — same expressions, evaluated
-    # once (round 12, plan-verified 10 → 2).
-    return df.select(
-        "*",
+    return lagged.select(
+        *df.columns,
         m.alias("roll_mean"),
         std.alias("roll_std"),
         n.cast("long").alias("roll_n"),
