@@ -557,7 +557,16 @@ def main() -> None:
                     f"_sf{int(sfv)}" if isinstance(sfv, float) and sfv == int(sfv)
                     else f"_sf{sfv}"
                 )
-                out_paths.append(os.path.join(repo, f"BENCH_r{rnd:02d}{suffix}.json"))
+                # low-core scaling runs get their own artifact: the driver's
+                # post-round c8 pass previously overwrote the committed
+                # 32-core round record in the working tree (round-12 verdict
+                # ask #2) — a run at any non-default core count now writes
+                # BENCH_r{N}_c{CPUS}[_sf..].json and can never clobber it.
+                cpus_env = os.environ.get("SPARK_GRAFT_CPUS", "32")
+                csuffix = "" if cpus_env == "32" else f"_c{cpus_env}"
+                out_paths.append(
+                    os.path.join(repo, f"BENCH_r{rnd:02d}{csuffix}{suffix}.json")
+                )
             except Exception as e:
                 print(f"# round inference failed: {e}", file=sys.stderr, flush=True)
         for out_path in out_paths:
@@ -598,6 +607,22 @@ def main() -> None:
         for fld in ("max_spill", "max_canary_median"):
             if fld in out:
                 compact[fld] = out[fld]
+        # per-query seconds in the compact line (round-12 verdict ask #2b):
+        # the driver's per_query PERF comparison was structurally empty
+        # because the tail-scraped compact line carried no queries map. A
+        # plain name->seconds dict for the full 54-line suite is ~1.5 KB;
+        # include it only while the WHOLE line stays inside the driver's
+        # 2000-char tail window, dropping the slowest-to-matter detail
+        # fields first and the map last (the totals-only line of previous
+        # rounds remains the floor).
+        compact["queries"] = {k: round(s, 3) for k, s in scored}
+        if len(json.dumps(compact)) > 1990:
+            for fld in ("max_canary_median", "max_spill", "worst"):
+                compact.pop(fld, None)
+                if len(json.dumps(compact)) <= 1990:
+                    break
+        if len(json.dumps(compact)) > 1990:
+            del compact["queries"]
         try:
             os.write(real_stdout, (line + "\n").encode())
             os.write(real_stdout, (json.dumps(compact) + "\n").encode())

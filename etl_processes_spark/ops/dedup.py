@@ -110,11 +110,24 @@ def let_expr(value: Column, body) -> Column:
     return F.element_at(F.transform(F.array(value), body), 1)
 
 
-def shingles_expr(c: str | Column, k: int = 3) -> Column:
+def tokens_from_normalized_expr(c: str | Column) -> Column:
+    """Tokens of text that is ALREADY normalized (space-joined alnum tokens,
+    i.e. the output of ``normalized_text_expr``): a literal single-space
+    split — value-identical to ``tokens_expr`` on such text (tokens contain
+    no spaces by construction) but skips the lowercase pass and the
+    character-class regex. The empty-string filter keeps the empty-doc case
+    identical (split('') == [''] must become [])."""
+    col = F.col(c) if isinstance(c, str) else c
+    return F.filter(F.split(col.cast("string"), " "), lambda t: t != "")
+
+
+def shingles_expr(c: str | Column, k: int = 3, normalized: bool = False) -> Column:
     """Distinct k-word shingles (space-joined). Docs shorter than k tokens
     contribute their full token string as a single shingle. The token array
     is let-bound (``let_expr``) so the split+filter pipeline runs once per
-    row, not once per shingle index."""
+    row, not once per shingle index. ``normalized=True`` declares the input
+    column already normalized (``normalized_text_expr`` output) and tokenizes
+    with the cheap literal-space split — identical shingles either way."""
 
     def build(toks: Column) -> Column:
         sh = F.when(
@@ -122,7 +135,8 @@ def shingles_expr(c: str | Column, k: int = 3) -> Column:
         ).otherwise(F.array(F.array_join(toks, " ")))
         return F.array_distinct(sh)
 
-    return let_expr(tokens_expr(c), build)
+    src = tokens_from_normalized_expr(c) if normalized else tokens_expr(c)
+    return let_expr(src, build)
 
 
 # ---------------------------------------------------------------------------
@@ -449,6 +463,13 @@ def _jaccard_pairs_prefix(sh: DataFrame, threshold: float, ndigits: int) -> Data
      - candidates carry set sizes inline and apply the PPJoin length filter
        |small| >= t·|large| (J >= t forces it) INSIDE the self-join, before
        the distinct.
+     - candidates ALSO carry each prefix posting's position in the doc's
+       full rarity order and apply the PPJoin POSITIONAL filter
+       1 + min(|a|-pa, |b|-pb) >= ceil(t/(1+t)·(|a|+|b|)) inside the join:
+       a collision too late in both prefixes cannot be a qualifying pair's
+       first common shingle, so the row is pruned before the distinct
+       (exactness argument inline below; pinned by the brute-force
+       differential test).
      - the verify arrays are built only for docs that appear in a candidate
        pair (semi-join on the candidate id set) — at t>=0.3 that is a tiny
        fraction of the corpus, and collect_list over everything was the
@@ -481,7 +502,14 @@ def _jaccard_pairs_prefix(sh: DataFrame, threshold: float, ndigits: int) -> Data
             F.col("rn")
             <= F.col("__mc") - F.ceil(F.lit(threshold) * F.col("sz")) + 1
         )
-        .select("id", "h", "sz")
+        # pos = the posting's position in the doc's FULL rarity order
+        # (df asc, h asc): the sz - __mc df==1 singletons all sort before
+        # any df>=2 posting, so pos = rn + (sz - __mc). Feeds the PPJoin
+        # positional filter below; computed here for free from columns the
+        # prefix cutoff already carries.
+        .select(
+            "id", "h", "sz", (F.col("rn") + F.col("sz") - F.col("__mc")).alias("pos")
+        )
     )
     a, b = prefix.alias("a"), prefix.alias("b")
     cand = (
@@ -496,6 +524,29 @@ def _jaccard_pairs_prefix(sh: DataFrame, threshold: float, ndigits: int) -> Data
                 F.least(F.col("a.sz"), F.col("b.sz"))
                 >= F.lit(threshold) * F.greatest(F.col("a.sz"), F.col("b.sz"))
                 - F.lit(1e-9)
+            )
+            # positional filter (PPJoin, Xiao et al. WWW'08): J >= t forces
+            # overlap o >= α = ceil(t/(1+t)·(|a|+|b|)). Take the pair's FIRST
+            # common shingle in the rarity order, at full positions (pa, pb):
+            # every other common shingle sorts after it in BOTH docs' sorted
+            # sets, so o <= 1 + min(|a|-pa, |b|-pb). A collision row failing
+            # 1 + min(|a|-pa, |b|-pb) >= α therefore cannot be the first
+            # common element of a qualifying pair — and the first common
+            # element of every qualifying pair (always df>=2, always inside
+            # both prefixes) passes it, so dropping failing rows before the
+            # distinct loses no pair. The 1e-9 slack keeps float ceil from
+            # overshooting the exact rational α (drop direction would be a
+            # false negative).
+            & (
+                F.lit(1)
+                + F.least(
+                    F.col("a.sz") - F.col("a.pos"), F.col("b.sz") - F.col("b.pos")
+                )
+                >= F.ceil(
+                    F.lit(threshold / (1.0 + threshold))
+                    * (F.col("a.sz") + F.col("b.sz"))
+                    - F.lit(1e-9)
+                )
             ),
         )
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
@@ -558,7 +609,13 @@ def minhash_mix_constants(num_hashes: int, seed: int = 1_000_003) -> list[tuple[
 
 
 def minhash_signatures(
-    df: DataFrame, id_col: str, text_col: str, num_hashes: int = 64, k: int = 5
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 64,
+    k: int = 5,
+    text_normalized: bool = False,
+    kernel: str = "expr",
 ) -> DataFrame:
     """(id, sig array<long>) — sig[i] = min over shingles of
     (a_i * h0 + b_i) mod P31 with h0 = md5-derived residue: ONE string hash
@@ -566,11 +623,74 @@ def minhash_signatures(
     num_hashes full string hashes, overflow-free, and reproducible in
     DuckDB — the oracle runs the identical pipeline). One explode + one
     groupBy(id) with num_hashes min-aggregates (all partial-agg'd map-side;
-    the shuffle carries one row per doc)."""
+    the shuffle carries one row per doc).
+
+    ``text_normalized=True``: the text column is already normalized
+    (``normalized_text_expr`` output) — tokenization becomes a literal-space
+    split; the shingles, hashes and signatures are identical (the one-pass
+    ingest state build shares one normalization pass across all its state
+    tables, round-13).
+
+    ``kernel``: "expr" (default) runs the ``num_hashes`` modular min
+    aggregates as JVM codegen expressions. "arrow" batches all permutations
+    as ONE vectorized int64 matrix op per Arrow batch (outer multiply-add
+    mod P31, then ``np.minimum.reduceat`` over the id runs — the exploded
+    shingle stream keeps each doc's rows contiguous, so a batch collapses
+    to ~one partial row per doc before the groupBy). Arithmetic is
+    identical int64 (products < 2^62, no overflow on either side), so the
+    signatures are bit-equal — test-pinned. Keep-or-revert measurement in
+    OPTIMIZATION_r13.md."""
+    if kernel not in ("expr", "arrow"):
+        raise ValueError(f"kernel must be expr|arrow, got {kernel!r}")
     mix = minhash_mix_constants(num_hashes)
     sh = widen(df).select(
-        F.col(id_col).alias("id"), F.explode(shingles_expr(text_col, k)).alias("shingle")
+        F.col(id_col).alias("id"),
+        F.explode(shingles_expr(text_col, k, normalized=text_normalized)).alias(
+            "shingle"
+        ),
     ).select("id", (md5_long_expr("shingle") % P31).alias("h0"))
+    if kernel == "arrow":
+        mix_a = np.array([a for a, _ in mix], dtype=np.int64)
+        mix_b = np.array([b for _, b in mix], dtype=np.int64)
+        out_schema = "id long, " + ", ".join(
+            f"h{i} long" for i in range(num_hashes)
+        )
+
+        _SENT = np.int64(2**62)  # > any valid residue; survives min ⟺ all-NULL run
+
+        def _partial_mins(batches):
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                ids = pdf["id"].to_numpy()
+                # NULL h0 (a NULL-text doc's single NULL shingle) must keep
+                # the expr path's min-ignores-NULL semantics: sentinel the
+                # NULL rows above every valid value, then turn a surviving
+                # sentinel (all-NULL run) back into SQL NULL
+                mask = pdf["h0"].isna().to_numpy()
+                h0 = pdf["h0"].fillna(0).to_numpy(dtype=np.int64)
+                # one row per id RUN (doc rows are contiguous within a
+                # batch); duplicate partials across batch/partition
+                # boundaries merge in the final min aggregation
+                starts = np.nonzero(np.r_[True, ids[1:] != ids[:-1]])[0]
+                m = (h0[:, None] * mix_a[None, :] + mix_b[None, :]) % P31
+                if mask.any():
+                    m[mask, :] = _SENT
+                mins = np.minimum.reduceat(m, starts, axis=0)
+                cols = [f"h{i}" for i in range(num_hashes)]
+                odf = pd.DataFrame(mins, columns=cols)
+                if mask.any():
+                    odf = odf.astype("Int64").mask(odf == _SENT)
+                odf.insert(0, "id", ids[starts])
+                yield odf
+
+        part = sh.mapInPandas(_partial_mins, out_schema)
+        sig = part.groupBy("id").agg(
+            *[F.min(f"h{i}").alias(f"h{i}") for i in range(num_hashes)]
+        )
+        return sig.select(
+            "id", F.array(*[f"h{i}" for i in range(num_hashes)]).alias("sig")
+        )
     aggs = [
         F.min((F.col("h0") * F.lit(a) + F.lit(b)) % P31).alias(f"h{i}")
         for i, (a, b) in enumerate(mix)
@@ -588,6 +708,7 @@ def minhash_lsh_pairs(
     k: int = 5,
     threshold: float = 0.5,
     verify: bool = True,
+    sig_kernel: str = "expr",
 ) -> DataFrame:
     """LSH-banded candidate generation + (optional) exact-Jaccard verify.
     rows-per-band = num_hashes // bands; two docs are candidates if any band
@@ -600,7 +721,7 @@ def minhash_lsh_pairs(
             "signature components (bands > num_hashes would crash)"
         )
     rows_per_band = num_hashes // bands
-    sig = minhash_signatures(df, id_col, text_col, num_hashes, k)
+    sig = minhash_signatures(df, id_col, text_col, num_hashes, k, kernel=sig_kernel)
 
     def band_hash(i: int) -> Column:
         # Horner fold of the band's signature rows mod P31 — same arithmetic
@@ -1106,6 +1227,7 @@ def minhash_index(
     num_hashes: int = 64,
     bands: int = 16,
     k: int = 5,
+    text_normalized: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """The persistable near-dup INDEX of a corpus, NORMALIZED into two
     frames: ``sigs`` = (id, sig) — ONE row per doc carrying the full
@@ -1130,7 +1252,11 @@ def minhash_index(
     rows_per_band = num_hashes // bands
     # lazily checkpointed: buckets derive from sigs, and both frames are
     # consumed — without this the signature aggregation runs twice
-    sigs = _ckpt_wide(minhash_signatures(df, id_col, text_col, num_hashes, k))
+    sigs = _ckpt_wide(
+        minhash_signatures(
+            df, id_col, text_col, num_hashes, k, text_normalized=text_normalized
+        )
+    )
 
     def band_hash(i: int) -> Column:
         bh: Column | None = None

@@ -1153,7 +1153,34 @@ def tfidf_top_terms(
         toks = df.select(
             F.col(id_col).alias("id"), F.explode(tokens_expr(text_col)).alias("token")
         ).filter(F.length("token") >= min_token_len)
-        tf = toks.groupBy("id", "token").agg(F.count(F.lit(1)).alias("tf"))
+        # ONE doc-keyed exchange for the whole query (round-13): the natural
+        # groupBy(id, token) exchange hashes on (id, token), which scatters
+        # each doc's tokens across every partition — so the downstream
+        # per-doc top-k needed a SECOND full exchange on id, and Spark's
+        # two-phase WindowGroupLimit pruned ~nothing at the partial step
+        # (k=3 per doc per partition keeps ~all rows when a doc has ~1-2
+        # rows per partition) while still paying a corpus-wide local sort.
+        # Repartitioning the occurrence stream by id up front satisfies
+        # ClusteredDistribution for the tf agg, the rank window AND the
+        # topk="agg" groupBy alike: one exchange, one sort, no partial
+        # window pass. (The exchange carries raw occurrences instead of
+        # map-side partially-aggregated pairs — measured cheaper than the
+        # extra corpus-wide exchange + sort it removes; see
+        # OPTIMIZATION_r13.md for the A/B.)
+        tf = toks.repartition("id").groupBy("id", "token").agg(
+            F.count(F.lit(1)).alias("tf")
+        )
+    # tf feeds BOTH the document-frequency aggregate and the ranking join:
+    # without a materialization barrier Catalyst re-derives the whole
+    # scan → explode → agg subtree for each consumer (no cross-branch
+    # subplan reuse), i.e. the corpus was scanned, lowered, split and
+    # re-aggregated twice per run. One serialized localCheckpoint of the
+    # narrow distinct-pair stream halves that — and (SPARK-39748) preserves
+    # the id partitioning across the barrier, so the window still needs no
+    # exchange of its own.
+    from etl_processes_spark.ops.dedup import _ckpt_wide
+
+    tf = _ckpt_wide(tf)
     dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     if topk == "agg":
         neg_score = -(F.col("tf").cast("double") / F.col("df"))

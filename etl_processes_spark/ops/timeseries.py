@@ -238,7 +238,21 @@ def rolling_stats(
     from them (mean, variance, sqrt, z) is the same correctly-rounded IEEE
     chain in any engine, so z-scores are hash-certifiable unrounded. Input
     values are expected at ≤6 decimal places (the resample contract) so
-    the decimal(18,6) cast is exact."""
+    the decimal(18,6) cast is exact.
+
+    Reserved names: the two-layer window materialization below adds temp
+    columns __c1/__c2/__cn/__l1/__l2/__ln via select("*", ...) — the same
+    double-underscore convention as the module's other temps (__pv/__pb).
+    An input column with one of those names would make the later
+    F.col("__c1") references ambiguous at analysis time, so they are
+    rejected here with a clear message (round-12 advice)."""
+    _reserved = {"__c1", "__c2", "__cn", "__l1", "__l2", "__ln"}
+    clash = _reserved.intersection(df.columns)
+    if clash:
+        raise ValueError(
+            f"rolling_stats reserves temp column names {sorted(_reserved)}; "
+            f"input already has {sorted(clash)} — rename those columns first"
+        )
     v = F.col(value)
     vdec = v.cast("decimal(18,6)")
     # prefix-sum formulation: Spark re-evaluates a sliding frame's

@@ -561,6 +561,51 @@ def test_ngram_mode_auto_routing(spark, docs):
         ngram_jaccard_pairs(docs, "doc_id", "text", mode="nope")
 
 
+@pytest.mark.parametrize("seed,threshold", [(11, 0.4), (12, 0.6)])
+def test_prefix_positional_filter_differential_dense(spark, seed, threshold):
+    """Positional-filter stress: a dense corpus (small vocab, many docs) where
+    most prefix collisions FAIL the positional bound — exactness must hold
+    anyway because every qualifying pair's first common shingle passes it."""
+    df = spark.createDataFrame(
+        _rand_docs(seed, n=80, vocab=12, lo=4, hi=20), ["doc_id", "text"]
+    )
+    inv = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(
+            df, "doc_id", "text", k=2, threshold=threshold, mode="inverted"
+        ).collect()
+    }
+    pre = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(
+            df, "doc_id", "text", k=2, threshold=threshold, mode="prefix"
+        ).collect()
+    }
+    assert pre == inv and len(inv) > 0
+
+
+def test_prefix_positional_filter_exact_boundary(spark):
+    """Pairs sitting EXACTLY at J == t, where α = ceil(t/(1+t)·(|a|+|b|)) is
+    an exact integer — the regime where a float-ceil overshoot in the
+    positional filter would silently drop a true pair. k=1 so the shingle
+    sets are the literal token sets."""
+    rows = [
+        (1, "w1 w2"),            # {w1,w2}
+        (2, "w1 w2 w3 w4"),      # o=2, u=4, J=0.5 == t; α=ceil(0.5/1.5·6)=2
+        (3, "w5 w6 w7"),
+        (4, "w5 w6 w7 w8 w9 wa"),  # o=3, u=6, J=0.5; α=ceil(0.5/1.5·9)=3
+        (5, "zz yy"),            # J(5,·)=0 — no pair
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(
+            df, "doc_id", "text", k=1, threshold=0.5, mode="prefix"
+        ).collect()
+    }
+    assert got == {(1, 2): 0.5, (3, 4): 0.5}
+
+
 def test_prefix_index_is_actually_smaller(spark):
     """At t=0.9 the prefix index holds ~|S| - ceil(0.9|S|) + 1 entries per
     doc — materially smaller than full postings (the point of the route)."""
@@ -586,6 +631,51 @@ def test_prefix_index_is_actually_smaller(spark):
         .count()
     )
     assert prefix_n < total * 0.35
+
+
+def test_minhash_arrow_kernel_bit_identical(spark):
+    """The vectorized Arrow signature kernel must produce BIT-EQUAL
+    signatures to the expr kernel (same int64 multiply-add-mod, products
+    < 2^62 on both sides) — including empty docs (single '' shingle) and
+    docs shorter than k."""
+    from etl_processes_spark.ops.dedup import minhash_signatures
+
+    rows = _rand_docs(21, n=50, vocab=30) + [(100, ""), (101, "one"), (102, None)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    expr = {
+        r["id"]: r["sig"]
+        for r in minhash_signatures(df, "doc_id", "text", 64, 5).collect()
+    }
+    arrow = {
+        r["id"]: r["sig"]
+        for r in minhash_signatures(
+            df, "doc_id", "text", 64, 5, kernel="arrow"
+        ).collect()
+    }
+    assert arrow == expr and len(expr) > 0
+
+
+def test_shingles_normalized_input_identical(spark):
+    """shingles_expr(normalized=True) over normalized_text_expr output must
+    equal shingles_expr over the raw text (the one-pass ingest state build
+    depends on it)."""
+    from etl_processes_spark.ops.dedup import normalized_text_expr, shingles_expr
+
+    rows = [(1, "Hello, WORLD! foo-bar baz"), (2, ""), (3, None), (4, "a b")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"]).withColumn(
+        "__norm", normalized_text_expr("text")
+    )
+    raw = {
+        r["doc_id"]: sorted(r["s"]) if r["s"] is not None else None
+        for r in df.select("doc_id", shingles_expr("text", 3).alias("s")).collect()
+    }
+    norm = {
+        r["doc_id"]: sorted(r["s"]) if r["s"] is not None else None
+        for r in df.select(
+            "doc_id", shingles_expr("__norm", 3, normalized=True).alias("s")
+        ).collect()
+    }
+    assert raw == norm
 
 
 def test_cc_driver_string_ids_fallback(spark):
