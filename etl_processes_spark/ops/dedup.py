@@ -480,14 +480,21 @@ def _jaccard_pairs_prefix(sh: DataFrame, threshold: float, ndigits: int) -> Data
     lambda, no Python."""
     from pyspark.sql.window import Window
 
-    freq = sh.groupBy("h").agg(F.count(F.lit(1)).alias("__df"))
-    # Join ONLY the df>=2 postings (the hapax mass never ranks or joins).
-    # The prefix cutoff needs u1 = |df==1 postings per doc|, but u1 never
-    # has to be counted separately: with mc = |df>=2 postings per doc|
-    # (a count window over the SAME partition the rank uses — no extra
-    # shuffle, no stats join, no posting-stream checkpoint),
-    # rn + u1 <= sz - ceil(t·sz) + 1  ⇔  rn <= mc - ceil(t·sz) + 1.
-    multi = sh.join(freq.filter(F.col("__df") >= 2), "h")
+    # df attaches via a COUNT WINDOW over the shingle hash, not a groupBy +
+    # self-join (round-13): the agg+join form exchanged the full posting
+    # stream TWICE (once partially-aggregated into the freq table — shingle
+    # hashes rarely repeat within a map partition, so partial agg collapses
+    # almost nothing — and once into the join's SMJ sort); one h-keyed
+    # window is a single exchange + one local sort producing the identical
+    # (id, h, __df) rows. Rank ONLY the df>=2 postings (the hapax mass
+    # never ranks or joins). The prefix cutoff needs u1 = |df==1 postings
+    # per doc|, but u1 never has to be counted separately: with mc =
+    # |df>=2 postings per doc| (a count window over the SAME partition the
+    # rank uses — no extra shuffle, no stats join, no posting-stream
+    # checkpoint), rn + u1 <= sz - ceil(t·sz) + 1 ⇔ rn <= mc - ceil(t·sz) + 1.
+    multi = sh.select(
+        "id", "h", F.count(F.lit(1)).over(Window.partitionBy("h")).alias("__df")
+    ).filter(F.col("__df") >= 2)
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     byid = Window.partitionBy("id")
     ranked = multi.select(
@@ -627,9 +634,10 @@ def minhash_signatures(
 
     ``text_normalized=True``: the text column is already normalized
     (``normalized_text_expr`` output) — tokenization becomes a literal-space
-    split; the shingles, hashes and signatures are identical (the one-pass
-    ingest state build shares one normalization pass across all its state
-    tables, round-13).
+    split; the shingles, hashes and signatures are identical (test-pinned).
+    A library option for callers that hold normalized text; the round-13
+    one-pass ingest-state-build experiment that motivated it measured
+    slower than the four-subtree shape and was reverted (pipeline.py).
 
     ``kernel``: "expr" (default) runs the ``num_hashes`` modular min
     aggregates as JVM codegen expressions. "arrow" batches all permutations

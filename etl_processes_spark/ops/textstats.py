@@ -1163,11 +1163,26 @@ def tfidf_top_terms(
         # Repartitioning the occurrence stream by id up front satisfies
         # ClusteredDistribution for the tf agg, the rank window AND the
         # topk="agg" groupBy alike: one exchange, one sort, no partial
-        # window pass. (The exchange carries raw occurrences instead of
-        # map-side partially-aggregated pairs — measured cheaper than the
-        # extra corpus-wide exchange + sort it removes; see
-        # OPTIMIZATION_r13.md for the A/B.)
-        tf = toks.repartition("id").groupBy("id", "token").agg(
+        # window pass. The width is EXPLICIT and derived from the input
+        # size (guide §2: scale-adaptive, not a constant): an unsized
+        # repartition("id") is AQE-coalesced on COMPRESSED shuffle bytes
+        # down to ~defaultParallelism, which at sf100 put ~28M raw
+        # occurrence rows behind each aggregate task and sort-spilled
+        # 12.6 GB (measured, round 13). ~8 MB of source text per reduce
+        # task keeps the per-task agg hash + window sort state small;
+        # capped at the session's shuffle width (itself 8× cores /
+        # env-parameterized for cluster scale).
+        spark = df.sparkSession
+        try:
+            src_mb = (
+                int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+                / 1048576.0
+            )
+        except Exception:
+            src_mb = None
+        cap = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        npart = cap if src_mb is None else max(1, min(cap, int(src_mb / 8) + 1))
+        tf = toks.repartition(npart, "id").groupBy("id", "token").agg(
             F.count(F.lit(1)).alias("tf")
         )
     # tf feeds BOTH the document-frequency aggregate and the ranking join:

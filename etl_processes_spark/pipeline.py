@@ -462,56 +462,17 @@ def run_incremental_ingest(
         )
         batch = cleaned.join(batch.select(id_col, *extra), id_col) if extra else cleaned
 
-    # COLD-START one-pass state build (round-13): with no corpus state and
-    # no batch-side filters, accepted == batch and every state table is a
-    # pure function of the NORMALIZED text — so normalize once (scan +
-    # lowercase + regex split once, serialized localCheckpoint) and derive
-    # digests (sha2 of the normalized string — content_hash_expr verbatim),
-    # LM counts (literal-space re-split) and the MinHash index (shingles
-    # from the same re-split) from that one pass. The previous shape ran
-    # four independent scan→tokenize subtrees over the corpus (Spark shares
-    # no subplans across the returned frames); values are identical
-    # (normalized tokens re-split exactly — tokens contain no spaces).
-    cold_build = (
-        seen_digests is None
-        and near_dup_index is None
-        and not line_cleaning
-        and (min_logprob is None or lm_counts is None)
-        and split_fractions is None
-    )
-    if cold_build:
-        from etl_processes_spark.ops.dedup import (
-            _ckpt_wide,
-            normalized_text_expr,
-            tokens_from_normalized_expr,
-        )
-
-        base = _ckpt_wide(
-            batch.select(
-                F.col(id_col), normalized_text_expr(F.col(text_col)).alias("__norm")
-            )
-        )
-        sigs_delta, index_delta = minhash_index(
-            base, id_col, "__norm", num_hashes, bands, shingle_k,
-            text_normalized=True,
-        )
-        digests_delta = base.select(
-            F.sha2(F.col("__norm").cast("string"), 256).alias("__key")
-        ).distinct()
-        counts_delta = (
-            base.select(
-                F.explode(tokens_from_normalized_expr("__norm")).alias("token")
-            )
-            .groupBy("token")
-            .agg(F.count(F.lit(1)).alias("c"))
-        )
-        return batch, {
-            "digests": digests_delta,
-            "index": index_delta,
-            "sigs": sigs_delta,
-            "counts": counts_delta,
-        }
-
+    # Round-13 MEASURED AND REVERTED: a cold-start "one-pass" state build
+    # (normalize once into a serialized localCheckpoint of (id, __norm),
+    # derive digests/LM counts/MinHash index from literal-space re-splits —
+    # value-identical, test-pinned via shingles_expr(normalized=True)) lost
+    # the interleaved A/B at BOTH sf10 (11.4-12.0s → 12.6-13.9s) and sf100
+    # (82.9-88.4s → 91.2-96.4s on like canaries): the four scan→tokenize
+    # subtrees all hang off ONE action, so the stage scheduler already
+    # overlaps them across cores, and the checkpoint is a hard barrier that
+    # serializes normalize → materialize → derive while paying a
+    # corpus-sized block write. Shared computation < lost concurrency +
+    # write cost here. See OPTIMIZATION_r13.md (ingest_state_build).
     if seen_digests is not None:
         batch, _ = dedup_incremental(batch, seen_digests, id_col, text_col)
     if near_dup_index is not None:
