@@ -1185,17 +1185,17 @@ def tfidf_top_terms(
         tf = toks.repartition(npart, "id").groupBy("id", "token").agg(
             F.count(F.lit(1)).alias("tf")
         )
-    # tf feeds BOTH the document-frequency aggregate and the ranking join:
-    # without a materialization barrier Catalyst re-derives the whole
-    # scan → explode → agg subtree for each consumer (no cross-branch
-    # subplan reuse), i.e. the corpus was scanned, lowered, split and
-    # re-aggregated twice per run. One serialized localCheckpoint of the
-    # narrow distinct-pair stream halves that — and (SPARK-39748) preserves
-    # the id partitioning across the barrier, so the window still needs no
-    # exchange of its own.
-    from etl_processes_spark.ops.dedup import _ckpt_wide
-
-    tf = _ckpt_wide(tf)
+    # tf feeds BOTH the document-frequency aggregate and the ranking join.
+    # No materialization barrier: a lazy localCheckpoint records
+    # UnknownPartitioning under AQE (the final layout isn't known until
+    # execution), which put the window's id exchange BACK into the plan
+    # (measured round-13). Instead both consumers deliberately share the
+    # IDENTICAL Exchange(id) subtree — the physical planner's
+    # ReuseExchange rule (and AQE stage reuse) dedups it, so the corpus is
+    # scanned/exploded/shuffled once, only the cheap post-exchange
+    # aggregation runs per consumer, and the surviving hashpartitioning(id)
+    # still feeds the rank window with no exchange of its own
+    # (plan-verified: ReusedExchange node in plans/r13).
     dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     if topk == "agg":
         neg_score = -(F.col("tf").cast("double") / F.col("df"))
